@@ -1,0 +1,146 @@
+"""Minimal Discourse Representation Structures over union-find variables.
+
+The reference implements a full DRS algebra with α-conversion and merges
+(``src/python/marbles/ie/drt/drs.py``, 2396 LoC).  This engine replaces
+explicit variable renaming with union-find ``Ref`` cells: unifying two
+referents is a single ``union``; every condition that mentioned either cell
+automatically sees the merged representative.  The observable output — the
+linear DRS string, e.g.::
+
+    [X1,E2,E3,X4| boy(X1),want(E2),_EVENT(E2),_ARG0(E2,X1),...]
+
+— matches the reference's ``show(SHOW_LINEAR)`` format
+(``src/python/marbles/ie/drt/common.py:16``, asserted in
+``src/python/marbles/ie/test/compose_test.py:119``).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Tuple
+
+
+class Ref:
+    """A union-find variable cell.
+
+    ``kind`` is ``'e'`` for event variables (S-flavoured atoms) and ``'x'``
+    for entities; ``bound`` marks refs introduced into a DRS universe (nouns,
+    events, pronouns) as opposed to free slot variables.
+    """
+
+    __slots__ = ("_parent", "kind", "bound", "_rank", "bound_idx", "binder")
+
+    def __init__(self, kind: str = "x", bound: bool = False):
+        self._parent = self
+        self.kind = kind
+        self.bound = bound
+        self._rank = 0
+        self.bound_idx = None   # word index of the binding lexeme
+        self.binder = None      # the binding Token (labels for triples)
+
+    def find(self) -> "Ref":
+        r = self
+        while r._parent is not r:
+            r._parent = r._parent._parent
+            r = r._parent
+        return r
+
+    def union(self, other: "Ref") -> "Ref":
+        a, b = self.find(), other.find()
+        if a is b:
+            return a
+        if a._rank < b._rank:
+            a, b = b, a
+        b._parent = a
+        if a._rank == b._rank:
+            a._rank += 1
+        # merged cell keeps the strongest properties
+        a.kind = "e" if ("e" in (a.kind, b.kind)) else "x"
+        a.bound = a.bound or b.bound
+        if a.bound_idx is None or (b.bound_idx is not None and b.bound_idx < a.bound_idx):
+            a.bound_idx = b.bound_idx
+        if a.binder is None or (b.binder is not None and b.binder.idx < a.binder.idx):
+            a.binder = b.binder
+        return a
+
+    def __repr__(self):
+        r = self.find()
+        return "<Ref %s %s>" % (r.kind, "bound" if r.bound else "free")
+
+
+class Rel:
+    """An n-ary relation condition ``pred(r1, …, rn)``."""
+
+    __slots__ = ("pred", "refs", "src")
+
+    def __init__(self, pred: str, refs: Iterable[Ref]):
+        self.pred = pred
+        self.refs = list(refs)
+        self.src = None  # emitting Token (set by the engine; labels triples)
+
+    def resolved(self) -> Tuple[str, Tuple[Ref, ...]]:
+        return self.pred, tuple(r.find() for r in self.refs)
+
+    def __repr__(self):
+        return "%s(%s)" % (self.pred, ",".join(map(repr, self.refs)))
+
+
+class DRS:
+    """An ordered list of conditions plus a derived universe.
+
+    Condition order is the order of contribution (word order of the emitting
+    lexemes), which is what makes the linear rendering deterministic.
+    """
+
+    def __init__(self, conditions: Optional[List[Rel]] = None):
+        self.conditions: List[Rel] = list(conditions or [])
+
+    def names(self) -> Dict[Ref, str]:
+        """Assign canonical names X1/E2/… to variables.
+
+        Bound refs are numbered first, ordered by the word index of their
+        binding lexeme; free refs continue the numbering in order of first
+        occurrence — mirroring the reference's ``final_rename`` (universe
+        first, then free referents;
+        ``src/python/marbles/ie/semantics/ccg.py:1535-1601``; ordering
+        evidenced by compose_test.py:432's ``[...,E5,X6| ..._ARG1(E4,X6),
+        review(E5)...]``).
+        """
+        seen: List[Ref] = []
+        for c in self.conditions:
+            for r in c.refs:
+                rr = r.find()
+                if rr not in seen:
+                    seen.append(rr)
+        bound = [r for r in seen if r.bound]
+        bound.sort(key=lambda r: (r.bound_idx if r.bound_idx is not None else 1 << 30))
+        ordered = bound + [r for r in seen if not r.bound]
+        names: Dict[Ref, str] = {}
+        for i, r in enumerate(ordered, start=1):
+            names[r] = ("E%d" if r.kind == "e" else "X%d") % i
+        return names
+
+    def dedup(self) -> "DRS":
+        """Drop duplicate conditions, preserving first-occurrence order
+        (parity: get_drs(nodups=True), ccg.py:1518-1533)."""
+        seen = set()
+        out = []
+        for c in self.conditions:
+            key = c.resolved()
+            if key not in seen:
+                seen.add(key)
+                out.append(c)
+        return DRS(out)
+
+    def show(self) -> str:
+        return show_linear(self)
+
+
+def show_linear(drs: DRS) -> str:
+    names = drs.names()
+    universe = [names[r] for r in sorted(
+        (r for r in names if r.bound),
+        key=lambda r: int(names[r][1:]))]
+    conds = []
+    for c in drs.conditions:
+        conds.append("%s(%s)" % (c.pred, ",".join(names[r.find()] for r in c.refs)))
+    return "[%s| %s]" % (",".join(universe), ",".join(conds))

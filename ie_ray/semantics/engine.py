@@ -1,0 +1,310 @@
+"""CCG derivation → DRS → triples.
+
+This is the engine equivalent of the reference's ``Ccg2Drs``
+(``src/python/marbles/ie/semantics/ccg.py``: build_execution_sequence
+:1646-1709, create_drs :1199-1269 + combinator dispatchers :317-598,
+resolve_proper_names :1367-1508, get_drs :1510-1533, final_rename
+:1535-1601) re-expressed over union-find ref trees: every combinator is a
+pairwise unification of the aligned sub-trees, conditions accumulate on the
+tokens, and the final DRS is the word-ordered concatenation of token
+conditions plus appositive extras.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from ..ccg.category import Category
+from ..ccg.ccgbank import Leaf, Node, parse_ccgbank
+from ..drt.drs import DRS, Ref, Rel
+from .lexicon import (Sem, Token, build_leaf_sem, fresh_tree, mirror_tree,
+                      tree_atoms, tree_final, unify_trees)
+
+
+class ComposeError(Exception):
+    pass
+
+
+class SentenceSem:
+    """Result of composing one sentence."""
+
+    def __init__(self, tokens: List[Token], extras: List[Rel], root: Optional[Sem]):
+        self.tokens = tokens
+        self.extras = extras
+        self.root = root
+
+    def get_drs(self, nodups: bool = True) -> DRS:
+        conds: List[Rel] = []
+        for t in self.tokens:
+            conds.extend(t.conds)
+        conds.extend(self.extras)
+        d = DRS(conds)
+        return d.dedup() if nodups else d
+
+    # -- triple projection (parity: FIXTURES.md §5; conditions read off as in
+    # ie/test/conj_test.py:43-47, appos_test.py:40-46) ----------------------
+
+    def triples(self) -> List[dict]:
+        drs = self.get_drs()
+        # index: ref → unary predicate labels; event → arg map
+        label: dict = {}
+        rank: dict = {}
+        events: dict = {}
+        args: dict = {}
+        for c in drs.conditions:
+            pred, refs = c.resolved()
+            if len(refs) == 1:
+                r = refs[0]
+                if pred == "_EVENT":
+                    events.setdefault(r, None)
+                elif not pred.startswith("_"):
+                    # prefer entity-naming conditions (nouns, proper nouns,
+                    # pronouns) over attached prepositions/adjectives
+                    cr = 2 if (c.src is None or c.src.isproper
+                               or (c.src.pos in ("NN", "NNS", "PRP", "PRP$", "WP", "CD")
+                                   and not c.src.cat.ismodifier)) else 1
+                    if rank.get(r, 0) < cr:
+                        label[r] = pred
+                        rank[r] = cr
+            elif len(refs) == 2 and pred.startswith("_ARG"):
+                args.setdefault(refs[0], {})[pred] = refs[1]
+        # event verb labels
+        for c in drs.conditions:
+            pred, refs = c.resolved()
+            if len(refs) == 1 and refs[0] in events and not pred.startswith("_") \
+                    and events[refs[0]] is None:
+                events[refs[0]] = pred
+        out = []
+        for e, verb in events.items():
+            if verb is None:
+                continue
+            am = args.get(e, {})
+            subj = label.get(am.get("_ARG0"))
+            objr = am.get("_ARG1", am.get("_ARG2"))
+            obj = label.get(objr)
+            if obj is None and objr is not None and objr in events:
+                obj = events[objr]
+            out.append({"subj": subj, "pred": verb, "obj": obj, "kind": "arg"})
+        for c in drs.conditions:
+            pred, refs = c.resolved()
+            if pred == "_AKA" and len(refs) == 2:
+                out.append({"subj": label.get(refs[0]), "pred": "aka",
+                            "obj": label.get(refs[1]), "kind": "aka"})
+            elif pred == "_POSS" and len(refs) == 2:
+                out.append({"subj": label.get(refs[0]), "pred": "poss",
+                            "obj": label.get(refs[1]), "kind": "poss"})
+        return out
+
+
+class Composer:
+    """Stateless per-sentence composer (safe to share per worker)."""
+
+    def __init__(self):
+        self.missing_rules = set()
+
+    # -- public -------------------------------------------------------------
+
+    def compose_ccgbank(self, derivation: str) -> SentenceSem:
+        root, leaves = parse_ccgbank(derivation)
+        tokens = [Token(l.idx, l.word, l.pos, l.cat) for l in leaves]
+        extras: List[Rel] = []
+        sem = self._walk(root, tokens, extras)
+        sent = SentenceSem(tokens, extras, sem)
+        self.resolve_proper_names(sent)
+        return sent
+
+    # -- tree walk ----------------------------------------------------------
+
+    def _walk(self, node, tokens: List[Token], extras: List[Rel]) -> Sem:
+        if isinstance(node, Leaf):
+            tok = tokens[node.idx]
+            tok.sem = build_leaf_sem(tok)
+            for c in tok.conds:
+                c.src = tok
+            return tok.sem
+        kids = [self._walk(c, tokens, extras) for c in node.children]
+        if len(kids) == 1:
+            return self._unary(kids[0], node.cat, extras)
+        if len(kids) == 2:
+            return self._binary(kids[0], kids[1], node.cat, extras)
+        raise ComposeError("node with %d children" % len(kids))
+
+    # -- binary rules (parity: get_rule ccg/__init__.py:1427-1667 and the
+    # VectorMap dispatchers in semantics/ccg.py:317-598) ---------------------
+
+    def _binary(self, l: Sem, r: Sem, res: Category, extras) -> Sem:
+        # punctuation pass-through (LP/RP)
+        if l.cat.ispunct:
+            return self._coerce(r, res, extras)
+        if r.cat.ispunct:
+            return self._coerce(l, res, extras)
+        # conj attach: conj + X → X[conj]
+        if l.cat.isconj and not r.cat.isconj:
+            return Sem(res, r.tree, conj=True)
+        if r.cat.isconj and not l.cat.isconj:
+            return Sem(res, l.tree, conj=True)
+        # coordination: X + X[conj] → X
+        if r.conj:
+            return self._coordinate(l, r, res)
+        if l.conj:
+            return self._coordinate(r, l, res)
+
+        # forward application: X/Y Y → X
+        if l.cat.isfunctor and l.cat.isarg_right and l.cat.arg.can_unify(r.cat):
+            if isinstance(l.tree, tuple):
+                unify_trees(l.tree[1], r.tree)
+                return Sem(res, l.tree[0])
+        # backward application: Y X\Y → X
+        if r.cat.isfunctor and r.cat.isarg_left and r.cat.arg.can_unify(l.cat):
+            if isinstance(r.tree, tuple):
+                unify_trees(r.tree[1], l.tree)
+                return Sem(res, r.tree[0])
+        # forward composition / crossed: X/Y Y|Z → X|Z
+        if l.cat.isfunctor and l.cat.isarg_right and r.cat.isfunctor \
+                and l.cat.arg.can_unify(r.cat.result):
+            if isinstance(l.tree, tuple) and isinstance(r.tree, tuple):
+                unify_trees(l.tree[1], r.tree[0])
+                return Sem(res, (l.tree[0], r.tree[1]))
+        # backward composition / crossed: Y|Z X\Y → X|Z
+        if r.cat.isfunctor and r.cat.isarg_left and l.cat.isfunctor \
+                and r.cat.arg.can_unify(l.cat.result):
+            if isinstance(r.tree, tuple) and isinstance(l.tree, tuple):
+                unify_trees(r.tree[1], l.tree[0])
+                return Sem(res, (r.tree[0], l.tree[1]))
+        # generalized forward composition: X/Y (Y|Z)|W → (X|Z)|W
+        if l.cat.isfunctor and l.cat.isarg_right and r.cat.isfunctor \
+                and r.cat.result.isfunctor and l.cat.arg.can_unify(r.cat.result.result):
+            if isinstance(l.tree, tuple) and isinstance(r.tree, tuple) \
+                    and isinstance(r.tree[0], tuple):
+                unify_trees(l.tree[1], r.tree[0][0])
+                return Sem(res, ((l.tree[0], r.tree[0][1]), r.tree[1]))
+        # generalized backward
+        if r.cat.isfunctor and r.cat.isarg_left and l.cat.isfunctor \
+                and l.cat.result.isfunctor and r.cat.arg.can_unify(l.cat.result.result):
+            if isinstance(r.tree, tuple) and isinstance(l.tree, tuple) \
+                    and isinstance(l.tree[0], tuple):
+                unify_trees(r.tree[1], l.tree[0][0])
+                return Sem(res, ((r.tree[0], l.tree[0][1]), l.tree[1]))
+        # substitution (rare): (X/Y)/Z Y/Z → X/Z
+        if l.cat.isfunctor and l.cat.result.isfunctor and r.cat.isfunctor \
+                and l.cat.result.arg.can_unify(r.cat.result) \
+                and l.cat.arg.can_unify(r.cat.arg):
+            if isinstance(l.tree, tuple) and isinstance(l.tree[0], tuple) \
+                    and isinstance(r.tree, tuple):
+                unify_trees(l.tree[0][1], r.tree[0])
+                unify_trees(l.tree[1], r.tree[1])
+                return Sem(res, (l.tree[0][0], l.tree[1]))
+
+        # last resort: unify final refs, keep left result shape
+        self.missing_rules.add((l.cat.signature, r.cat.signature, res.signature))
+        t = fresh_tree(res)
+        tree_final(t).union(l.final_ref())
+        tree_final(t).union(r.final_ref())
+        return Sem(res, t)
+
+    def _coordinate(self, operand: Sem, conjsem: Sem, res: Category) -> Sem:
+        """Coordination (parity: semantics/ccg.py:571-585).
+
+        Functor operands (verbs, modifiers) unify fully — "makes and
+        distributes" share one event (conj_test.py:104-123).  Atomic NPs keep
+        separate referents; the phrase denotes the left conjunct's ref
+        (conj_test.py:23-47: _ARG0(E, John) with Paul separate).
+        """
+        if operand.cat.isfunctor:
+            unify_trees(operand.tree, conjsem.tree)
+            return Sem(res, operand.tree)
+        return Sem(res, operand.tree)
+
+    # -- unary rules (parity: unary type-change dispatch semantics/ccg.py:
+    # 317-468; UnaryRule model.py:269-332) -----------------------------------
+
+    def _unary(self, child: Sem, res: Category, extras) -> Sem:
+        return self._coerce(child, res, extras)
+
+    def _coerce(self, child: Sem, res: Category, extras) -> Sem:
+        c = child.cat
+        if res == c or res.can_unify(c):
+            return Sem(res, child.tree, conj=child.conj)
+        # N → NP / NP → N coercion: same referent
+        if (res.isnp and c.isn) or (res.isn and c.isnp):
+            return Sem(res, child.tree)
+        # type raising: X → T/(T\X) or T\(T/X)
+        if res.isfunctor and res.arg.isfunctor and res.arg.arg.can_unify(c) \
+                and res.result.strip_features() == res.arg.result.strip_features():
+            t_tree = fresh_tree(res.result)
+            return Sem(res, (t_tree, (mirror_tree(t_tree, res.arg.result), child.tree)))
+        # S|NP → NP\NP / N\N (relative clause, reduced relative): the missing
+        # NP of the clause modifies the head
+        if res.isfunctor and res.ismodifier and (res.arg.isnp or res.arg.isn) \
+                and c.isfunctor and (c.arg.isnp or c.arg.isn):
+            npref = tree_final(child.tree[1]) if isinstance(child.tree, tuple) else child.final_ref()
+            return Sem(res, (npref, npref))
+        # NP → NP\NP (apposition): alias edge _AKA(head, appositive)
+        # (parity: post_create_fixup, semantics/ccg.py:1037-1197)
+        if res.isfunctor and res.ismodifier and res.arg.isnp and c.isnp:
+            head = Ref("x")
+            extras.append(Rel("_AKA", [head, child.final_ref()]))
+            return Sem(res, (head, head))
+        # S → S modifiers and other adverbializations: share child's head ref
+        if res.isfunctor and res.ismodifier:
+            t = fresh_tree(res.arg)
+            tree_final(t)  # head ref of the modified phrase
+            # attach the clause's event to the modified head via its own ref
+            return Sem(res, (t, t))
+        # generic fallback: fresh shape, share final ref
+        self.missing_rules.add((c.signature, "->", res.signature))
+        t = fresh_tree(res)
+        tree_final(t).union(child.final_ref())
+        return Sem(res, t, conj=child.conj)
+
+    # -- post-processing ----------------------------------------------------
+
+    def resolve_proper_names(self, sent: SentenceSem):
+        """Merge adjacent proper-noun tokens sharing a referent into one
+        hyphenated name (parity: semantics/ccg.py:1367-1508; golden:
+        Merryweather + High → Merryweather-High, compose_test.py:135-140)."""
+        toks = sent.tokens
+        i = 0
+        while i < len(toks):
+            if not toks[i].isproper or not toks[i].conds:
+                i += 1
+                continue
+            run = [i]
+            j = i + 1
+            while j < len(toks):
+                t = toks[j]
+                if t.isproper and t.conds and _same_ref(toks[i], t):
+                    run.append(j)
+                    j += 1
+                elif t.word.lower() in ("&",) and j + 1 < len(toks) \
+                        and toks[j + 1].isproper and _same_ref(toks[i], toks[j + 1]):
+                    j += 1  # bridge
+                else:
+                    break
+            if len(run) > 1:
+                merged = "-".join(toks[k].stem for k in run)
+                first = toks[run[0]]
+                # rewrite the first token's name condition; drop the others'
+                for c in first.conds:
+                    if c.pred == first.stem:
+                        c.pred = merged
+                        break
+                for k in run[1:]:
+                    t = toks[k]
+                    t.conds = [c for c in t.conds
+                               if not (c.pred == t.stem and len(c.refs) == 1)]
+                first.stem = merged
+            i = j if j > i + 1 else i + 1
+
+
+def _same_ref(a: Token, b: Token) -> bool:
+    ra = _name_ref(a)
+    rb = _name_ref(b)
+    return ra is not None and rb is not None and ra.find() is rb.find()
+
+
+def _name_ref(tok: Token) -> Optional[Ref]:
+    for c in tok.conds:
+        if len(c.refs) == 1 and not c.pred.startswith("_"):
+            return c.refs[0]
+    return None

@@ -1,0 +1,576 @@
+"""Per-token semantics: POS classes, lemmatization, and leaf productions.
+
+A leaf production is a ``Sem``: the token's CCG category paired with a nested
+*ref tree* (one union-find ``Ref`` per category atom) plus the DRS conditions
+the token contributes.  Variable sharing inside a leaf's tree encodes the
+reference's functor templates (``src/python/marbles/ie/ccg/model.py:256-266``,
+data ``functor_templates.dat``), re-derived here from category shape:
+
+* modifiers ``X/X`` share all refs pairwise,
+* determiners/coercions ``NP/N`` share the single ref,
+* ``PP/NP`` prepositions share (observed golden: ``to(X2),Merryweather(X2)``),
+* pass-through words (*to*, modals, auxiliaries) mirror result/argument,
+* content verbs with an S-complement share only the subject NP
+  (subject/object control, cf. template ``(S[dcl]\\NP_118)/(S[to]_119\\NP_118)``).
+
+Condition semantics mirror ``src/python/marbles/ie/semantics/lexeme.py``
+(get_production :486-851, _build_conditions :372-425).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple, Union
+
+from ..ccg.category import Category
+from ..drt.drs import Ref, Rel
+
+# ---------------------------------------------------------------------------
+# POS classes (Penn tags, as emitted in CCGBANK leaves)
+# ---------------------------------------------------------------------------
+
+POS_VERBS = {"VB", "VBD", "VBG", "VBN", "VBP", "VBZ"}
+POS_NOUNS = {"NN", "NNS"}
+POS_PROPER = {"NNP", "NNPS"}
+POS_PRONOUNS = {"PRP", "PRP$", "WP", "WP$"}
+POS_ADVERBS = {"RB", "RBR", "RBS", "WRB"}
+POS_ADJ = {"JJ", "JJR", "JJS"}
+POS_PUNCT = {".", ",", ":", ";", "LRB", "RRB", "``", "''"}
+
+_PUNCT_CHARS = "?.,:;"
+
+# ---------------------------------------------------------------------------
+# Verb lemmatizer (WordNet-morphy-flavoured; reference uses NLTK's
+# WordNetLemmatizer, lexeme.py:188,272)
+# ---------------------------------------------------------------------------
+
+# Irregulars.  NOTE the reference inherits WordNet quirks: words that are
+# themselves verbs stay unchanged ("saw" does NOT become "see",
+# cf. ie/test/conj_test.py:70 comment) — so ambiguous forms map to themselves.
+_IRREGULAR_VERBS = {
+    "went": "go", "gone": "go", "goes": "go",
+    "was": "be", "were": "be", "is": "be", "are": "be", "am": "be",
+    "been": "be", "being": "be", "'s": "be", "'re": "be", "'m": "be",
+    "has": "have", "had": "have", "having": "have", "'ve": "have",
+    "does": "do", "did": "do", "done": "do", "doing": "do",
+    "came": "come", "gave": "give", "given": "give", "took": "take",
+    "taken": "take", "made": "make", "got": "get", "gotten": "get",
+    "ran": "run", "said": "say", "told": "tell", "knew": "know",
+    "known": "know", "thought": "think", "found": "find", "brought": "bring",
+    "bought": "buy", "caught": "catch", "taught": "teach", "sought": "seek",
+    "wrote": "write", "written": "write", "spoke": "speak", "spoken": "speak",
+    "broke": "break", "broken": "break", "chose": "choose", "chosen": "choose",
+    "drove": "drive", "driven": "drive", "rose": "rise", "risen": "rise",
+    "grew": "grow", "grown": "grow", "threw": "throw", "thrown": "throw",
+    "flew": "fly", "flown": "fly", "drew": "draw", "drawn": "draw",
+    "held": "hold", "kept": "keep", "met": "meet", "paid": "pay",
+    "sent": "send", "spent": "spend", "built": "build", "lost": "lose",
+    "meant": "mean", "stood": "stand", "understood": "understand",
+    "won": "win", "began": "begin", "begun": "begin", "sang": "sing",
+    "sung": "sing", "sat": "sit", "ate": "eat", "eaten": "eat",
+    "fell": "fall", "fallen": "fall", "heard": "hear", "led": "lead",
+    "read": "read", "sold": "sell", "saw": "saw",  # wordnet quirk: kept
+    "felt": "felt", "left": "left",                # ambiguous forms kept
+    "became": "become", "wore": "wear", "worn": "wear", "swore": "swear",
+    "laid": "lay", "lay": "lie", "slid": "slide", "shook": "shake",
+    "shaken": "shake", "struck": "strike", "hid": "hide", "hidden": "hide",
+    "forgot": "forget", "forgotten": "forget", "froze": "freeze",
+    "frozen": "freeze", "arose": "arise", "arisen": "arise",
+}
+
+_VOWELS = set("aeiou")
+_DOUBLED = re.compile(r"([b-df-hj-np-tv-z])\1ed$|([b-df-hj-np-tv-z])\2ing$")
+
+
+def lemmatize_verb(word: str) -> str:
+    """Map an inflected verb form to its base form (deterministic rules)."""
+    w = word.lower()
+    if w in _IRREGULAR_VERBS:
+        return _IRREGULAR_VERBS[w]
+    if w.endswith("ies") and len(w) > 4:
+        return w[:-3] + "y"
+    if w.endswith(("sses", "shes", "ches", "xes", "zzes")):
+        return w[:-2]
+    if w.endswith("oes") and len(w) > 3:
+        return w[:-2]
+    if w.endswith("s") and not w.endswith("ss") and len(w) > 2:
+        return w[:-1]
+    if w.endswith("ied") and len(w) > 4:
+        return w[:-3] + "y"
+    if w.endswith("ed") and len(w) > 3:
+        stem = w[:-2]
+        if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS and stem[-1] not in "sl":
+            return stem[:-1]                      # stopped → stop
+        if _needs_e(stem):
+            return stem + "e"                     # believed → believe
+        return stem                               # protested → protest
+    if w.endswith("ing") and len(w) > 4:
+        stem = w[:-3]
+        if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS and stem[-1] not in "sl":
+            return stem[:-1]
+        if _needs_e(stem):
+            return stem + "e"
+        return stem
+    return w
+
+
+def _needs_e(stem: str) -> bool:
+    """Heuristic: CVC(e) verbs like believ-, rat-, wheez- need a trailing e."""
+    if len(stem) < 2:
+        return False
+    # consonant + single vowel cluster endings that almost always take 'e'
+    return bool(re.search(r"[b-df-hj-np-tv-z][aeiou][b-df-hj-np-rtv-z]$", stem)) and \
+        not re.search(r"(ow|ay|ey|oy|aw|ew)$", stem) or stem.endswith(("at", "iev", "eez", "uc", "at", "iz", "as", "us"))
+
+
+# ---------------------------------------------------------------------------
+# Word tables (parity: lexeme.py:29-138)
+# ---------------------------------------------------------------------------
+
+# pronoun → (conds builder spec, final is owner/owned)
+# entry: (pred, reflexive, possessive)
+_PRONOUNS = {
+    "i": ("i", False, False), "me": ("i", False, False),
+    "myself": ("i", True, False), "mine": ("i", False, True),
+    "my": ("i", False, True),
+    "you": ("you", False, False), "yourself": ("you", True, False),
+    "yours": ("you", False, True), "your": ("you", False, True),
+    "he": ("he", False, False), "him": ("he", False, False),
+    "himself": ("he", True, False), "his": ("he", False, True),
+    "she": ("she", False, False), "her": ("she", False, False),
+    "herself": ("she", True, False), "hers": ("she", False, True),
+    "we": ("we", False, False), "us": ("we", False, False),
+    "ourselves": ("we", True, False), "ours": ("we", False, True),
+    "our": ("we", False, True),
+    "they": ("they", False, False), "them": ("they", False, False),
+    "themselves": ("they", True, False), "theirs": ("they", False, True),
+    "their": ("they", False, True),
+    "it": ("it", False, False), "its": ("it", False, True),
+    "itself": ("it", True, False),
+}
+
+_ADV_SPECIAL = {
+    "up": ("up", "direction"), "down": ("down", "direction"),
+    "left": ("left", "direction"), "right": ("right", "direction"),
+}
+
+_MONTHS = {
+    "Jan": "January", "Feb": "February", "Mar": "March", "Apr": "April",
+    "May": "May", "Jun": "June", "Jul": "July", "Aug": "August",
+    "Sep": "September", "Sept": "September", "Oct": "October",
+    "Nov": "November", "Dec": "December",
+}
+_WEEKDAYS = {
+    "Mon": "Monday", "Tue": "Tuesday", "Tues": "Tuesday", "Wed": "Wednesday",
+    "Thur": "Thursday", "Thurs": "Thursday", "Fri": "Friday",
+    "Sat": "Saturday", "Sun": "Sunday",
+}
+_MONTH_RE = re.compile(
+    r"^((Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Sept|Oct|Nov|Dec)\.?|January|February|March|April|June|July|August|September|October|November|December)$")
+_WEEKDAY_RE = re.compile(
+    r"^((Mon|Tue|Tues|Wed|Thur|Thurs|Fri|Sat|Sun)\.?|Monday|Tuesday|Wednesday|Thursday|Friday|Saturday|Sunday)$")
+
+_EVENT_PREDICATES = ("_ARG0", "_ARG1", "_ARG2", "_ARG3", "_ARG4", "_ARG5")
+
+_PASS_THROUGH_WORDS = {"to", "will", "would", "can", "could", "shall",
+                       "should", "may", "might", "must", "do", "does", "did",
+                       "have", "has", "had", "be", "is", "are", "was", "were",
+                       "am", "been", "being", "'ll", "'d", "ca", "wo", "sha"}
+
+
+def strip_apostrophe_s(word: str) -> str:
+    """Parity: lexeme.py:142-162."""
+    if len(word) > 2:
+        if word.endswith("'s"):
+            return word[:-2]
+        if word.endswith("’s"):
+            return word.replace("’s", "")
+    return word
+
+
+# ---------------------------------------------------------------------------
+# Ref trees
+# ---------------------------------------------------------------------------
+
+RefTree = Union[Ref, Tuple["RefTree", "RefTree"]]  # atom | (result, arg)
+
+
+def tree_final(tree: RefTree) -> Ref:
+    while isinstance(tree, tuple):
+        tree = tree[0]
+    return tree
+
+
+def tree_atoms(tree: RefTree) -> List[Ref]:
+    """Flatten: result atoms first, then argument atoms (matches
+    Category.atoms order)."""
+    if isinstance(tree, Ref):
+        return [tree]
+    return tree_atoms(tree[0]) + tree_atoms(tree[1])
+
+
+def unify_trees(a: RefTree, b: RefTree) -> None:
+    """Pairwise union of two ref trees; shape mismatch degrades to unifying
+    final atoms (category coercion, e.g. N vs NP)."""
+    if isinstance(a, Ref) and isinstance(b, Ref):
+        a.union(b)
+    elif isinstance(a, tuple) and isinstance(b, tuple):
+        unify_trees(a[0], b[0])
+        unify_trees(a[1], b[1])
+    else:
+        tree_final(a if isinstance(a, tuple) else b).union(
+            b if isinstance(b, Ref) else a if isinstance(a, Ref) else tree_final(b))
+
+
+def fresh_tree(cat: Category) -> RefTree:
+    if cat.isatom:
+        return Ref("e" if cat.is_sy else "x")
+    return (fresh_tree(cat.result), fresh_tree(cat.arg))
+
+
+def mirror_tree(tree: RefTree, cat: Category) -> RefTree:
+    """A tree for ``cat`` reusing refs of ``tree`` pairwise (modifier share)."""
+    if cat.isatom:
+        return tree_final(tree)
+    if isinstance(tree, tuple):
+        return (mirror_tree(tree[0], cat.result), mirror_tree(tree[1], cat.arg))
+    # shape mismatch: everything shares the single ref
+    return (mirror_tree(tree, cat.result), mirror_tree(tree, cat.arg))
+
+
+# ---------------------------------------------------------------------------
+# Sem: a category + ref tree + deferred conditions
+# ---------------------------------------------------------------------------
+
+class Sem:
+    __slots__ = ("cat", "tree", "conj")
+
+    def __init__(self, cat: Category, tree: RefTree, conj: bool = False):
+        self.cat = cat
+        self.tree = tree
+        self.conj = conj
+
+    def final_ref(self) -> Ref:
+        return tree_final(self.tree)
+
+    def __repr__(self):
+        return "Sem(%s)" % self.cat.signature
+
+
+# ---------------------------------------------------------------------------
+# Token record
+# ---------------------------------------------------------------------------
+
+class Token:
+    """One word of a sentence with its semantic contribution."""
+
+    __slots__ = ("idx", "word", "stem", "pos", "cat", "conds", "sem",
+                 "isproper", "isverb", "ispunct", "refs")
+
+    def __init__(self, idx: int, word: str, pos: str, cat: Category):
+        self.idx = idx
+        self.pos = pos
+        self.cat = cat
+        self.conds: List[Rel] = []
+        self.sem: Optional[Sem] = None
+        self.refs: List[Ref] = []
+        self.isproper = pos in POS_PROPER
+        self.isverb = pos in POS_VERBS or pos == "MD"
+        self.ispunct = pos in POS_PUNCT or cat.ispunct
+
+        # -- stemming (parity: lexeme.py:244-277) --
+        if word == "'s" and pos != "POS" and not cat.ismodifier and \
+                cat.final_atom().is_sy:
+            word = "is"
+        elif word == "'nt" or word == "n't":
+            word = "not"
+        self.word = word
+        if word in _PUNCT_CHARS:
+            self.stem = word
+        else:
+            wd = strip_apostrophe_s(word)
+            if (pos in POS_NOUNS) and wd.upper() == wd:
+                self.stem = word.rstrip(_PUNCT_CHARS)
+            elif pos in POS_PROPER:
+                if wd.upper() == wd:
+                    self.stem = word.rstrip(_PUNCT_CHARS)
+                else:
+                    self.stem = word.title().rstrip(_PUNCT_CHARS)
+            else:
+                stem = word.lower().rstrip(_PUNCT_CHARS)
+                if pos in POS_VERBS:
+                    self.stem = lemmatize_verb(stem)
+                else:
+                    self.stem = stem
+
+
+def _bind(ref: Ref, tok: Token):
+    r = ref.find()
+    r.bound = True
+    if getattr(r, "bound_idx", None) is None:
+        r.bound_idx = tok.idx
+    if getattr(r, "binder", None) is None:
+        r.binder = tok
+
+
+def build_leaf_sem(tok: Token) -> Sem:
+    """Create the leaf production: ref tree with sharing + conditions.
+
+    Semantics parity: lexeme.py get_production (:486-851).
+    """
+    cat = tok.cat
+    word_l = tok.word.lower()
+
+    # atoms ---------------------------------------------------------------
+    if cat.isatom:
+        if cat.ispunct or cat.isconj:
+            return Sem(cat, Ref("x"))
+        r = Ref("e" if cat.is_sy else "x")
+        if cat.isn or cat.isnp:
+            if tok.pos in POS_PRONOUNS and word_l in _PRONOUNS:
+                _pron_conds(tok, r)
+            else:
+                tok.conds.append(Rel(tok.stem, [r]))
+                _bind(r, tok)
+        else:
+            tok.conds.append(Rel(tok.stem, [r]))
+            if cat.is_sy:
+                _bind(r, tok)
+        tok.refs = [r]
+        return Sem(cat, r)
+
+    # functors ------------------------------------------------------------
+    tree = _leaf_tree(cat, tok)
+    slots, final = _peel_refs(cat, tree)
+    refs = _dedup_refs([final] + slots)
+    tok.refs = refs
+
+    final_atom = cat.final_atom()
+
+    # determiner / NP-N coercion: empty for articles
+    if cat.result.isnp and cat.arg.isn and cat.isarg_right:
+        if tok.pos in POS_PRONOUNS and word_l in _PRONOUNS:
+            _pron_conds(tok, final)
+        elif word_l in ("a", "an", "the", "thy"):
+            pass
+        elif tok.pos == "DT":
+            pass  # demonstratives contribute nothing to triples
+        else:
+            tok.conds.append(Rel(tok.stem, [final]))
+        return Sem(cat, tree)
+
+    # possessive clitic 's: (NP[nb]/N)\NP — _POSS(owner, owned)
+    if tok.pos == "POS":
+        owner = refs[-1] if len(refs) > 1 else Ref("x")
+        tok.conds.append(Rel("_POSS", [owner, final]))
+        return Sem(cat, tree)
+
+    if tok.isverb and final_atom.is_sy:
+        _verb_conds(tok, refs, cat)
+        return Sem(cat, tree)
+
+    if tok.pos in POS_PRONOUNS and word_l in _PRONOUNS:
+        _pron_conds(tok, final)
+        return Sem(cat, tree)
+
+    if tok.pos in POS_ADVERBS or cat.ismodifier or _returns_modifier(cat):
+        if tok.stem in _ADV_SPECIAL and final.kind == "e":
+            w, extra = _ADV_SPECIAL[tok.stem]
+            tok.conds.append(Rel(w, [final]))
+            tok.conds.append(Rel(extra, [final]))
+        elif tok.pos in ("IN", "TO", "POS") and len(refs) > 1:
+            # noun/VP-attached preposition: pred(head, obj)
+            tok.conds.append(Rel(tok.stem, [refs[0], refs[-1]]))
+        else:
+            tok.conds.append(Rel(tok.stem, [refs[0]]))
+        return Sem(cat, tree)
+
+    # PP-returning preposition: ref shared with NP (golden: to(X2))
+    if final_atom == Category.parse("PP"):
+        tok.conds.append(Rel(tok.stem, [final]))
+        return Sem(cat, tree)
+
+    if tok.isproper:
+        _proper_conds(tok, final)
+        _bind(final, tok)
+        return Sem(cat, tree)
+
+    if tok.pos == "CD":
+        tok.conds.append(Rel(tok.stem, [final]))
+        tok.conds.append(Rel("_NUM", refs))
+        _bind(final, tok)
+        return Sem(cat, tree)
+
+    if final_atom.isn or final_atom.isnp:
+        tok.conds.append(Rel(tok.stem, [final]))
+        _bind(final, tok)
+        return Sem(cat, tree)
+
+    # infinitival "to" and bare auxiliaries: event passes through, no conds
+    # (parity: CAT_INFINITIVE branch, lexeme.py:824-829)
+    if word_l in _PASS_THROUGH_WORDS and _is_pass_through_cat(cat):
+        return Sem(cat, tree)
+
+    tok.conds.append(Rel(tok.stem, [refs[0]]))
+    return Sem(cat, tree)
+
+
+def _returns_modifier(cat: Category) -> bool:
+    c = cat
+    while c.isfunctor:
+        if c.ismodifier:
+            return True
+        c = c.result
+    return False
+
+
+def _pron_conds(tok: Token, final: Ref):
+    pred, reflex, poss = _PRONOUNS[tok.word.lower()]
+    if poss:
+        owner = Ref("x")
+        owner.binder = tok
+        tok.conds.append(Rel(pred, [owner]))
+        tok.conds.append(Rel("_POSS", [owner, final]))
+    else:
+        tok.conds.append(Rel(pred, [final]))
+        final.find().binder = tok
+    if reflex:
+        tok.conds.append(Rel("_REFLEX", [final]))
+
+
+def _proper_conds(tok: Token, final: Ref):
+    if _MONTH_RE.match(tok.stem):
+        tok.conds.append(Rel(_MONTHS.get(tok.stem, tok.stem), [final]))
+        tok.conds.append(Rel("_DATE", [final]))
+    elif _WEEKDAY_RE.match(tok.stem):
+        tok.conds.append(Rel(_WEEKDAYS.get(tok.stem, tok.stem), [final]))
+        tok.conds.append(Rel("_DATE", [final]))
+    else:
+        tok.conds.append(Rel(tok.stem, [final]))
+
+
+def _verb_conds(tok: Token, refs: List[Ref], cat: Category):
+    """Event conditions: stem(E), _EVENT(E), _ARGn(E, argref).
+
+    Parity: lexeme.py:617-744 (the no-verbnet path, CO_NO_VERBNET default).
+    """
+    word_l = tok.word.lower()
+    final = refs[0]
+    if tok.pos == "MD" or (word_l in _PASS_THROUGH_WORDS and _is_pass_through_cat(cat)):
+        if tok.pos == "MD":
+            tok.conds.append(Rel(tok.stem, [final]))
+            tok.conds.append(Rel("_MODAL", [final]))
+        # auxiliaries contribute nothing (event passes through)
+        return
+    tok.conds.append(Rel(tok.stem, [final]))
+    tok.conds.append(Rel("_EVENT", [final]))
+    for pred, r in zip(_EVENT_PREDICATES, refs[1:]):
+        tok.conds.append(Rel(pred, [final, r]))
+    _bind(final, tok)
+
+
+def _is_pass_through_cat(cat: Category) -> bool:
+    """True for shapes like (S[to]\\NP)/(S[b]\\NP) — result ≅ argument.
+
+    S[adj] complements are excluded: copular "is happy" keeps its own event
+    with the attribute as _ARG1 (parity: CAT_COPULAR branch, lexeme.py:683).
+    """
+    return (cat.isfunctor and cat.arg.isfunctor
+            and cat.result.strip_features() == cat.arg.strip_features()
+            and "adj" not in cat.arg.final_atom().features)
+
+
+def _leaf_tree(cat: Category, tok: Token) -> RefTree:
+    """Build the leaf's ref tree with sharing (see module docstring)."""
+    env = {}
+
+    def atom_ref(c: Category) -> Ref:
+        if c.tag is not None and c.tag in env:
+            return env[c.tag]
+        r = Ref("e" if c.is_sy else "x")
+        if c.tag is not None:
+            env[c.tag] = r
+        return r
+
+    def build(c: Category) -> RefTree:
+        if c.isatom:
+            return atom_ref(c)
+        rt = build(c.result)
+        # modifier / pass-through: mirror argument over result
+        if c.ismodifier or (tok.word.lower() in _PASS_THROUGH_WORDS
+                            and c.result.strip_features() == c.arg.strip_features()
+                            and "adj" not in c.arg.final_atom().features):
+            return (rt, mirror_tree(rt, c.arg))
+        # determiner / NP-N coercion and PP/NP prepositions share the ref
+        if c.arg.isatom and isinstance(rt, Ref):
+            rshape = c.result
+            if (rshape.isnp and c.arg.isn) or (rshape.isn and c.arg.isnp) \
+                    or (rshape.base == "PP" and c.arg.isnp) \
+                    or (rshape.base == "PP" and c.arg.base == "PP"):
+                return (rt, rt)
+        at = build(c.arg)
+        return (rt, at)
+
+    tree = build(cat)
+    _apply_control_sharing(cat, tree)
+    return tree
+
+
+def _apply_control_sharing(cat: Category, tree: RefTree):
+    """Share the NP of an S-complement with the verb's object (if one is
+    applied first) else its subject — subject/object control.
+
+    Parity: templates ``(S[dcl]\\NP_118)/(S[to]_119\\NP_118)`` (subject
+    control) and ``((S\\NP)/(S[to]\\NP))/NP`` (object control) in
+    functor_templates.dat.
+    """
+    # peel arguments outermost-first, remembering (cat, tree) pairs
+    args = []
+    c, t = cat, tree
+    while c.isfunctor and isinstance(t, tuple):
+        args.append((c.arg, t[1], c.slash))
+        c, t = c.result, t[0]
+    # find plain NP args and S-complement args
+    np_refs = [tree_final(at) for ac, at, _ in args if ac.isatom and ac.isnp]
+    subj_np = None
+    for ac, at, slash in args:
+        if ac.isatom and ac.isnp and slash == "\\":
+            subj_np = tree_final(at)
+    for i, (ac, at, _) in enumerate(args):
+        if ac.isfunctor and ac.final_atom().is_sy and ac.arg.isnp:
+            # object NPs applied before (i.e. appearing earlier in args list)
+            controller = None
+            for j in range(0, i):
+                jc, jt, jslash = args[j]
+                if jc.isatom and jc.isnp and jslash == "/":
+                    controller = tree_final(jt)
+            if controller is None:
+                controller = subj_np
+            if controller is not None and isinstance(at, tuple):
+                tree_final(at[1]).union(controller)
+
+
+def _peel_refs(cat: Category, tree: RefTree):
+    """refs in the reference's order: [final] + reversed(left args) + right
+    args (lexeme.py:592-607)."""
+    lstk, rstk = [], []
+    c, t = cat, tree
+    while c.isfunctor and isinstance(t, tuple):
+        atoms = tree_atoms(t[1])
+        if c.isarg_left:
+            lstk.extend(atoms)
+        else:
+            rstk.extend(atoms)
+        c, t = c.result, t[0]
+    final = tree_final(t)
+    return list(reversed(lstk)) + rstk, final
+
+
+def _dedup_refs(refs: List[Ref]) -> List[Ref]:
+    seen, out = set(), []
+    for r in refs:
+        rr = r.find()
+        if id(rr) not in seen:
+            seen.add(id(rr))
+            out.append(rr)
+    return out
