@@ -1,0 +1,351 @@
+"""Deterministic synthesis of the Common-Crawl-style ``pages`` table.
+
+Schema (BASELINE.json input_hint): ``url:string, warc_ts:timestamp[us],
+html:binary, text:string, lang:string``.  Bodies are drawn from a seeded pool
+of golden sentences with known CCG derivations and expected triples, so the
+whole pipeline — extraction, segmentation, parsing, composition, linking —
+has a computable ground truth at any scale.  Layout mirrors FIXTURES.md §1-§5.
+
+The HTML wrapper matches the extraction contract of
+``/root/reference/src/python/marbles/newsfeed/reuters.py:69-77`` (``<span
+id="article-text">`` with ``<p>`` children) plus boilerplate that extraction
+must drop.  Duplicate pages (same text, new url), non-English rows, empty
+paragraphs and an over-long sentence exercise dedup, the language filter and
+the 250-word cap (``CcgServiceHandler.java:57``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+from typing import Dict, List, Tuple
+
+from ..nlp.text import preprocess_sentence
+
+SEED = 20260817
+
+# ---------------------------------------------------------------------------
+# vocabulary (verb surface forms chosen so lemmatize_verb is exact)
+# ---------------------------------------------------------------------------
+
+NOUNS = ["farmer", "mayor", "worker", "driver", "teacher", "officer",
+         "senator", "judge", "banker", "editor", "council", "union",
+         "committee", "company", "ministry", "agency", "court", "bank",
+         "school", "factory", "airport", "bridge", "railway", "hospital",
+         "budget", "tax", "law", "plan", "deal", "vote", "strike",
+         "merger", "contract", "tariff", "pipeline", "reform", "treaty",
+         "election", "project", "report"]
+
+ADJS = ["new", "big", "local", "federal", "foreign", "controversial",
+        "regional", "annual"]
+
+# (3sg, base)
+TV = [("supports", "support"), ("opposes", "oppose"), ("approves", "approve"),
+      ("rejects", "reject"), ("announces", "announce"), ("visits", "visit"),
+      ("joins", "join"), ("opens", "open"), ("backs", "back"),
+      ("blocks", "block"), ("reviews", "review"), ("praises", "praise"),
+      ("funds", "fund"), ("signs", "sign"), ("delays", "delay"),
+      ("criticizes", "criticize"), ("defends", "defend"),
+      ("endorses", "endorse"), ("suspends", "suspend"), ("leads", "lead")]
+
+# control verbs taking S[to]\NP
+CV = [("wants", "want"), ("plans", "plan"), ("tries", "try"),
+      ("decides", "decide"), ("hopes", "hope"), ("needs", "need")]
+
+# base-form transitive verbs for the infinitival complement
+TVB = ["support", "oppose", "approve", "reject", "block", "fund", "join",
+       "review", "delay", "sign"]
+
+# intransitive + preposition
+IVP = [("protests", "protest", "against"), ("votes", "vote", "against"),
+       ("argues", "argue", "with"), ("competes", "compete", "with")]
+
+FIRST = ["Anna", "Marcus", "Elena", "Viktor", "Sofia", "Daniel", "Clara",
+         "Oscar", "Nadia", "Peter", "Laura", "Ivan"]
+LAST = ["Marbury", "Okonkwo", "Petrova", "Lindqvist", "Tanaka", "Moreau",
+        "Castellano", "Brandt", "Novak", "Reyes"]
+ORGS = [("Acme", "Corp"), ("Zenith", "Industries"), ("Borealis", "Group"),
+        ("Meridian", "Holdings"), ("Cascade", "Partners")]
+
+DOMAINS = ["news0.example.com", "news1.example.com", "news2.example.com",
+           "news3.example.com"]
+
+# the deliberately hot entity (skew test per north_star)
+HOT_ENTITY = ("Global", "Assembly")
+
+
+# ---------------------------------------------------------------------------
+# derivation builders (CCGBANK s-expressions)
+# ---------------------------------------------------------------------------
+
+def _L(cat: str, pos: str, word: str, predarg: str = None) -> str:
+    return "(<L %s %s %s %s %s>)" % (cat, pos, pos, word, predarg or cat)
+
+
+def _T(cat: str, head: int, *children: str) -> str:
+    return "(<T %s %d %d> %s )" % (cat, head, len(children), " ".join(children))
+
+
+def _np_det(noun: str, det: str = "the", adj: str = None) -> str:
+    n = _L("N", "NN", noun)
+    if adj:
+        n = _T("N", 1, _L("N/N", "JJ", adj), n)
+    return _T("NP", 0, _L("NP/N", "DT", det), n)
+
+
+def _np_name(*words: str) -> str:
+    if len(words) == 1:
+        return _T("NP", 0, _L("N", "NNP", words[0]))
+    n = _L("N", "NNP", words[-1])
+    for w in reversed(words[:-1]):
+        n = _T("N", 1, _L("N/N", "NNP", w), n)
+    return _T("NP", 0, n)
+
+
+def _vp_tv(verb3: str, obj_np: str, feat: str = "dcl", pos: str = "VBZ") -> str:
+    cat = r"(S[%s]\NP)/NP" % feat
+    return _T(r"S[%s]\NP" % feat, 0, _L(cat, pos, verb3), obj_np)
+
+
+def _sent(subj_np: str, vp: str, feat: str = "dcl") -> str:
+    return _T("S[%s]" % feat, 1, subj_np, vp)
+
+
+def _vp_control(cv3: str, base_tv: str, obj_np: str) -> str:
+    inner = _vp_tv(base_tv, obj_np, feat="b", pos="VB")
+    to = _T(r"S[to]\NP", 0,
+            _L(r"(S[to]\NP)/(S[b]\NP)", "TO", "to"), inner)
+    return _T(r"S[dcl]\NP", 0,
+              _L(r"(S[dcl]\NP)/(S[to]\NP)", "VBZ", cv3), to)
+
+
+def _vp_ivp(iv3: str, prep: str, obj_np: str) -> str:
+    pp = _T("PP", 0, _L("PP/NP", "IN", prep), obj_np)
+    return _T(r"S[dcl]\NP", 0, _L(r"(S[dcl]\NP)/PP", "VBZ", iv3), pp)
+
+
+def _np_conj(np1: str, np2: str) -> str:
+    return _T("NP", 0, np1, _T(r"NP[conj]", 1, _L("conj", "CC", "and"), np2))
+
+
+def _np_poss(owner_np: str, noun: str) -> str:
+    detp = _T(r"NP[nb]/N", 0, owner_np, _L(r"(NP[nb]/N)\NP", "POS", "'s"))
+    return _T("NP", 0, detp, _L("N", "NN", noun))
+
+
+def _np_appos(name_np: str, desc_np: str) -> str:
+    mod = _T(r"NP\NP", 1, _L(",", ",", ","),
+             _T(r"NP\NP", 0, desc_np, _L(",", ",", ",")))
+    return _T("NP", 0, name_np, mod)
+
+
+# ---------------------------------------------------------------------------
+# golden sentence pool
+# ---------------------------------------------------------------------------
+
+def golden_sentences(n: int = 1200, seed: int = SEED) -> List[dict]:
+    """Generate ``n`` sentences with text, derivation and expected triples.
+
+    Returns dicts: {sentence, ccgbank, triples: [(subj,pred,obj,kind), ...]}.
+    Deterministic in (n, seed).
+    """
+    rng = random.Random(seed)
+    out = []
+    ents: Dict[str, str] = {}
+
+    def name_pair(hot_bias=0.15):
+        if rng.random() < hot_bias:
+            return HOT_ENTITY
+        if rng.random() < 0.4:
+            return (rng.choice(FIRST), rng.choice(LAST))
+        if rng.random() < 0.5:
+            return rng.choice(ORGS)
+        return (rng.choice(FIRST),)
+
+    for i in range(n):
+        kind = rng.randrange(7)
+        if kind == 0:       # The N1 V the N2
+            n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)
+            v3, vb = rng.choice(TV)
+            adj = rng.choice(ADJS) if rng.random() < 0.4 else None
+            text = "The %s %s the %s." % ((adj + " " + n1) if adj else n1, v3, n2)
+            drv = _sent(_np_det(n1, "The", adj), _vp_tv(v3, _np_det(n2)))
+            triples = [(n1, vb, n2, "arg")]
+        elif kind == 1:     # Name V the N
+            nm = name_pair()
+            n2 = rng.choice(NOUNS)
+            v3, vb = rng.choice(TV)
+            text = "%s %s the %s." % (" ".join(nm), v3, n2)
+            drv = _sent(_np_name(*nm), _vp_tv(v3, _np_det(n2)))
+            triples = [("-".join(nm), vb, n2, "arg")]
+        elif kind == 2:     # The N1 CV to V the N2  (control)
+            n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)
+            cv3, cvb = rng.choice(CV)
+            vb = rng.choice(TVB)
+            text = "The %s %s to %s the %s." % (n1, cv3, vb, n2)
+            drv = _sent(_np_det(n1, "The"), _vp_control(cv3, vb, _np_det(n2)))
+            triples = [(n1, cvb, vb, "arg"), (n1, vb, n2, "arg")]
+        elif kind == 3:     # A and B V the N (coordination: left conjunct)
+            a, b = name_pair(0.05), name_pair(0.05)
+            if a == b:
+                b = (rng.choice(FIRST),)
+            n2 = rng.choice(NOUNS)
+            v3, vb = rng.choice(TV)
+            text = "%s and %s %s the %s." % (" ".join(a), " ".join(b), v3, n2)
+            drv = _sent(_np_conj(_np_name(*a), _np_name(*b)),
+                        _vp_tv(v3, _np_det(n2)))
+            triples = [("-".join(a), vb, n2, "arg")]
+        elif kind == 4:     # The N1 IV prep the N2
+            n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)
+            iv3, ivb, prep = rng.choice(IVP)
+            text = "The %s %s %s the %s." % (n1, iv3, prep, n2)
+            drv = _sent(_np_det(n1, "The"), _vp_ivp(iv3, prep, _np_det(n2)))
+            triples = [(n1, ivb, n2, "arg")]
+        elif kind == 5:     # Name 's N1 V the N2  (possessive)
+            nm = name_pair()
+            n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)
+            v3, vb = rng.choice(TV)
+            text = "%s 's %s %s the %s." % (" ".join(nm), n1, v3, n2)
+            drv = _sent(_np_poss(_np_name(*nm), n1), _vp_tv(v3, _np_det(n2)))
+            triples = [("-".join(nm), "poss", n1, "poss"),
+                       (n1, vb, n2, "arg")]
+        else:               # Name , the N1 , V the N2 (appositive → _AKA)
+            nm = name_pair()
+            n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)
+            v3, vb = rng.choice(TV)
+            text = "%s , the %s , %s the %s." % (" ".join(nm), n1, v3, n2)
+            drv = _sent(_np_appos(_np_name(*nm), _np_det(n1)),
+                        _vp_tv(v3, _np_det(n2)))
+            triples = [("-".join(nm), vb, n2, "arg"),
+                       ("-".join(nm), "aka", n1, "aka")]
+        for t in triples:
+            if t[3] in ("arg", "aka", "poss") and t[0] and "-" in t[0]:
+                ents.setdefault(t[0], "E%04d" % len(ents))
+        out.append({"sentence": text, "ccgbank": drv, "triples": triples})
+    return out
+
+
+def sent_key(sentence: str) -> str:
+    """Lookup key for the replay parser: md5 of the preprocessed sentence."""
+    return hashlib.md5(preprocess_sentence(sentence).encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# page synthesis
+# ---------------------------------------------------------------------------
+
+_BOILERPLATE = ("<nav><ul><li>Home</li><li>World</li><li>Markets</li></ul>"
+                "</nav><div class=\"ad\">Subscribe today!</div>")
+
+
+def _page_html(title: str, paragraphs: List[str]) -> str:
+    body = "".join("<p>%s</p>" % p for p in paragraphs)
+    # an empty paragraph and trailing boilerplate the extractor must handle
+    return ("<html><head><title>%s</title></head><body>%s"
+            "<span id=\"article-text\">%s</span>"
+            "<footer>© example</footer></body></html>"
+            % (title, _BOILERPLATE, body))
+
+
+def synthesize_pages(n_pages: int, pool: List[dict] = None, seed: int = SEED,
+                     start: int = 0) -> List[dict]:
+    """Rows ``start..start+n_pages`` of the deterministic pages table.
+
+    Row content depends only on (row index, seed, pool) so generation can be
+    sharded across Ray tasks.
+    """
+    if pool is None:
+        pool = golden_sentences()
+    rows = []
+    for i in range(start, start + n_pages):
+        rng = random.Random((seed << 20) ^ i)
+        lang = "en" if rng.random() > 0.04 else rng.choice(["de", "fr"])
+        npara = rng.randint(2, 5)
+        paras = []
+        for _ in range(npara):
+            nsent = rng.randint(1, 4)
+            paras.append(" ".join(
+                pool[rng.randrange(len(pool))]["sentence"] for _ in range(nsent)))
+        title_src = pool[rng.randrange(len(pool))]["sentence"].rstrip(".")
+        slug = "-".join(title_src.lower().split()[:6])
+        domain = DOMAINS[i % len(DOMAINS)]
+        dup_of = None
+        if i % 37 == 1 and i > start:          # exact duplicate of previous row
+            prev = rows[-1]
+            paras = prev["text"].split("\n")
+            dup_of = prev["url"]
+            slug = slug + "-syndicated"
+        if i % 211 == 3:                        # over-long sentence (cap test)
+            paras.append("The committee notes that " +
+                         "the plan requires review and " * 60 + "approval.")
+        text = "\n".join(paras)
+        url = "https://%s/2017/%02d/%02d/%s" % (
+            domain, 1 + (i // 28) % 12, 1 + i % 28, slug)
+        rows.append({
+            "url": url,
+            "warc_ts": 1484000000_000000 + i * 60_000_000,  # epoch-us sequence
+            "html": _page_html(title_src, paras).encode("utf-8"),
+            "text": text,
+            "lang": lang,
+            "_dup_of": dup_of,
+        })
+    return rows
+
+
+def write_fixture_tables(out_dir: str, n_pages: int = 200,
+                         pool_size: int = 1200, seed: int = SEED) -> dict:
+    """Write pages/derivations/golden_triples/alias parquet under out_dir."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(out_dir, exist_ok=True)
+    pool = golden_sentences(pool_size, seed)
+
+    pages = synthesize_pages(n_pages, pool, seed)
+    pq.write_table(pa.table({
+        "url": [r["url"] for r in pages],
+        "warc_ts": pa.array([r["warc_ts"] for r in pages],
+                            type=pa.timestamp("us")),
+        "html": pa.array([r["html"] for r in pages], type=pa.binary()),
+        "text": [r["text"] for r in pages],
+        "lang": [r["lang"] for r in pages],
+    }), os.path.join(out_dir, "pages.parquet"))
+
+    pq.write_table(pa.table({
+        "sent_hash": [sent_key(s["sentence"]) for s in pool],
+        "sentence": [s["sentence"] for s in pool],
+        "ccgbank": [s["ccgbank"] for s in pool],
+    }), os.path.join(out_dir, "derivations.parquet"))
+
+    rows = [(sent_key(s["sentence"]),) + t for s in pool for t in s["triples"]]
+    pq.write_table(pa.table({
+        "sent_hash": [r[0] for r in rows],
+        "subj": [r[1] for r in rows],
+        "pred": [r[2] for r in rows],
+        "obj": [r[3] for r in rows],
+        "kind": [r[4] for r in rows],
+    }), os.path.join(out_dir, "golden_triples.parquet"))
+
+    # alias table: canonical entity ids for every multi-word proper name
+    names = sorted({t[0] for s in pool for t in s["triples"]
+                    if t[0] and t[0][0].isupper()} |
+                   {t[2] for s in pool for t in s["triples"]
+                    if t[2] and t[2][0].isupper()})
+    alias, entity_id, title, prior = [], [], [], []
+    for k, nm in enumerate(names):
+        eid = "E%05d" % k
+        variants = {nm.lower(), nm.replace("-", " ").lower()}
+        if "-" in nm:
+            variants.add(nm.split("-")[-1].lower())   # surname-only alias
+        for v in sorted(variants):
+            alias.append(v)
+            entity_id.append(eid)
+            title.append(nm.replace("-", " "))
+            prior.append(1.0 if v == nm.lower() else 0.6)
+    pq.write_table(pa.table({
+        "alias": alias, "entity_id": entity_id, "title": title,
+        "prior": prior,
+    }), os.path.join(out_dir, "alias_table.parquet"))
+
+    return {"pages": n_pages, "pool": pool_size, "dir": out_dir}
