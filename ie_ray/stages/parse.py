@@ -1,0 +1,59 @@
+"""Parser stage: sentence → CCG derivation (actor pool).
+
+The reference hosts EasySRL (a ~100s-MB Java model loaded once per daemon,
+``ie/grpc/__init__.py:138-192``; serialized per-session,
+``CcgServiceHandler.java:99-123``).  The rebuild keeps the actor-pool
+architecture real — heavy state in ``__init__``, batched ``__call__`` — but
+substitutes a deterministic **replay parser**: derivations keyed by the md5
+of the preprocessed sentence, broadcast once through the object store
+(``ray.put``) and shared zero-copy by every actor on a node.
+
+Rows without a derivation (out-of-corpus or over the 250-word cap) are not
+dropped: they get an ``error`` marker and flow to the quarantine sink —
+parse failures are data (parity: ``# FAILED`` lines,
+``scripts/make_easysrl_drs.py:84-86``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict
+
+import pyarrow as pa
+
+from .segment import MAX_SENT_WORDS
+
+
+class ReplayParserActor:
+    """Callable class for ``map_batches(..., concurrency=N)``.
+
+    ``derivations`` arrives as a plain dict because Ray resolves the
+    ``ray.put`` ObjectRef passed in ``fn_constructor_kwargs`` — one copy per
+    node in shared memory, not one per task.
+    """
+
+    def __init__(self, derivations):
+        import ray
+        if isinstance(derivations, ray.ObjectRef):
+            derivations = ray.get(derivations)
+        self.derivations: Dict[str, str] = derivations
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sents = batch.column("sentence").to_pylist()
+        derivs, errors = [], []
+        for s in sents:
+            if len(s.split()) > MAX_SENT_WORDS:
+                derivs.append("")
+                errors.append("too_long")
+                continue
+            key = hashlib.md5(s.encode("utf-8")).hexdigest()
+            d = self.derivations.get(key)
+            if d is None:
+                derivs.append("")
+                errors.append("no_parse")
+            else:
+                derivs.append(d)
+                errors.append("")
+        return batch.append_column(
+            "ccgbank", pa.array(derivs, type=pa.string())).append_column(
+            "parse_error", pa.array(errors, type=pa.string()))
