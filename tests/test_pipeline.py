@@ -64,7 +64,11 @@ def test_graph_write_and_resume(ray_session, fixture_dir, tmp_path):
     assert res["nodes"] > 0 and res["edges"] > 0
     assert os.path.isdir(os.path.join(out, "manifests"))
     import json
-    mans = os.listdir(os.path.join(out, "manifests"))
+    mans = [m for m in os.listdir(os.path.join(out, "manifests"))
+            if m.endswith(".json")]
     assert len(mans) == res["node_partitions"] + res["edge_partitions"]
     m = json.load(open(os.path.join(out, "manifests", mans[0])))
     assert m["rows"] >= 0 and "partition" in m
+    # resume: a second run must not duplicate output
+    res2 = kg_full(fixture_dir, out_dir=out, concurrency=2)
+    assert res2["nodes"] == res["nodes"] and res2["edges"] == res["edges"]
