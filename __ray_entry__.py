@@ -1,44 +1,472 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the ie_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline (pages → triples) at smoke scale.
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2 + the training-data operators); ``oracle_sql()`` provides the
+DuckDB-equivalent SQL for every SQL-expressible one.  Column names match the
+SQL aliases exactly; float aggregates are rounded identically on both sides.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import re
 from collections.abc import Callable
 from typing import Any
 
+import pyarrow as pa
+
+_EN_STOPWORDS_SQL = ("['the','a','an','and','or','of','to','in','is','are',"
+                     "'was','were','it','that','this','with','for','on','as',"
+                     "'at','by','be','has','have','not','but']")
+
+
+def _sf_pages(sf_dir: str) -> int:
+    """Scale the synthetic pages table with the testdata scale factor."""
+    m = re.search(r"sf([0-9.]+)", sf_dir or "")
+    sf = float(m.group(1)) if m else 0.001
+    return max(60, int(sf * 20000))
+
+
+def _docs(sf_dir):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _tbl(sf_dir, name, columns=None):
+    import ray.data
+    return ray.data.read_parquet(os.path.join(sf_dir, name + ".parquet"),
+                                 columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at smoke scale: pages → extract → dedup → segment →
+    parse → compose → link → triples Dataset."""
+    from ie_ray.pipelines.kg import default_fixture_dir, kg_triples
+    fd = default_fixture_dir(n_pages=60, pool_size=300)
+    return kg_triples(fd)
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import ray.data
+    from ie_ray.pipelines.kg import default_fixture_dir, kg_triples
+    from ie_ray.stages import dedup, similarity, textstats
+    from ie_ray.stages.graph import build_edges, build_nodes
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- documents table -------------------------------------------------
 
+    def exact_dedup_docs(sf_dir):
+        return dedup.exact_dedup_docs(_docs(sf_dir))
+
+    def doc_token_counts(sf_dir):
+        ds = _docs(sf_dir).map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array(
+                    [len(t.split()) for t in b.column("text").to_pylist()],
+                    type=pa.int64())}),
+            batch_format="pyarrow")
+        return ds
+
+    def doc_quality(sf_dir):
+        return _docs(sf_dir).map_batches(textstats.quality_batch,
+                                         batch_format="pyarrow")
+
+    def lang_counts(sf_dir):
+        ds = _docs(sf_dir).groupby("lang").count()
+        return ds.map_batches(lambda t: t.rename_columns(["lang", "n"]),
+                              batch_format="pyarrow")
+
+    def paragraph_counts(sf_dir):
+        return _docs(sf_dir).map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column("doc_id"),
+                "n_paras": pa.array(
+                    [len(t.split("\n")) for t in b.column("text").to_pylist()],
+                    type=pa.int64())}),
+            batch_format="pyarrow")
+
+    def doc_md5(sf_dir):
+        import hashlib
+        return _docs(sf_dir).map_batches(
+            lambda b: pa.table({
+                "doc_id": b.column("doc_id"),
+                "text_md5": pa.array(
+                    [hashlib.md5(t.encode("utf-8")).hexdigest()
+                     for t in b.column("text").to_pylist()],
+                    type=pa.string())}),
+            batch_format="pyarrow")
+
+    def langid(sf_dir):
+        return _docs(sf_dir).map_batches(textstats.langid_batch,
+                                         batch_format="pyarrow")
+
+    def doc_fingerprints(sf_dir):
+        return _docs(sf_dir).map_batches(textstats.fingerprint_batch,
+                                         batch_format="pyarrow")
+
+    def minhash_dedup_pairs(sf_dir):
+        return dedup.minhash_lsh_pairs(_docs(sf_dir))
+
+    def simhash_pairs(sf_dir):
+        return dedup.simhash_pairs(_docs(sf_dir))
+
+    def ngram_jaccard_pairs(sf_dir):
+        return dedup.ngram_jaccard_pairs(_docs(sf_dir))
+
+    # -- embeddings ------------------------------------------------------
+
+    def embedding_dup_pairs(sf_dir):
+        return dedup.embedding_dup_pairs(_tbl(sf_dir, "embeddings"))
+
+    def embedding_sim_pairs(sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                          columns=["vec_id", "embedding"])
+        corpus = np.asarray(t.column("embedding").to_pylist(),
+                            dtype=np.float64)
+        ids = t.column("vec_id").to_pylist()
+        return similarity.sim_pairs_exact(_tbl(sf_dir, "embeddings"),
+                                          corpus, ids, threshold=0.4)
+
+    def knn_top1(sf_dir):
+        import numpy as np
+        import pyarrow.parquet as pq
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")) \
+            .sort_by("vec_id")
+        qids = t.column("vec_id").to_pylist()[:10]
+        qs = np.asarray(t.column("embedding").to_pylist()[:10],
+                        dtype=np.float64)
+        ds = _tbl(sf_dir, "embeddings")
+        # exclude self-matches so the answer is a real neighbor
+        res = similarity.knn_brute(ds, qs, qids, k=2)
+
+        def pick(group: pa.Table) -> pa.Table:
+            g = group.sort_by([("cosine", "descending"),
+                               ("neighbor", "ascending")])
+            qid = g.column("query_id")[0].as_py()
+            for i in range(g.num_rows):
+                if g.column("neighbor")[i].as_py() != qid:
+                    return pa.table({
+                        "query_id": pa.array([qid], type=pa.int64()),
+                        "neighbor": pa.array([g.column("neighbor")[i].as_py()],
+                                             type=pa.int64())})
+            return pa.table({"query_id": pa.array([], type=pa.int64()),
+                             "neighbor": pa.array([], type=pa.int64())})
+
+        return res.groupby("query_id").map_groups(pick, batch_format="pyarrow")
+
+    # -- relational engine breadth --------------------------------------
+
+    def q1_pricing(sf_dir):
+        ds = _tbl(sf_dir, "lineitem",
+                  columns=["l_returnflag", "l_linestatus", "l_quantity",
+                           "l_extendedprice"])
+        agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            ray.data.aggregate.Sum("l_quantity", alias_name="sum_qty"),
+            ray.data.aggregate.Sum("l_extendedprice",
+                                   alias_name="sum_base_price"),
+            ray.data.aggregate.Count(alias_name="count_order"),
+        )
+
+        def finish(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": pc.round(t.column("sum_qty"), 2),
+                "sum_base_price": pc.round(t.column("sum_base_price"), 2),
+                "count_order": t.column("count_order"),
+            })
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    def orders_per_segment(sf_dir):
+        # broadcast hash join: customer (small side) shipped once via ray.put
+        import ray as _ray
+        import pyarrow.parquet as pq
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_mktsegment"])
+        seg = dict(zip(cust.column("c_custkey").to_pylist(),
+                       cust.column("c_mktsegment").to_pylist()))
+        ref = _ray.put(seg)
+
+        def join(batch: pa.Table) -> pa.Table:
+            m = _ray.get(ref) if not isinstance(ref, dict) else ref
+            segs = [m.get(k) for k in batch.column("o_custkey").to_pylist()]
+            return pa.table({
+                "c_mktsegment": pa.array(segs, type=pa.string())})
+
+        ds = _tbl(sf_dir, "orders", columns=["o_custkey"])
+        joined = ds.map_batches(join, batch_format="pyarrow")
+        return (joined.groupby("c_mktsegment").count()
+                .map_batches(lambda t: t.rename_columns(
+                    ["c_mktsegment", "n_orders"]), batch_format="pyarrow"))
+
+    def top10_parts(sf_dir):
+        ds = _tbl(sf_dir, "part",
+                  columns=["p_partkey", "p_name", "p_retailprice"])
+        return ds.sort(["p_retailprice", "p_partkey"],
+                       descending=[True, False]).limit(10)
+
+    def events_by_type(sf_dir):
+        ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+        agg = ds.groupby("event_type").aggregate(
+            ray.data.aggregate.Count(alias_name="n"),
+            ray.data.aggregate.Sum("value", alias_name="total_value"))
+
+        def finish(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "n": t.column("n"),
+                "total_value": pc.round(t.column("total_value"), 2)})
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    def nation_region(sf_dir):
+        import ray as _ray
+        import pyarrow.parquet as pq
+        reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+        rm = dict(zip(reg.column("r_regionkey").to_pylist(),
+                      reg.column("r_name").to_pylist()))
+        ds = _tbl(sf_dir, "nation", columns=["n_regionkey"])
+        joined = ds.map_batches(
+            lambda b: pa.table({"r_name": pa.array(
+                [rm.get(k) for k in b.column("n_regionkey").to_pylist()],
+                type=pa.string())}),
+            batch_format="pyarrow")
+        return (joined.groupby("r_name").count()
+                .map_batches(lambda t: t.rename_columns(
+                    ["r_name", "n_nations"]), batch_format="pyarrow"))
+
+    def events_hourly_window(sf_dir):
+        """Tumbling event-time window — the batch re-expression of the
+        reference's streaming consumer (SURVEY.md §2.10): ordering-free,
+        keyed by (window, type)."""
+        ds = _tbl(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+        def wnd(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            w = pc.floor_temporal(b.column("ts"), unit="hour").cast(
+                pa.timestamp("s"))
+            return pa.table({
+                "window_start": pc.strftime(w, format="%Y-%m-%d %H:%M:%S"),
+                "event_type": b.column("event_type"),
+                "value": b.column("value"),
+            })
+
+        agg = (ds.map_batches(wnd, batch_format="pyarrow")
+               .groupby(["window_start", "event_type"]).aggregate(
+                   ray.data.aggregate.Count(alias_name="n"),
+                   ray.data.aggregate.Sum("value", alias_name="total_value")))
+
+        def finish(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "window_start": t.column("window_start"),
+                "event_type": t.column("event_type"),
+                "n": t.column("n"),
+                "total_value": pc.round(t.column("total_value"), 2)})
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    def events_user_stats(sf_dir):
+        ds = _tbl(sf_dir, "events", columns=["user_id", "value"])
+        agg = ds.groupby("user_id").aggregate(
+            ray.data.aggregate.Count(alias_name="n_events"),
+            ray.data.aggregate.Mean("value", alias_name="avg_value"))
+
+        def finish(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "user_id": t.column("user_id"),
+                "n_events": t.column("n_events"),
+                "avg_value": pc.round(t.column("avg_value"), 4)})
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    def lexicon_extract(sf_dir):
+        """A4: stem → distinct category signatures over the derivation
+        corpus (flat_map tokens → groupby(stem) distinct-count)."""
+        from ie_ray.ccg import parse_ccgbank
+        fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
+        ds = ray.data.read_parquet(os.path.join(fd, "derivations.parquet"))
+
+        def toks(b: pa.Table) -> pa.Table:
+            stems, cats = [], []
+            from ie_ray.semantics.lexicon import Token
+            for drv in b.column("ccgbank").to_pylist():
+                _, leaves = parse_ccgbank(drv)
+                for l in leaves:
+                    t = Token(l.idx, l.word, l.pos, l.cat)
+                    stems.append(t.stem)
+                    cats.append(l.cat.signature)
+            return pa.table({"stem": pa.array(stems, type=pa.string()),
+                             "category": pa.array(cats, type=pa.string())})
+
+        pairs = ds.map_batches(toks, batch_format="pyarrow")
+
+        def agg(group: pa.Table) -> pa.Table:
+            cats = sorted(set(group.column("category").to_pylist()))
+            return pa.table({
+                "stem": group.slice(0, 1).column("stem"),
+                "n_categories": pa.array([len(cats)], type=pa.int64()),
+                "categories": pa.array([",".join(cats)], type=pa.string()),
+            })
+        return pairs.groupby("stem").map_groups(agg, batch_format="pyarrow")
+
+    def order_status_counts(sf_dir):
+        return (_tbl(sf_dir, "orders", columns=["o_orderstatus"])
+                .groupby("o_orderstatus").count()
+                .map_batches(lambda t: t.rename_columns(
+                    ["o_orderstatus", "n"]), batch_format="pyarrow"))
+
+    # -- KG pipeline (synthetic pages; rows-only checks) ----------------
+
+    def kg_triples_q(sf_dir):
+        fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
+        return kg_triples(fd)
+
+    def kg_nodes(sf_dir):
+        fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
+        good = kg_triples(fd).filter(
+            expr="kind != 'quarantine' and kind != 'empty'")
+        return build_nodes(good)
+
+    def kg_edges(sf_dir):
+        fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
+        good = kg_triples(fd).filter(
+            expr="kind != 'quarantine' and kind != 'empty'")
+        return build_edges(good)
+
+    def extraction_identity(sf_dir):
+        from ie_ray.stages.extract import verify_extraction_batch
+        fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
+        ds = ray.data.read_parquet(os.path.join(fd, "pages"))
+        return ds.map_batches(verify_extraction_batch, batch_format="pyarrow")
+
+    def media_features(sf_dir):
+        from ie_ray.stages.multimodal import MediaDecodeActor, synthesize_media
+        ds = ray.data.from_arrow(synthesize_media(64))
+        return ds.map_batches(MediaDecodeActor, batch_size=16,
+                              concurrency=(1, 2), num_cpus=1,
+                              batch_format="pyarrow")
+
+    return {
+        "exact_dedup_docs": exact_dedup_docs,
+        "doc_token_counts": doc_token_counts,
+        "doc_quality": doc_quality,
+        "lang_counts": lang_counts,
+        "paragraph_counts": paragraph_counts,
+        "doc_md5": doc_md5,
+        "langid": langid,
+        "doc_fingerprints": doc_fingerprints,
+        "minhash_dedup_pairs": minhash_dedup_pairs,
+        "simhash_pairs": simhash_pairs,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "embedding_dup_pairs": embedding_dup_pairs,
+        "embedding_sim_pairs": embedding_sim_pairs,
+        "knn_top1": knn_top1,
+        "q1_pricing": q1_pricing,
+        "orders_per_segment": orders_per_segment,
+        "top10_parts": top10_parts,
+        "events_by_type": events_by_type,
+        "events_hourly_window": events_hourly_window,
+        "events_user_stats": events_user_stats,
+        "lexicon_extract": lexicon_extract,
+        "nation_region": nation_region,
+        "order_status_counts": order_status_counts,
+        "kg_triples": kg_triples_q,
+        "kg_nodes": kg_nodes,
+        "kg_edges": kg_edges,
+        "extraction_identity": extraction_identity,
+        "media_features": media_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_docs":
+            "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id "
+            "FROM documents GROUP BY md5(text)",
+        "doc_token_counts":
+            "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT "
+            "AS n_tokens FROM documents",
+        "doc_quality":
+            "SELECT doc_id, length(text)::BIGINT AS n_chars, "
+            "length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) "
+            "AS n_punct, "
+            "CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT "
+            "AS n_tokens, "
+            "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "x -> list_contains(" + _EN_STOPWORDS_SQL + ", lower(x))))::BIGINT "
+            "AS n_stopwords, "
+            "length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) "
+            "AS n_upper FROM documents",
+        "lang_counts":
+            "SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang",
+        "paragraph_counts":
+            "SELECT doc_id, len(string_split(text, chr(10)))::BIGINT "
+            "AS n_paras FROM documents",
+        "doc_md5":
+            "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "embedding_sim_pairs":
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4",
+        "knn_top1":
+            "WITH q AS (SELECT vec_id, embedding FROM embeddings "
+            "ORDER BY vec_id LIMIT 10), "
+            "sims AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor, "
+            "list_cosine_similarity(q.embedding, e.embedding) AS sim "
+            "FROM q CROSS JOIN embeddings e WHERE e.vec_id != q.vec_id), "
+            "ranked AS (SELECT query_id, neighbor, "
+            "row_number() OVER (PARTITION BY query_id "
+            "ORDER BY sim DESC, neighbor ASC) AS rn FROM sims) "
+            "SELECT query_id, neighbor FROM ranked WHERE rn = 1",
+        "q1_pricing":
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "count(*)::BIGINT AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus",
+        "orders_per_segment":
+            "SELECT c_mktsegment, count(*)::BIGINT AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+        "top10_parts":
+            "SELECT p_partkey, p_name, p_retailprice FROM part "
+            "ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10",
+        "events_by_type":
+            "SELECT event_type, count(*)::BIGINT AS n, "
+            "round(sum(value), 2) AS total_value FROM events "
+            "GROUP BY event_type",
+        "events_hourly_window":
+            "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, "
+            "event_type, count(*)::BIGINT AS n, "
+            "round(sum(value), 2) AS total_value FROM events "
+            "GROUP BY date_trunc('hour', ts), event_type",
+        "events_user_stats":
+            "SELECT user_id, count(*)::BIGINT AS n_events, "
+            "round(avg(value), 4) AS avg_value FROM events GROUP BY user_id",
+        "nation_region":
+            "SELECT r_name, count(*)::BIGINT AS n_nations FROM nation "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+        "order_status_counts":
+            "SELECT o_orderstatus, count(*)::BIGINT AS n FROM orders "
+            "GROUP BY o_orderstatus",
+    }

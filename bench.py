@@ -1,0 +1,176 @@
+"""Benchmark driver for the ie_ray engine.
+
+Default: run the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": 0.1, "num_cpus": 32,
+     "throughput": {"docs_per_s": ..., "triples_per_s": ...}}
+
+``--scaling``: run the flagship KG pipeline twice in fresh subprocesses
+(num_cpus=8, then 32) on identical input and report both throughputs plus
+scaling efficiency = (T8/T32)/4 — the sandbox substitute for the
+north-rule's N vs 4N cluster sizes (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def flagship_stats(sf_dir: str, n_pages: int = None) -> dict:
+    """Run the KG flagship; return wall time + docs/sentences/triples."""
+    import ray
+    from ie_ray.pipelines.kg import default_fixture_dir, kg_triples
+
+    if n_pages is None:
+        n_pages = max(60, int(_sf(sf_dir) * 20000))
+    fd = default_fixture_dir(n_pages=n_pages)
+
+    t0 = time.time()
+    ds = kg_triples(fd)
+
+    # distributed consumption: per-block counts, only a tiny table reaches
+    # the driver (a sentence's triples never span blocks — one input row per
+    # sentence in the compose stage)
+    import pyarrow as pa
+
+    def counts(batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        nt = sum(1 for k in kinds if k in ("arg", "aka", "poss"))
+        ns = len(set(zip(batch.column("url").to_pylist(),
+                         batch.column("para_idx").to_pylist(),
+                         batch.column("sent_idx").to_pylist())))
+        return pa.table({"n_triples": pa.array([nt], type=pa.int64()),
+                         "n_sentences": pa.array([ns], type=pa.int64())})
+
+    totals = {"n_triples": 0, "n_sentences": 0}
+    for row in ds.map_batches(counts, batch_format="pyarrow").take_all():
+        totals["n_triples"] += row["n_triples"]
+        totals["n_sentences"] += row["n_sentences"]
+    wall = time.time() - t0
+    n_triples = totals["n_triples"]
+    n_sent = totals["n_sentences"]
+    return {
+        "wall_s": wall,
+        "docs": n_pages,
+        "sentences": n_sent,
+        "triples": n_triples,
+        "docs_per_s": n_pages / wall,
+        "sentences_per_s": n_sent / wall,
+        "triples_per_s": n_triples / wall,
+    }
+
+
+def run_bench(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entry
+    qs = entry.queries()
+
+    timings = {}
+
+    t0 = time.time()
+    fs = flagship_stats(sf_dir)
+    timings["kg_flagship"] = round(fs["wall_s"], 3)
+
+    def consume(name):
+        t = time.time()
+        ds = qs[name](sf_dir)
+        if hasattr(ds, "iter_batches"):
+            n = 0
+            for b in ds.iter_batches(batch_format="pyarrow", batch_size=8192):
+                n += b.num_rows
+        timings[name] = round(time.time() - t, 3)
+
+    for name in ("exact_dedup_docs", "minhash_dedup_pairs", "simhash_pairs",
+                 "embedding_sim_pairs", "knn_top1", "doc_quality",
+                 "langid", "q1_pricing", "orders_per_segment",
+                 "events_by_type"):
+        consume(name)
+
+    total = round(time.time() - t0, 3)
+    out = {
+        "metric": "e2e seconds (kg flagship + operator battery)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf(sf_dir),
+        "num_cpus": num_cpus,
+        "throughput": {
+            "docs_per_s": round(fs["docs_per_s"], 2),
+            "sentences_per_s": round(fs["sentences_per_s"], 2),
+            "triples_per_s": round(fs["triples_per_s"], 2),
+            "docs": fs["docs"],
+            "sentences": fs["sentences"],
+            "triples": fs["triples"],
+        },
+    }
+    ray.shutdown()
+    return out
+
+
+def single_flagship(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    # scaling protocol (BASELINE.md): input sized so the 8-cpu run is ≥60 s;
+    # the fixture cache under /tmp is shared by both runs
+    n_pages = max(2000, int(_sf(sf_dir) * 8_000_000))
+    fs = flagship_stats(sf_dir, n_pages=n_pages)
+    ray.shutdown()
+    fs["num_cpus"] = num_cpus
+    return fs
+
+
+def scaling(sf_dir: str) -> dict:
+    """Two fresh processes at 8 and 32 CPUs on identical input."""
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, __file__, "--single-run", str(cpus)],
+            capture_output=True, text=True, cwd=os.path.dirname(
+                os.path.abspath(__file__)) or ".",
+            env={**os.environ, "GRAFT_SF_DIR": sf_dir})
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    eff = (results[32]["docs_per_s"] / results[8]["docs_per_s"]) / 4.0
+    return {
+        "metric": "scaling efficiency (8 → 32 cpus, flagship)",
+        "value": round(eff, 4),
+        "unit": "efficiency",
+        "sf": _sf(sf_dir),
+        "runs": {str(k): {kk: round(vv, 3) if isinstance(vv, float) else vv
+                          for kk, vv in v.items()}
+                 for k, v in results.items()},
+    }
+
+
+if __name__ == "__main__":
+    if "--single-run" in sys.argv:
+        cpus = int(sys.argv[sys.argv.index("--single-run") + 1])
+        print(json.dumps(single_flagship(SF_DIR, cpus)))
+    elif "--scaling" in sys.argv:
+        print(json.dumps(scaling(SF_DIR)))
+    else:
+        print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))

@@ -26,8 +26,7 @@ import ray.data
 
 from ..sources.pages import write_fixture_tables
 from ..stages.compose_stage import ComposeActor
-from ..stages.extract import (add_page_hash, exact_dedup, extract_text_batch,
-                              filter_lang)
+from ..stages.extract import add_page_hash, extract_text_batch, filter_lang
 from ..stages.link import LinkActor, load_alias_map
 from ..stages.parse import ReplayParserActor
 from ..stages.segment import segment_batch
@@ -59,38 +58,58 @@ def kg_triples(fixture_dir: Optional[str] = None,
     """pages → linked triples Dataset (lazy; caller consumes/writes)."""
     fixture_dir = fixture_dir or default_fixture_dir()
     if concurrency is None:
-        # elastic pools: never reserve more CPUs than the cluster has across
-        # the three stateful stages, but scale up when cores are available
+        # elastic pools: each heavy stage may grow to a third of the cluster
+        # (three heavy stages — parse, compose, link); Ray's backpressure
+        # balances actual actor counts without an actor-spawn storm
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(1, ncpu // 3))
+        concurrency = (1, max(2, ncpu // 3))
     elif isinstance(concurrency, int):
         concurrency = (1, concurrency)
+    ncpu_total = int(ray.cluster_resources().get("CPU", 4))
+    # on tiny clusters, full-CPU actor reservations deadlock the task ops
+    # (3 pools × 1 CPU + dedup leaves nothing for reads) — use half-CPU slots
+    actor_cpus = 1 if ncpu_total >= 16 else 0.5
     if pages_ds is None:
         pages_ds = ray.data.read_parquet(
-            os.path.join(fixture_dir, "pages.parquet"),
-            columns=["url", "html", "lang"])
+            os.path.join(fixture_dir, "pages"),
+            columns=["url", "html", "lang"],
+            override_num_blocks=max(ncpu_total * 2, 8))
 
     ds = pages_ds.map_batches(extract_text_batch, batch_format="pyarrow")
     ds = filter_lang(ds, "en")
     if dedup:
+        # online sharded hash index (reference semantics: probe-and-insert,
+        # aws/__init__.py:115-136) — no all-to-all shuffle on the hot path
+        from ..stages.dedup_index import DedupFilter, create_dedup_index
+        shards = create_dedup_index(num_shards=max(4, ncpu_total // 4))
         ds = ds.map_batches(add_page_hash, batch_format="pyarrow")
-        ds = exact_dedup(ds, "page_hash")
+        ds = ds.map_batches(DedupFilter,
+                            fn_constructor_kwargs={"shards": shards},
+                            batch_format="pyarrow", batch_size=8192,
+                            concurrency=concurrency
+                            if isinstance(concurrency, tuple) else (1, 4),
+                            num_cpus=min(0.5, actor_cpus))
     ds = ds.map_batches(segment_batch, batch_format="pyarrow")
 
+    # batch sizes: parser input rows are PAGES (fused with segmentation —
+    # ~8 sentences each), compose/link input rows are sentences/triples.
+    # Sized so each stage runs a few hundred tasks per million pages —
+    # enough to saturate the pools without drowning the driver's scheduling
+    # loop (the dominant serial cost at small scale).
     derivations_ref = ray.put(_load_derivation_map(fixture_dir))
     ds = ds.map_batches(
         ReplayParserActor,
         fn_constructor_kwargs={"derivations": derivations_ref},
         batch_format="pyarrow",
-        batch_size=512,
+        batch_size=4096,
         concurrency=concurrency,
-        num_cpus=1)
+        num_cpus=actor_cpus)
     ds = ds.map_batches(
         ComposeActor,
         batch_format="pyarrow",
-        batch_size=256,
+        batch_size=32768,
         concurrency=concurrency,
-        num_cpus=1)
+        num_cpus=actor_cpus)
     if link:
         alias_ref = ray.put(load_alias_map(
             os.path.join(fixture_dir, "alias_table.parquet")))
@@ -98,9 +117,9 @@ def kg_triples(fixture_dir: Optional[str] = None,
             LinkActor,
             fn_constructor_kwargs={"alias_map": alias_ref},
             batch_format="pyarrow",
-            batch_size=1024,
+            batch_size=65536,
             concurrency=concurrency,
-            num_cpus=1)
+            num_cpus=actor_cpus)
     return ds
 
 
@@ -111,7 +130,12 @@ def kg_full(fixture_dir: Optional[str] = None, out_dir: str = "/tmp/ie_ray_out",
     Returns summary counts (small driver-side values only)."""
     from ..stages.graph import build_edges, build_nodes, write_graph
 
-    triples = kg_triples(fixture_dir, concurrency=concurrency)
+    # materialize the (reduced) triples once — kg_full consumes them three
+    # ways (quarantine sink, nodes, edges) and re-running the whole page
+    # pipeline per consumer would triple the work.  Triples are ~100× smaller
+    # than the page input, so this is a deliberate small-side checkpoint,
+    # not a full-input materialization.
+    triples = kg_triples(fixture_dir, concurrency=concurrency).materialize()
     # quarantine rows flow to their own sink; good rows to the graph
     good = triples.filter(expr="kind != 'quarantine' and kind != 'empty'")
     quarantine = triples.filter(expr="kind == 'quarantine'")

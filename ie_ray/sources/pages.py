@@ -292,9 +292,27 @@ def synthesize_pages(n_pages: int, pool: List[dict] = None, seed: int = SEED,
     return rows
 
 
+def _pages_table(rows) -> "pa.Table":
+    import pyarrow as pa
+    return pa.table({
+        "url": [r["url"] for r in rows],
+        "warc_ts": pa.array([r["warc_ts"] for r in rows],
+                            type=pa.timestamp("us")),
+        "html": pa.array([r["html"] for r in rows], type=pa.binary()),
+        "text": [r["text"] for r in rows],
+        "lang": [r["lang"] for r in rows],
+    })
+
+
 def write_fixture_tables(out_dir: str, n_pages: int = 200,
                          pool_size: int = 1200, seed: int = SEED) -> dict:
-    """Write pages/derivations/golden_triples/alias parquet under out_dir."""
+    """Write pages/derivations/golden_triples/alias parquet under out_dir.
+
+    Pages land as a sharded parquet DIRECTORY (`pages/`): big sizes are
+    synthesized in parallel Ray tasks (row content depends only on the row
+    index, so sharding is deterministic); small sizes are written inline.
+    Multiple files also give ``read_parquet`` natural block parallelism.
+    """
     import os
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -302,15 +320,32 @@ def write_fixture_tables(out_dir: str, n_pages: int = 200,
     os.makedirs(out_dir, exist_ok=True)
     pool = golden_sentences(pool_size, seed)
 
-    pages = synthesize_pages(n_pages, pool, seed)
-    pq.write_table(pa.table({
-        "url": [r["url"] for r in pages],
-        "warc_ts": pa.array([r["warc_ts"] for r in pages],
-                            type=pa.timestamp("us")),
-        "html": pa.array([r["html"] for r in pages], type=pa.binary()),
-        "text": [r["text"] for r in pages],
-        "lang": [r["lang"] for r in pages],
-    }), os.path.join(out_dir, "pages.parquet"))
+    pages_dir = os.path.join(out_dir, "pages")
+    os.makedirs(pages_dir, exist_ok=True)
+    shard = 500
+    n_shards = (n_pages + shard - 1) // shard
+    import ray
+    if n_pages >= 2000 and ray.is_initialized():
+        pool_ref = ray.put(pool)
+
+        @ray.remote
+        def gen_shard(i):
+            p = ray.get(pool_ref) if not isinstance(pool_ref, list) else pool_ref
+            start = i * shard
+            rows = synthesize_pages(min(shard, n_pages - start), p, seed,
+                                    start=start)
+            pq.write_table(_pages_table(rows),
+                           os.path.join(pages_dir, "part-%05d.parquet" % i))
+            return len(rows)
+
+        ray.get([gen_shard.remote(i) for i in range(n_shards)])
+    else:
+        for i in range(n_shards):
+            start = i * shard
+            rows = synthesize_pages(min(shard, n_pages - start), pool, seed,
+                                    start=start)
+            pq.write_table(_pages_table(rows),
+                           os.path.join(pages_dir, "part-%05d.parquet" % i))
 
     pq.write_table(pa.table({
         "sent_hash": [sent_key(s["sentence"]) for s in pool],

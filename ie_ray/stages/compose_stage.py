@@ -29,16 +29,38 @@ TRIPLE_SCHEMA = pa.schema([
 
 
 class ComposeActor:
+    """Per-actor state: the Composer plus an LRU of composed results keyed by
+    the derivation string — web corpora repeat sentences heavily (titles,
+    boilerplate), and composition is deterministic, so caching is exact.
+    (Parity: the reference's per-process template/category caches, T2/T3.)
+    """
+
+    _CACHE_MAX = 65536
+
     def __init__(self, emit_drs: bool = False):
+        from collections import OrderedDict
         self.composer = Composer()
         self.emit_drs = emit_drs
+        self._cache = OrderedDict()
+
+    def _compose(self, derivation: str):
+        hit = self._cache.get(derivation)
+        if hit is not None:
+            self._cache.move_to_end(derivation)
+            return hit
+        sem = self.composer.compose_ccgbank(derivation)
+        drs_str = sem.get_drs().show() if self.emit_drs else ""
+        result = (sem.triples(), drs_str)
+        self._cache[derivation] = result
+        if len(self._cache) > self._CACHE_MAX:
+            self._cache.popitem(last=False)
+        return result
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        import hashlib
         urls = batch.column("url").to_pylist()
         paras = batch.column("para_idx").to_pylist()
         sents = batch.column("sent_idx").to_pylist()
-        texts = batch.column("sentence").to_pylist()
+        hashes = batch.column("sent_hash").to_pylist()
         derivs = batch.column("ccgbank").to_pylist()
         perrs = batch.column("parse_error").to_pylist()
 
@@ -59,15 +81,12 @@ class ComposeActor:
             if self.emit_drs:
                 cols["drs"].append(drs)
 
-        for u, p, s, text, d, perr in zip(urls, paras, sents, texts, derivs, perrs):
-            h = hashlib.md5(text.encode("utf-8")).hexdigest()
+        for u, p, s, h, d, perr in zip(urls, paras, sents, hashes, derivs, perrs):
             if perr:
                 emit(u, p, s, h, None, None, None, "quarantine", perr)
                 continue
             try:
-                sem = self.composer.compose_ccgbank(d)
-                drs_str = sem.get_drs().show() if self.emit_drs else ""
-                triples = sem.triples()
+                triples, drs_str = self._compose(d)
             except Exception as e:  # row-level failure is data, not a crash
                 emit(u, p, s, h, None, None, None, "quarantine",
                      "compose: %s" % type(e).__name__)

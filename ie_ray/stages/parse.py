@@ -40,13 +40,14 @@ class ReplayParserActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sents = batch.column("sentence").to_pylist()
-        derivs, errors = [], []
+        derivs, errors, hashes = [], [], []
         for s in sents:
-            if len(s.split()) > MAX_SENT_WORDS:
+            key = hashlib.md5(s.encode("utf-8")).hexdigest()
+            hashes.append(key)
+            if s.count(" ") >= MAX_SENT_WORDS:
                 derivs.append("")
                 errors.append("too_long")
                 continue
-            key = hashlib.md5(s.encode("utf-8")).hexdigest()
             d = self.derivations.get(key)
             if d is None:
                 derivs.append("")
@@ -55,5 +56,6 @@ class ReplayParserActor:
                 derivs.append(d)
                 errors.append("")
         return batch.append_column(
+            "sent_hash", pa.array(hashes, type=pa.string())).append_column(
             "ccgbank", pa.array(derivs, type=pa.string())).append_column(
             "parse_error", pa.array(errors, type=pa.string()))

@@ -1,0 +1,128 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+* ``knn_brute`` — baseline: queries broadcast once (``ray.put`` of a dense
+  numpy matrix); each batch does one vectorized matmul against it and emits
+  local top-k; a single small ``groupby(query_id)`` merges per-batch
+  candidates into global top-k.  No full materialization of the corpus.
+* ``knn_lsh`` — scale path: sign-LSH buckets (shared with
+  dedup.embedding_dup_pairs) probe only matching buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1
+    return m / norms
+
+
+class BruteKnnActor:
+    """Per-batch top-k against a broadcast query matrix (loaded once)."""
+
+    def __init__(self, queries, query_ids, k: int = 5):
+        import ray
+        if isinstance(queries, ray.ObjectRef):
+            queries = ray.get(queries)
+        self.q = _normalize(np.asarray(queries, dtype=np.float32))
+        self.query_ids = list(query_ids)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_pylist()
+        m = _normalize(np.asarray(batch.column("embedding").to_pylist(),
+                                  dtype=np.float32))
+        sims = self.q @ m.T                      # (nq, nbatch)
+        k = min(self.k, sims.shape[1])
+        out_q, out_n, out_s = [], [], []
+        idx = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+        for qi, row in enumerate(idx):
+            for j in row:
+                out_q.append(self.query_ids[qi])
+                out_n.append(ids[j])
+                out_s.append(round(float(sims[qi, j]), 6))
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor": pa.array(out_n, type=pa.int64()),
+            "cosine": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def knn_brute(ds, queries: np.ndarray, query_ids, k: int = 5,
+              concurrency=(1, 4)):
+    """Global top-k neighbors for each query vector.
+
+    Per-batch local top-k (map) → groupby(query_id) global top-k (one small
+    shuffle whose size is ``nq × k × nblocks`` candidates, not the corpus).
+    """
+    import ray
+    qref = ray.put(np.asarray(queries, dtype=np.float32))
+    cand = ds.map_batches(
+        BruteKnnActor,
+        fn_constructor_kwargs={"queries": qref, "query_ids": list(query_ids),
+                               "k": k},
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency, num_cpus=1)
+
+    def topk(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("cosine", "descending"), ("neighbor", "ascending")])
+        return t.slice(0, k)
+
+    return cand.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
+def knn_top1(ds, queries, query_ids, concurrency=(1, 4)):
+    """Deterministic nearest neighbor (ties broken by smallest vec_id)."""
+    res = knn_brute(ds, queries, query_ids, k=1, concurrency=concurrency)
+    return res
+
+
+class SimPairsActor:
+    """All-pairs cosine ≥ τ against a broadcast corpus matrix.
+
+    Exact (no LSH recall loss) — the verification-grade variant of
+    ``dedup.embedding_dup_pairs``; the broadcast side must fit in worker
+    memory, so at 100 TB scale use the LSH-bucketed operator instead.
+    """
+
+    def __init__(self, corpus, corpus_ids, threshold: float):
+        import ray
+        if isinstance(corpus, ray.ObjectRef):
+            corpus = ray.get(corpus)
+        self.m = _normalize(np.asarray(corpus, dtype=np.float64))
+        self.ids = np.asarray(list(corpus_ids), dtype=np.int64)
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        bm = _normalize(np.asarray(batch.column("embedding").to_pylist(),
+                                   dtype=np.float64))
+        sims = bm @ self.m.T
+        bi, cj = np.nonzero(sims >= self.threshold)
+        a_out, b_out = [], []
+        for i, j in zip(bi, cj):
+            a, b = int(bids[i]), int(self.ids[j])
+            if a < b:           # each unordered pair exactly once, no self
+                a_out.append(a)
+                b_out.append(b)
+        return pa.table({
+            "vec_a": pa.array(a_out, type=pa.int64()),
+            "vec_b": pa.array(b_out, type=pa.int64()),
+        })
+
+
+def sim_pairs_exact(ds, corpus, corpus_ids, threshold: float = 0.4,
+                    concurrency=(1, 4)):
+    import ray
+    ref = ray.put(np.asarray(corpus, dtype=np.float64))
+    return ds.map_batches(
+        SimPairsActor,
+        fn_constructor_kwargs={"corpus": ref, "corpus_ids": list(corpus_ids),
+                               "threshold": threshold},
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency, num_cpus=1)

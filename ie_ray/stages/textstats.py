@@ -1,0 +1,107 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.  All vectorizable per-batch maps over the
+``documents`` table; formulas chosen to be SQL-expressible where possible so
+the DuckDB oracle can verify them value-for-value.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pyarrow as pa
+
+_PUNCT_RE = re.compile(r"[.,;:!?]")
+_BPEISH_RE = re.compile(r"\w+|[^\w\s]")
+
+_STOPWORDS_EN = {"the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+                 "was", "were", "it", "that", "this", "with", "for", "on",
+                 "as", "at", "by", "be", "has", "have", "not", "but"}
+_STOP_DE = {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+            "zu", "den", "von", "im", "auf", "für", "des", "dem", "sich"}
+_STOP_FR = {"le", "la", "les", "et", "est", "pas", "avec", "un", "une", "de",
+            "du", "des", "dans", "pour", "que", "qui", "sur", "au"}
+
+
+def token_count_batch(batch: pa.Table) -> pa.Table:
+    """Whitespace tokens (= DuckDB regexp_split_to_array(trim(text),'\\s+'))
+    and a BPE-ish regex token count (words + punctuation marks)."""
+    texts = batch.column("text").to_pylist()
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array([len(t.split()) for t in texts], type=pa.int64()),
+        "n_bpeish": pa.array([len(_BPEISH_RE.findall(t)) for t in texts],
+                             type=pa.int64()),
+    })
+
+
+def quality_batch(batch: pa.Table) -> pa.Table:
+    """Quality signals: char/punct/stopword/upper counts.
+
+    Every column is reproducible in ANSI SQL (length/regexp) so the oracle
+    check is exact."""
+    texts = batch.column("text").to_pylist()
+    n_chars, n_punct, n_tokens, n_stop, n_upper = [], [], [], [], []
+    for t in texts:
+        n_chars.append(len(t))
+        n_punct.append(len(_PUNCT_RE.findall(t)))
+        toks = t.split()
+        n_tokens.append(len(toks))
+        n_stop.append(sum(1 for w in toks if w.lower() in _STOPWORDS_EN))
+        n_upper.append(sum(1 for ch in t if ch.isupper()))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_chars": pa.array(n_chars, type=pa.int64()),
+        "n_punct": pa.array(n_punct, type=pa.int64()),
+        "n_tokens": pa.array(n_tokens, type=pa.int64()),
+        "n_stopwords": pa.array(n_stop, type=pa.int64()),
+        "n_upper": pa.array(n_upper, type=pa.int64()),
+    })
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Stopword-overlap language ID (en/de/fr heuristic) — the rebuild's
+    F4-adjacent classifier; no SQL oracle (heuristic model)."""
+    texts = batch.column("text").to_pylist()
+    preds, scores = [], []
+    for t in texts:
+        words = set(w.lower() for w in t.split())
+        cand = [("en", len(words & _STOPWORDS_EN)),
+                ("de", len(words & _STOP_DE)),
+                ("fr", len(words & _STOP_FR))]
+        cand.sort(key=lambda x: (-x[1], x[0]))
+        total = sum(c for _, c in cand) or 1
+        preds.append(cand[0][0] if cand[0][1] > 0 else "und")
+        scores.append(round(cand[0][1] / total, 6))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "lang_pred": pa.array(preds, type=pa.string()),
+        "lang_score": pa.array(scores, type=pa.float64()),
+    })
+
+
+def fingerprint_batch(batch: pa.Table, w: int = 8) -> pa.Table:
+    """Winnowing-style document fingerprint: min rolling hash per window of
+    word 4-grams + full md5.  Deterministic; used for fuzzy provenance."""
+    texts = batch.column("text").to_pylist()
+    fps, md5s = [], []
+    for t in texts:
+        words = t.lower().split()
+        grams = [" ".join(words[i:i + 4]) for i in range(max(len(words) - 3, 0))]
+        hs = [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+              for g in grams]
+        sel = []
+        for i in range(max(len(hs) - w + 1, 0)):
+            sel.append(min(hs[i:i + w]))
+        if not sel and hs:
+            sel = [min(hs)]
+        digest = hashlib.md5(
+            b"".join(x.to_bytes(8, "little") for x in sorted(set(sel)))
+        ).hexdigest() if sel else ""
+        fps.append(digest)
+        md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fingerprint": pa.array(fps, type=pa.string()),
+        "text_md5": pa.array(md5s, type=pa.string()),
+    })

@@ -1,0 +1,116 @@
+"""Training-data operator tests: dedup family, similarity, text stats."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again",  # dup
+        "the quick brown fox jumps over the lazy dog again and twice",  # near
+        "a completely different document about ray data pipelines",
+        "another unrelated text concerning arrow record batches",
+        "",
+    ]
+    return ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string()),
+    }))
+
+
+def test_exact_dedup_docs(docs_ds):
+    from ie_ray.stages.dedup import exact_dedup_docs
+    rows = exact_dedup_docs(docs_ds).take_all()
+    # 6 docs, one exact duplicate pair → 5 distinct hashes, min id kept
+    assert len(rows) == 5
+    kept = {r["doc_id"] for r in rows}
+    assert 0 in kept and 1 not in kept
+
+
+def test_minhash_near_dup(docs_ds):
+    from ie_ray.stages.dedup import minhash_lsh_pairs
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in minhash_lsh_pairs(docs_ds, jaccard_threshold=0.5).take_all()}
+    assert (0, 1) in pairs          # exact dup
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup
+    assert (3, 4) not in pairs
+
+
+def test_simhash_pairs(docs_ds):
+    from ie_ray.stages.dedup import simhash_pairs
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in simhash_pairs(docs_ds, max_hamming=6).take_all()}
+    assert pairs[(0, 1)] == 0
+
+
+def test_ngram_jaccard(docs_ds):
+    from ie_ray.stages.dedup import ngram_jaccard_pairs
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs_ds, threshold=0.3).take_all()}
+    assert pairs[(0, 1)] == 1.0
+
+
+def test_knn_and_sim_pairs(ray_session):
+    import ray.data
+    from ie_ray.stages.similarity import knn_brute, sim_pairs_exact
+    rng = np.random.RandomState(3)
+    m = rng.randn(50, 16)
+    m[7] = m[3] + 0.01 * rng.randn(16)   # planted neighbor
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(50), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              type=pa.list_(pa.float32())),
+    }))
+    res = knn_brute(ds, m[[3]], [3], k=2).take_all()
+    neighbors = [r["neighbor"] for r in res]
+    assert 3 in neighbors and 7 in neighbors
+
+    pairs = {(r["vec_a"], r["vec_b"])
+             for r in sim_pairs_exact(ds, m, list(range(50)),
+                                      threshold=0.99).take_all()}
+    assert (3, 7) in pairs
+
+
+def test_textstats_and_langid(ray_session):
+    import ray.data
+    from ie_ray.stages.textstats import langid_batch, quality_batch, token_count_batch
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["The cat is on the mat.",
+                          "Der Hund ist nicht mit der Katze.",
+                          "Le chat est dans la maison pour le soir."],
+                         type=pa.string()),
+    }))
+    tok = {r["doc_id"]: r["n_tokens"]
+           for r in ds.map_batches(token_count_batch,
+                                   batch_format="pyarrow").take_all()}
+    assert tok[0] == 6
+    langs = {r["doc_id"]: r["lang_pred"]
+             for r in ds.map_batches(langid_batch,
+                                     batch_format="pyarrow").take_all()}
+    assert langs == {0: "en", 1: "de", 2: "fr"}
+    q = {r["doc_id"]: r for r in ds.map_batches(
+        quality_batch, batch_format="pyarrow").take_all()}
+    assert q[0]["n_punct"] == 1 and q[0]["n_chars"] == 22
+
+
+def test_media_plumbing(ray_session):
+    import ray.data
+    from ie_ray.stages.multimodal import MediaDecodeActor, synthesize_media
+    ds = ray.data.from_arrow(synthesize_media(12))
+    rows = ds.map_batches(MediaDecodeActor, batch_size=4,
+                          concurrency=(1, 2), num_cpus=1,
+                          batch_format="pyarrow").take_all()
+    assert len(rows) == 12
+    assert all(len(r["features"]) == 16 for r in rows)
+    # determinism: same payload → same features
+    again = ds.map_batches(MediaDecodeActor, batch_size=4,
+                           concurrency=(1, 2), num_cpus=1,
+                           batch_format="pyarrow").take_all()
+    f0 = {r["media_id"]: tuple(r["features"]) for r in rows}
+    f1 = {r["media_id"]: tuple(r["features"]) for r in again}
+    assert f0 == f1

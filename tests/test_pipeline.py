@@ -17,7 +17,7 @@ def fixture_dir(ray_session, tmp_path_factory):
 def test_extraction_byte_identity(ray_session, fixture_dir):
     import ray.data
     from ie_ray.stages.extract import verify_extraction_batch
-    ds = ray.data.read_parquet(os.path.join(fixture_dir, "pages.parquet"))
+    ds = ray.data.read_parquet(os.path.join(fixture_dir, "pages"))
     res = ds.map_batches(verify_extraction_batch, batch_format="pyarrow")
     rows = res.take_all()
     assert rows and all(r["identical"] for r in rows)
@@ -26,7 +26,7 @@ def test_extraction_byte_identity(ray_session, fixture_dir):
 def test_exact_dedup(ray_session, fixture_dir):
     import ray.data
     from ie_ray.stages.extract import add_page_hash, exact_dedup
-    ds = ray.data.read_parquet(os.path.join(fixture_dir, "pages.parquet"))
+    ds = ray.data.read_parquet(os.path.join(fixture_dir, "pages"))
     ds = ds.map_batches(add_page_hash, batch_format="pyarrow")
     total = ds.count()
     deduped = exact_dedup(ds).count()
