@@ -348,11 +348,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
             expr="kind != 'quarantine' and kind != 'empty'")
         return build_edges(good)
 
+    def kg_canonical_edges(sf_dir):
+        """Full canonicalization path: triples → _AKA alias edges →
+        distributed connected components → canonical-id edge table."""
+        import ray as _ray
+        from ie_ray.stages.link import (alias_edges_from_triples,
+                                        canonicalize_ids,
+                                        connected_components)
+        fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
+        triples = kg_triples(fd).materialize()
+        comp = {r["node"]: r["component"] for r in
+                connected_components(
+                    alias_edges_from_triples(triples)).take_all()}
+        canon = canonicalize_ids(triples, _ray.put(comp))
+        good = canon.filter(expr="kind != 'quarantine' and kind != 'empty'")
+        return build_edges(good)
+
     def extraction_identity(sf_dir):
         from ie_ray.stages.extract import verify_extraction_batch
         fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
         ds = ray.data.read_parquet(os.path.join(fd, "pages"))
         return ds.map_batches(verify_extraction_batch, batch_format="pyarrow")
+
+    def clause_extract(sf_dir):
+        """C15: the dependency-parse SVO path over the golden sentence pool
+        (synthesized Google-NLP-schema parses)."""
+        import json as _json
+        from ie_ray.sources.depparse import parse_simple_sentence
+        from ie_ray.sources.pages import golden_sentences
+        from ie_ray.stages.clauses import extract_clauses_batch
+        pool = golden_sentences(600)
+        sid, pj = [], []
+        for i, s in enumerate(pool):
+            parsed = parse_simple_sentence(s["sentence"])
+            if parsed is not None:
+                sid.append(i)
+                pj.append(_json.dumps(parsed[0]))
+        ds = ray.data.from_arrow(pa.table({
+            "sent_id": pa.array(sid, type=pa.int64()),
+            "parse_json": pa.array(pj, type=pa.string()),
+        }))
+        return ds.map_batches(extract_clauses_batch, batch_format="pyarrow")
+
+    def kg_drs(sf_dir):
+        """Per-sentence linear DRS + FOL strings (C14 renderings) for the
+        derivation pool — the engine's full semantic output."""
+        from ie_ray.semantics.engine import Composer
+        from ie_ray.drt.drs import show_fol
+        fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
+        ds = ray.data.read_parquet(os.path.join(fd, "derivations.parquet"))
+
+        class DrsActor:
+            def __init__(self):
+                self.composer = Composer()
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                hashes = b.column("sent_hash").to_pylist()
+                drvs = b.column("ccgbank").to_pylist()
+                drs_out, fol_out = [], []
+                for d in drvs:
+                    try:
+                        sem = self.composer.compose_ccgbank(d)
+                        drs = sem.get_drs()
+                        drs_out.append(drs.show())
+                        fol_out.append(show_fol(drs))
+                    except Exception:
+                        drs_out.append(None)
+                        fol_out.append(None)
+                return pa.table({
+                    "sent_hash": pa.array(hashes, type=pa.string()),
+                    "drs": pa.array(drs_out, type=pa.string()),
+                    "fol": pa.array(fol_out, type=pa.string()),
+                })
+
+        return ds.map_batches(DrsActor, batch_format="pyarrow",
+                              concurrency=(1, 2), num_cpus=1)
 
     def media_features(sf_dir):
         from ie_ray.stages.multimodal import MediaDecodeActor, synthesize_media
@@ -388,7 +458,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": kg_triples_q,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
+        "kg_canonical_edges": kg_canonical_edges,
         "extraction_identity": extraction_identity,
+        "clause_extract": clause_extract,
+        "kg_drs": kg_drs,
         "media_features": media_features,
     }
 

@@ -1,3 +1,3 @@
-from .drs import Ref, Rel, DRS, show_linear
+from .drs import Ref, Rel, DRS, show_linear, show_set, show_fol
 
-__all__ = ["Ref", "Rel", "DRS", "show_linear"]
+__all__ = ["Ref", "Rel", "DRS", "show_linear", "show_set", "show_fol"]

@@ -135,6 +135,33 @@ class DRS:
         return show_linear(self)
 
 
+def show_set(drs: DRS) -> str:
+    """Set notation ``<{X1,E2},{boy(X1),...}>`` (parity: SHOW_SET,
+    src/python/marbles/ie/drt/common.py:13-22)."""
+    names = drs.names()
+    universe = [names[r] for r in sorted((r for r in names if r.bound),
+                                         key=lambda r: int(names[r][1:]))]
+    conds = ["%s(%s)" % (c.pred, ",".join(names[r.find()] for r in c.refs))
+             for c in drs.conditions]
+    return "<{%s},{%s}>" % (",".join(universe), ",".join(conds))
+
+
+def show_fol(drs: DRS) -> str:
+    """First-order rendering: existential closure over the universe, free
+    variables left free (parity: to_fol / to_mfol, drt/drs.py:413-443 and
+    drt/fol.py — without the pysmt/z3 backend, which is not in this
+    environment; the formula string is the interchange format)."""
+    names = drs.names()
+    universe = [names[r] for r in sorted((r for r in names if r.bound),
+                                         key=lambda r: int(names[r][1:]))]
+    conds = ["%s(%s)" % (c.pred, ",".join(names[r.find()] for r in c.refs))
+             for c in drs.conditions]
+    body = " & ".join(conds) if conds else "true"
+    for v in reversed(universe):
+        body = "exists %s.(%s)" % (v, body)
+    return body
+
+
 def show_linear(drs: DRS) -> str:
     names = drs.names()
     universe = [names[r] for r in sorted(

@@ -115,12 +115,21 @@ def lemmatize_verb(word: str) -> str:
 
 
 def _needs_e(stem: str) -> bool:
-    """Heuristic: CVC(e) verbs like believ-, rat-, wheez- need a trailing e."""
+    """Heuristic: CVC(e) verbs like believ-, pos-, wheez- need a trailing e."""
     if len(stem) < 2:
         return False
-    # consonant + single vowel cluster endings that almost always take 'e'
-    return bool(re.search(r"[b-df-hj-np-tv-z][aeiou][b-df-hj-np-rtv-z]$", stem)) and \
-        not re.search(r"(ow|ay|ey|oy|aw|ew)$", stem) or stem.endswith(("at", "iev", "eez", "uc", "at", "iz", "as", "us"))
+    if stem.endswith(("iev", "eav", "eez", "ooz", "uc", "iz", "yz")):
+        return True                                   # believe, leave, organize
+    n_vowel_groups = len(re.findall(r"[aeiouy]+", stem))
+    # single-syllable consonant+vowel+consonant stems take 'e' (pose, rate,
+    # vote); multi-syllable ones usually don't (protest, focus, deliver)
+    if n_vowel_groups == 1 and re.search(r"[b-df-hj-np-tv-z][aeiou][b-df-hj-np-tvz]$", stem) \
+            and not re.search(r"(ow|ay|ey|oy|aw|ew)$", stem):
+        return True
+    if re.search(r"[aeiou]g$", stem) and not stem.endswith("ng"):
+        return True                                   # manage, arrange
+    return (stem.endswith("at") and n_vowel_groups > 1) \
+        or (n_vowel_groups == 1 and stem.endswith(("os", "as", "us", "is")))
 
 
 # ---------------------------------------------------------------------------

@@ -99,68 +99,146 @@ def load_alias_map(path: str) -> Dict[str, Tuple[str, float]]:
 # connected components: hash-min label propagation over edge datasets
 # ---------------------------------------------------------------------------
 
-def connected_components(edges_ds, max_iters: int = 8, salt: int = 0):
-    """Union-find over an edge Dataset ``(a:string, b:string)`` without any
-    driver-side materialization of the graph.
+def connected_components(edges_ds, max_iters: int = 25):
+    """Union-find over an edge Dataset ``(a:string, b:string)`` computed
+    entirely with groupby shuffles — no driver-side graph, no joins.
 
-    Each iteration: explode edges to (node, candidate_label) pairs both ways,
-    ``groupby(node)`` keeping the min label, then re-join labels onto edges
-    via a second groupby round.  Converges in O(diameter) iterations;
-    alias/appositive clusters are shallow (diameter ≤ 3) so ``max_iters=8``
-    is generous.  Returns a Dataset ``(node, component)``.
+    Hash-min label propagation: each iteration unions the current label
+    table with the (doubled) edge list, groups by node, takes the min label
+    seen at the node, and pushes that label to every neighbour; a second
+    ``groupby(node).min`` collapses the messages.  Converges in O(diameter)
+    iterations and exits early when an aggregate signature of the label
+    table stops changing — alias graphs with hub concepts can chain
+    entity–concept–entity paths, so the cap is generous.  The label table is
+    ``materialize()``d per iteration (one small row per node) so the lazy
+    plan doesn't re-execute the whole chain each round.
 
-    Skew note: hot entities produce large groups; min-aggregation is
-    associative so Ray's sort-based shuffle pre-combines within blocks —
-    the reduce side only sees one candidate per (block × key).
+    Skew note: min is associative, so Ray's sort shuffle pre-combines per
+    block — a hot node's millions of messages reduce to one candidate per
+    (block × key) before the exchange.  Returns Dataset (node, component).
     """
-    import ray.data
-    from ray.data.aggregate import AggregateFn
 
     def explode(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_pylist()
         b = batch.column("b").to_pylist()
-        nodes = a + b
-        labels = [min(x, y) for x, y in zip(a, b)] * 2
-        return pa.table({"node": pa.array(nodes, type=pa.string()),
-                         "label": pa.array(labels, type=pa.string())})
+        return pa.table({
+            "node": pa.array(a + b, type=pa.string()),
+            "peer": pa.array(b + a, type=pa.string()),
+        })
 
-    pairs = edges_ds.map_batches(explode, batch_format="pyarrow")
-    labels = pairs.groupby("node").min("label")
-    labels = labels.map_batches(
+    # adjacency, both directions (static across iterations)
+    adj = edges_ds.map_batches(explode, batch_format="pyarrow").materialize()
+
+    # initial labels: min(node, min(neighbors))
+    def self_label(batch: pa.Table) -> pa.Table:
+        n = batch.column("node").to_pylist()
+        p = batch.column("peer").to_pylist()
+        return pa.table({
+            "node": batch.column("node"),
+            "label": pa.array([min(x, y) for x, y in zip(n, p)],
+                              type=pa.string()),
+        })
+
+    labels = (adj.map_batches(self_label, batch_format="pyarrow")
+              .groupby("node").min("label")
+              .map_batches(lambda t: t.rename_columns(["node", "label"]),
+                           batch_format="pyarrow")).materialize()
+
+    for _ in range(max_iters - 1):
+        # one round: (labels ∪ adjacency) grouped by node → push min label
+        # to every neighbour, then collapse messages per node
+        tagged_labels = labels.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "peer": pa.array([None] * t.num_rows, type=pa.string()),
+                "label": t.column("label")}),
+            batch_format="pyarrow")
+        tagged_edges = adj.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "peer": t.column("peer"),
+                "label": pa.array([None] * t.num_rows, type=pa.string())}),
+            batch_format="pyarrow")
+
+        def push(group: pa.Table) -> pa.Table:
+            node = group.column("node")[0].as_py()
+            lab = node
+            peers = []
+            for p, l in zip(group.column("peer").to_pylist(),
+                            group.column("label").to_pylist()):
+                if l is not None and l < lab:
+                    lab = l
+                if p is not None:
+                    peers.append(p)
+            nodes = [node] + peers
+            return pa.table({
+                "node": pa.array(nodes, type=pa.string()),
+                "label": pa.array([lab] * len(nodes), type=pa.string()),
+            })
+
+        messages = tagged_labels.union(tagged_edges) \
+            .groupby("node").map_groups(push, batch_format="pyarrow")
+        new_labels = (messages.groupby("node").min("label")
+                      .map_batches(lambda t: t.rename_columns(
+                          ["node", "label"]), batch_format="pyarrow")
+                      ).materialize()
+        # convergence: compare cheap aggregate signatures
+        import hashlib as _h
+
+        def sig(ds):
+            tot = 0
+            for row in ds.map_batches(
+                    lambda t: pa.table({"h": pa.array([sum(
+                        int(_h.md5((n + "|" + l).encode()).hexdigest()[:8], 16)
+                        for n, l in zip(t.column("node").to_pylist(),
+                                        t.column("label").to_pylist()))],
+                        type=pa.int64())}),
+                    batch_format="pyarrow").take_all():
+                tot = (tot + row["h"]) & 0xFFFFFFFFFFFF
+            return tot
+
+        if sig(new_labels) == sig(labels):
+            labels = new_labels
+            break
+        labels = new_labels
+    return labels.map_batches(
         lambda t: t.rename_columns(["node", "component"]),
         batch_format="pyarrow")
 
-    for _ in range(max_iters - 1):
-        # propagate: component(node) pushed across each edge
-        lab = {r["node"]: r["component"] for r in labels.take_all()} \
-            if labels.count() <= 200_000 else None
-        if lab is not None:
-            # small component map: broadcast-join locally (fast path)
-            import ray
-            ref = ray.put(lab)
 
-            def relabel(batch: pa.Table, m=ref) -> pa.Table:
-                mm = m if isinstance(m, dict) else ray.get(m)
-                a = batch.column("a").to_pylist()
-                b = batch.column("b").to_pylist()
-                la = [mm.get(x, x) for x in a]
-                lb = [mm.get(x, x) for x in b]
-                nodes = a + b
-                labels2 = [min(x, y) for x, y in zip(la, lb)] * 2
-                return pa.table({"node": pa.array(nodes, type=pa.string()),
-                                 "label": pa.array(labels2, type=pa.string())})
+def canonicalize_ids(triples_ds, components_map_ref):
+    """Rewrite subj_id/obj_id to canonical component ids via a broadcast
+    component map (small side; at 10^12-page scale the map itself shards —
+    swap the broadcast for a partitioned lookup service like the dedup
+    index)."""
+    import ray
 
-            new_pairs = edges_ds.map_batches(relabel, batch_format="pyarrow")
-            new_labels = new_pairs.groupby("node").min("label")
-            new_labels = new_labels.map_batches(
-                lambda t: t.rename_columns(["node", "component"]),
-                batch_format="pyarrow")
-            # converged?
-            old = {r["node"]: r["component"] for r in labels.take_all()}
-            new = {r["node"]: r["component"] for r in new_labels.take_all()}
-            labels = new_labels
-            if old == new:
-                break
-        else:
-            break
-    return labels
+    def relabel(batch: pa.Table) -> pa.Table:
+        m = ray.get(components_map_ref) \
+            if not isinstance(components_map_ref, dict) else components_map_ref
+        subj = [m.get(x, x) for x in batch.column("subj_id").to_pylist()]
+        obj = [m.get(x, x) if x is not None else None
+               for x in batch.column("obj_id").to_pylist()]
+        cols = {n: batch.column(n) for n in batch.column_names
+                if n not in ("subj_id", "obj_id")}
+        cols["subj_id"] = pa.array(subj, type=pa.string())
+        cols["obj_id"] = pa.array(obj, type=pa.string())
+        return pa.table(cols)
+
+    return triples_ds.map_batches(relabel, batch_format="pyarrow")
+
+
+def alias_edges_from_triples(triples_ds):
+    """(subj_id, obj_id) edges from _AKA alias triples — the input to
+    cross-document canonicalization (J5/A3 in SURVEY.md)."""
+    def prep(batch: pa.Table) -> pa.Table:
+        a_out, b_out = [], []
+        for s, o, k in zip(batch.column("subj_id").to_pylist(),
+                           batch.column("obj_id").to_pylist(),
+                           batch.column("kind").to_pylist()):
+            if k == "aka" and s is not None and o is not None and s != o:
+                a_out.append(s)
+                b_out.append(o)
+        return pa.table({"a": pa.array(a_out, type=pa.string()),
+                         "b": pa.array(b_out, type=pa.string())})
+    return triples_ds.map_batches(prep, batch_format="pyarrow")
