@@ -120,6 +120,8 @@ def _needs_e(stem: str) -> bool:
         return False
     if stem.endswith(("iev", "eav", "eez", "ooz", "uc", "iz", "yz")):
         return True                                   # believe, leave, organize
+    if stem.endswith("u"):
+        return True                                   # continue, argue, rescue
     n_vowel_groups = len(re.findall(r"[aeiouy]+", stem))
     # single-syllable consonant+vowel+consonant stems take 'e' (pose, rate,
     # vote); multi-syllable ones usually don't (protest, focus, deliver)
@@ -540,13 +542,24 @@ def _apply_control_sharing(cat: Category, tree: RefTree):
         args.append((c.arg, t[1], c.slash))
         c, t = c.result, t[0]
     # find plain NP args and S-complement args
-    np_refs = [tree_final(at) for ac, at, _ in args if ac.isatom and ac.isnp]
     subj_np = None
     for ac, at, slash in args:
         if ac.isatom and ac.isnp and slash == "\\":
             subj_np = tree_final(at)
     for i, (ac, at, _) in enumerate(args):
-        if ac.isfunctor and ac.final_atom().is_sy and ac.arg.isnp:
+        if ac.isfunctor and ac.final_atom().is_sy and ac.arg.isnp \
+                and isinstance(at, tuple):
+            comp_np = tree_final(at[1])
+            # already shared (mirror/pass-through or explicit predarg tags):
+            # the template has spoken — don't override it
+            outside_ids = set()
+            for j, (jc, jt, _s) in enumerate(args):
+                if j != i:
+                    outside_ids.update(id(r.find()) for r in tree_atoms(jt))
+            outside_ids.update(id(r.find()) for r in tree_atoms(t))
+            if id(comp_np.find()) in outside_ids or \
+                    id(tree_final(at[0]).find()) in outside_ids:
+                continue
             # object NPs applied before (i.e. appearing earlier in args list)
             controller = None
             for j in range(0, i):
@@ -555,8 +568,8 @@ def _apply_control_sharing(cat: Category, tree: RefTree):
                     controller = tree_final(jt)
             if controller is None:
                 controller = subj_np
-            if controller is not None and isinstance(at, tuple):
-                tree_final(at[1]).union(controller)
+            if controller is not None:
+                comp_np.union(controller)
 
 
 def _peel_refs(cat: Category, tree: RefTree):
