@@ -189,7 +189,7 @@ class Category:
 
 _PUNCT_ATOMS = {".", ",", ";", ":", "LRB", "RRB", "LQU", "RQU"}
 
-_ATOM_RE = re.compile(r"([A-Za-z.;:,]+|LRB|RRB)(\[[A-Za-z,]+\])?(_\d+)?")
+_ATOM_RE = re.compile(r"([A-Za-z.;:,]+|LRB|RRB)((?:\[[A-Za-z,]+\])*)(_\d+)?")
 
 
 def _mk_atom(base, feats, tag):
@@ -225,7 +225,9 @@ def _parse_primary(s, pos):
     if not m:
         raise ValueError("bad category at %d in %r" % (pos, s))
     base = m.group(1)
-    feats = m.group(2)[1:-1].split(",") if m.group(2) else []
+    # multiple feature groups occur ("S[dcl][conj]") — merge them
+    feats = re.findall(r"\[([A-Za-z,]+)\]", m.group(2)) if m.group(2) else []
+    feats = [f for grp in feats for f in grp.split(",")]
     tag = m.group(3)[1:] if m.group(3) else None
     return _mk_atom(base, feats, tag), m.end()
 

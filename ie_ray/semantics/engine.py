@@ -68,12 +68,17 @@ class SentenceSem:
                         rank[r] = cr
             elif len(refs) == 2 and pred.startswith("_ARG"):
                 args.setdefault(refs[0], {})[pred] = refs[1]
-        # event verb labels
-        for c in drs.conditions:
-            pred, refs = c.resolved()
-            if len(refs) == 1 and refs[0] in events and not pred.startswith("_") \
-                    and events[refs[0]] is None:
-                events[refs[0]] = pred
+        # event verb labels — prefer conditions emitted by verb tokens
+        # (complementizers like "that" also name the shared event ref)
+        for verbs_only in (True, False):
+            for c in drs.conditions:
+                pred, refs = c.resolved()
+                if len(refs) == 1 and refs[0] in events \
+                        and not pred.startswith("_") \
+                        and events[refs[0]] is None \
+                        and (not verbs_only or (c.src is not None
+                                                and c.src.isverb)):
+                    events[refs[0]] = pred
         out = []
         for e, verb in events.items():
             if verb is None:
@@ -81,9 +86,11 @@ class SentenceSem:
             am = args.get(e, {})
             subj = label.get(am.get("_ARG0"))
             objr = am.get("_ARG1", am.get("_ARG2"))
-            obj = label.get(objr)
-            if obj is None and objr is not None and objr in events:
-                obj = events[objr]
+            # an event-valued object is named by its verb (control, that-
+            # complements), not by incidental unary conds like "that"
+            obj = events.get(objr) if objr in events else label.get(objr)
+            if obj is None and objr is not None:
+                obj = label.get(objr)
             out.append({"subj": subj, "pred": verb, "obj": obj, "kind": "arg"})
         for c in drs.conditions:
             pred, refs = c.resolved()
@@ -223,11 +230,17 @@ class Composer:
 
     def _coerce(self, child: Sem, res: Category, extras) -> Sem:
         c = child.cat
+        # comma-coordination: ", NP → NP[conj]" arrives via the punctuation
+        # pass-through; the [conj] feature marks the right conjunct
+        conj = child.conj or "conj" in res.features
         if res == c or res.can_unify(c):
-            return Sem(res, child.tree, conj=child.conj)
+            return Sem(res, child.tree, conj=conj)
         # N → NP / NP → N coercion: same referent
         if (res.isnp and c.isn) or (res.isn and c.isnp):
-            return Sem(res, child.tree)
+            return Sem(res, child.tree, conj=conj)
+        # gerund nominalization: S[ng]\NP → NP denotes the event itself
+        if (res.isnp or res.isn) and c.isfunctor and c.final_atom().is_sy:
+            return Sem(res, child.final_ref(), conj=conj)
         # type raising: X → T/(T\X) or T\(T/X)
         if res.isfunctor and res.arg.isfunctor and res.arg.arg.can_unify(c) \
                 and res.result.strip_features() == res.arg.result.strip_features():

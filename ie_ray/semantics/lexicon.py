@@ -118,8 +118,9 @@ def _needs_e(stem: str) -> bool:
     """Heuristic: CVC(e) verbs like believ-, pos-, wheez- need a trailing e."""
     if len(stem) < 2:
         return False
-    if stem.endswith(("iev", "eav", "eez", "ooz", "uc", "iz", "yz")):
-        return True                                   # believe, leave, organize
+    if stem.endswith(("iev", "eav", "eez", "ooz", "uc", "iz", "yz",
+                      "os", "as", "is", "rs", "ov", "ors", "nc")):
+        return True        # believe, oppose, praise, endorse, approve, announce
     if stem.endswith("u"):
         return True                                   # continue, argue, rescue
     n_vowel_groups = len(re.findall(r"[aeiouy]+", stem))
@@ -131,7 +132,7 @@ def _needs_e(stem: str) -> bool:
     if re.search(r"[aeiou]g$", stem) and not stem.endswith("ng"):
         return True                                   # manage, arrange
     return (stem.endswith("at") and n_vowel_groups > 1) \
-        or (n_vowel_groups == 1 and stem.endswith(("os", "as", "us", "is")))
+        or (n_vowel_groups == 1 and stem.endswith("us"))
 
 
 # ---------------------------------------------------------------------------
@@ -512,12 +513,15 @@ def _leaf_tree(cat: Category, tok: Token) -> RefTree:
                             and c.result.strip_features() == c.arg.strip_features()
                             and "adj" not in c.arg.final_atom().features):
             return (rt, mirror_tree(rt, c.arg))
-        # determiner / NP-N coercion and PP/NP prepositions share the ref
+        # determiner / NP-N coercion and PP/NP prepositions share the ref;
+        # complementizers (S[em]/S[dcl] "that") pass the clause event through
         if c.arg.isatom and isinstance(rt, Ref):
             rshape = c.result
             if (rshape.isnp and c.arg.isn) or (rshape.isn and c.arg.isnp) \
                     or (rshape.base == "PP" and c.arg.isnp) \
-                    or (rshape.base == "PP" and c.arg.base == "PP"):
+                    or (rshape.base == "PP" and c.arg.base == "PP") \
+                    or (rshape.isatom and rshape.base == "S"
+                        and c.arg.base == "S"):
                 return (rt, rt)
         at = build(c.arg)
         return (rt, at)
@@ -568,6 +572,10 @@ def _apply_control_sharing(cat: Category, tree: RefTree):
                     controller = tree_final(jt)
             if controller is None:
                 controller = subj_np
+            if controller is None and cat.final_atom().isnp:
+                # relative pronoun (NP\NP)/(S\NP): the clause's missing NP
+                # is the modified head noun
+                controller = tree_final(t)
             if controller is not None:
                 comp_np.union(controller)
 

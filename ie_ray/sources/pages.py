@@ -60,6 +60,13 @@ TVB = ["support", "oppose", "approve", "reject", "block", "fund", "join",
 IVP = [("protests", "protest", "against"), ("votes", "vote", "against"),
        ("argues", "argue", "with"), ("competes", "compete", "with")]
 
+# speech verbs taking a that-complement
+SAYV = [("says", "say"), ("claims", "claim"), ("reports", "report"),
+        ("notes", "note"), ("adds", "add")]
+
+# regular transitives usable as passives (pp = base + d/ed)
+TV_REG = [v for v in TV if v[1] not in ("lead",)]
+
 FIRST = ["Anna", "Marcus", "Elena", "Viktor", "Sofia", "Daniel", "Clara",
          "Oscar", "Nadia", "Peter", "Laura", "Ivan"]
 LAST = ["Marbury", "Okonkwo", "Petrova", "Lindqvist", "Tanaka", "Moreau",
@@ -133,6 +140,35 @@ def _np_poss(owner_np: str, noun: str) -> str:
     return _T("NP", 0, detp, _L("N", "NN", noun))
 
 
+def _vp_copular_adj(adj: str) -> str:
+    return _T(r"S[dcl]\NP", 0,
+              _L(r"(S[dcl]\NP)/(S[adj]\NP)", "VBZ", "is"),
+              _T(r"S[adj]\NP", 0, _L(r"S[adj]\NP", "JJ", adj)))
+
+
+def _np_relative(noun: str, verb3: str, obj_np: str) -> str:
+    vp = _vp_tv(verb3, obj_np)
+    rel = _T(r"NP\NP", 0,
+             _L(r"(NP\NP)/(S[dcl]\NP)", "WDT", "that"), vp)
+    return _T("NP", 0, _np_det(noun, "The"), rel)
+
+
+def _vp_passive(pp_form: str, agent_np: str = None) -> str:
+    core = _T(r"S[pss]\NP", 0, _L(r"S[pss]\NP", "VBN", pp_form))
+    if agent_np is not None:
+        by = _T(r"(S\NP)\(S\NP)", 0,
+                _L(r"((S\NP)\(S\NP))/NP", "IN", "by"), agent_np)
+        core = _T(r"S[pss]\NP", 0, core, by)
+    return _T(r"S[dcl]\NP", 0,
+              _L(r"(S[dcl]\NP)/(S[pss]\NP)", "VBZ", "is"), core)
+
+
+def _vp_that_comp(say3: str, emb_sent: str) -> str:
+    em = _T(r"S[em]", 0, _L(r"S[em]/S[dcl]", "IN", "that"), emb_sent)
+    return _T(r"S[dcl]\NP", 0,
+              _L(r"(S[dcl]\NP)/S[em]", "VBZ", say3), em)
+
+
 def _np_appos(name_np: str, desc_np: str) -> str:
     mod = _T(r"NP\NP", 1, _L(",", ",", ","),
              _T(r"NP\NP", 0, desc_np, _L(",", ",", ",")))
@@ -163,7 +199,7 @@ def golden_sentences(n: int = 1200, seed: int = SEED) -> List[dict]:
         return (rng.choice(FIRST),)
 
     for i in range(n):
-        kind = rng.randrange(7)
+        kind = rng.randrange(11)
         if kind == 0:       # The N1 V the N2
             n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)
             v3, vb = rng.choice(TV)
@@ -209,6 +245,36 @@ def golden_sentences(n: int = 1200, seed: int = SEED) -> List[dict]:
             drv = _sent(_np_poss(_np_name(*nm), n1), _vp_tv(v3, _np_det(n2)))
             triples = [("-".join(nm), "poss", n1, "poss"),
                        (n1, vb, n2, "arg")]
+        elif kind == 6:     # The N1 is ADJ  (copular attribute)
+            n1 = rng.choice(NOUNS)
+            adj = rng.choice(ADJS)
+            text = "The %s is %s." % (n1, adj)
+            drv = _sent(_np_det(n1, "The"), _vp_copular_adj(adj))
+            triples = [(n1, "be", adj, "arg")]
+        elif kind == 7:     # The N1 that V1 the N2 V2 the N3 (relative)
+            n1, n2, n3 = (rng.choice(NOUNS) for _ in range(3))
+            v1, vb1 = rng.choice(TV)
+            v2, vb2 = rng.choice(TV)
+            text = "The %s that %s the %s %s the %s." % (n1, v1, n2, v2, n3)
+            drv = _sent(_np_relative(n1, v1, _np_det(n2)),
+                        _vp_tv(v2, _np_det(n3)))
+            triples = [(n1, vb1, n2, "arg"), (n1, vb2, n3, "arg")]
+        elif kind == 8:     # The N2 is V-ed by the N1 (passive + agent)
+            n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)
+            _, vb = rng.choice(TV_REG)
+            pp = vb + ("d" if vb.endswith("e") else "ed")
+            text = "The %s is %s by the %s." % (n2, pp, n1)
+            drv = _sent(_np_det(n2, "The"),
+                        _vp_passive(pp, _np_det(n1)))
+            triples = [(n2, vb, None, "arg")]
+        elif kind == 9:     # The N1 SAYS that the N2 V the N3
+            n1, n2, n3 = (rng.choice(NOUNS) for _ in range(3))
+            s3, sb = rng.choice(SAYV)
+            v3, vb = rng.choice(TV)
+            text = "The %s %s that the %s %s the %s." % (n1, s3, n2, v3, n3)
+            emb = _sent(_np_det(n2, "the"), _vp_tv(v3, _np_det(n3)))
+            drv = _sent(_np_det(n1, "The"), _vp_that_comp(s3, emb))
+            triples = [(n1, sb, vb, "arg"), (n2, vb, n3, "arg")]
         else:               # Name , the N1 , V the N2 (appositive → _AKA)
             nm = name_pair()
             n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)

@@ -43,6 +43,29 @@ def test_wsj0004_tagged_derivation():
     assert "amid(E3,X5)" in drs and "signs(X5)" in drs
 
 
+REF_TESTS = "/root/reference/src/python/marbles/ie/test"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_TESTS),
+                    reason="reference test sources not present")
+def test_all_reference_inline_derivations_compose():
+    """Every inline CCGBANK derivation in the reference's own test suite
+    (compose/exec/gold_constituent) composes with no missing rules."""
+    import re
+    derivs = []
+    for f in ("gold_constituent_test.py", "compose_test.py", "exec_test.py"):
+        src = open(os.path.join(REF_TESTS, f)).read()
+        derivs += [d for d in re.findall(r"r'''(.*?)'''", src, re.S)
+                   if "<T" in d]
+    assert len(derivs) >= 50
+    c = Composer()
+    for d in derivs:
+        sem = c.compose_ccgbank(d)
+        sem.get_drs().show()
+        sem.triples()
+    assert not c.missing_rules, c.missing_rules
+
+
 @pytest.mark.skipif(not os.path.exists(BREXIT),
                     reason="reference data not present")
 def test_brexit_corpus_composes():
