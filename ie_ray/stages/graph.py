@@ -60,34 +60,48 @@ def build_edges(triples_ds):
 
 
 def build_nodes(triples_ds):
-    """Distinct entities with mention counts and a sample surface form."""
-    def explode(batch: pa.Table) -> pa.Table:
-        ids, labels = [], []
+    """Distinct entities with mention counts and the majority surface form.
+
+    Skew-safe two-stage aggregation: mentions are pre-counted per
+    (entity_id, label) INSIDE each batch before any shuffle, so a hot entity
+    that appears on billions of pages reduces to one row per distinct label
+    per block — the per-entity group the final reduce sees is bounded by the
+    number of distinct surface forms, not the mention count (the "salted
+    hot key" requirement of the north rule, SURVEY.md §4).
+    """
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
         for sid, s, oid, o in zip(batch.column("subj_id").to_pylist(),
                                   batch.column("subj").to_pylist(),
                                   batch.column("obj_id").to_pylist(),
                                   batch.column("obj").to_pylist()):
             if sid is not None:
-                ids.append(sid)
-                labels.append(s or "")
+                counts[(sid, s or "")] = counts.get((sid, s or ""), 0) + 1
             if oid is not None:
-                ids.append(oid)
-                labels.append(o or "")
-        return pa.table({"entity_id": pa.array(ids, type=pa.string()),
-                         "label": pa.array(labels, type=pa.string())})
+                counts[(oid, o or "")] = counts.get((oid, o or ""), 0) + 1
+        keys = sorted(counts)
+        return pa.table({
+            "entity_id": pa.array([k[0] for k in keys], type=pa.string()),
+            "label": pa.array([k[1] for k in keys], type=pa.string()),
+            "n": pa.array([counts[k] for k in keys], type=pa.int64()),
+        })
 
-    exploded = triples_ds.map_batches(explode, batch_format="pyarrow")
-    return (exploded.groupby("entity_id")
-            .map_groups(lambda g: _node_row(g), batch_format="pyarrow"))
+    per_label = (triples_ds.map_batches(partial_counts, batch_format="pyarrow")
+                 .groupby(["entity_id", "label"]).sum("n")
+                 .map_batches(lambda t: t.rename_columns(
+                     ["entity_id", "label", "n"]), batch_format="pyarrow"))
+    return per_label.groupby("entity_id").map_groups(_node_row,
+                                                     batch_format="pyarrow")
 
 
 def _node_row(group: pa.Table) -> pa.Table:
     labels = group.column("label").to_pylist()
-    best = max(set(labels), key=labels.count) if labels else ""
+    counts = group.column("n").to_pylist()
+    best = max(zip(counts, labels))[1] if labels else ""
     return pa.table({
         "entity_id": group.slice(0, 1).column("entity_id"),
         "label": pa.array([best], type=pa.string()),
-        "mentions": pa.array([group.num_rows], type=pa.int64()),
+        "mentions": pa.array([sum(counts)], type=pa.int64()),
     })
 
 
