@@ -341,6 +341,13 @@ def build_leaf_sem(tok: Token) -> Sem:
         if cat.isn or cat.isnp:
             if tok.pos in POS_PRONOUNS and word_l in _PRONOUNS:
                 _pron_conds(tok, r)
+            elif tok.isproper:
+                _proper_conds(tok, r)
+                _bind(r, tok)
+            elif tok.pos == "CD":
+                tok.conds.append(Rel(tok.stem, [r]))
+                tok.conds.append(Rel("_NUM", [r]))
+                _bind(r, tok)
             else:
                 tok.conds.append(Rel(tok.stem, [r]))
                 _bind(r, tok)
@@ -393,6 +400,9 @@ def build_leaf_sem(tok: Token) -> Sem:
         elif tok.pos in ("IN", "TO", "POS") and len(refs) > 1:
             # noun/VP-attached preposition: pred(head, obj)
             tok.conds.append(Rel(tok.stem, [refs[0], refs[-1]]))
+        elif tok.pos == "CD":
+            tok.conds.append(Rel(tok.stem, [refs[0]]))
+            tok.conds.append(Rel("_NUM", [refs[0]]))
         else:
             tok.conds.append(Rel(tok.stem, [refs[0]]))
         return Sem(cat, tree)

@@ -199,7 +199,7 @@ def golden_sentences(n: int = 1200, seed: int = SEED) -> List[dict]:
         return (rng.choice(FIRST),)
 
     for i in range(n):
-        kind = rng.randrange(11)
+        kind = rng.randrange(13)
         if kind == 0:       # The N1 V the N2
             n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)
             v3, vb = rng.choice(TV)
@@ -275,6 +275,27 @@ def golden_sentences(n: int = 1200, seed: int = SEED) -> List[dict]:
             emb = _sent(_np_det(n2, "the"), _vp_tv(v3, _np_det(n3)))
             drv = _sent(_np_det(n1, "The"), _vp_that_comp(s3, emb))
             triples = [(n1, sb, vb, "arg"), (n2, vb, n3, "arg")]
+        elif kind == 10:    # The N1 V the N2 on WEEKDAY (date modifier)
+            n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)
+            v3, vb = rng.choice(TV)
+            day = rng.choice(["Monday", "Tuesday", "Wednesday", "Thursday",
+                              "Friday"])
+            text = "The %s %s the %s on %s." % (n1, v3, n2, day)
+            onp = _T(r"(S\NP)\(S\NP)", 0,
+                     _L(r"((S\NP)\(S\NP))/NP", "IN", "on"),
+                     _np_name(day))
+            vp = _T(r"S[dcl]\NP", 0, _vp_tv(v3, _np_det(n2)), onp)
+            drv = _sent(_np_det(n1, "The"), vp)
+            triples = [(n1, vb, n2, "arg")]
+        elif kind == 11:    # The N1 V NUM N2 (numeric object)
+            n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS) + "s"
+            v3, vb = rng.choice(TV)
+            num = str(rng.choice([12, 40, 200, 500, 3000]))
+            text = "The %s %s %s %s." % (n1, v3, num, n2)
+            obj = _T("NP", 0, _T("N", 1, _L("N/N", "CD", num),
+                                 _L("N", "NNS", n2)))
+            drv = _sent(_np_det(n1, "The"), _vp_tv(v3, obj))
+            triples = [(n1, vb, n2, "arg")]
         else:               # Name , the N1 , V the N2 (appositive → _AKA)
             nm = name_pair()
             n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)

@@ -57,17 +57,18 @@ class LinkActor:
         hit = self.alias_map.get(m)
         if hit is not None:
             return hit[0]
-        # fall back: best alias sharing a word-prefix (score >= 0.7)
         if label[0].isupper():
-            best, score = None, 0.7
+            # candidate generation via the head word (surname), accepted when
+            # the mention shares a prefix with the candidate's canonical
+            # title at ratio >= 0.7 (parity: wiki candidate scoring,
+            # ie/semantics/ccg.py:1887-1917) or the head IS the title's head
             head = m.split()[-1] if m else ""
             cand = self.alias_map.get(head)
             if cand is not None:
-                s = _prefix_score(m, head)
-                if s >= 0.0:  # surname match accepted at lower bar w/ prior
-                    best = cand[0]
-            if best is not None:
-                return best
+                title = (cand[2] or "").lower()
+                if _prefix_score(m, title) >= 0.7 or \
+                        (title and title.split()[-1] == head):
+                    return cand[0]
             return "m:" + hashlib.md5(m.encode()).hexdigest()[:12]
         # common nouns / verbs become concept nodes keyed by surface form
         return "c:" + m
@@ -82,16 +83,18 @@ class LinkActor:
                                type=pa.string()))
 
 
-def load_alias_map(path: str) -> Dict[str, Tuple[str, float]]:
+def load_alias_map(path: str) -> Dict[str, tuple]:
+    """alias → (entity_id, prior, title); highest-prior candidate wins."""
     import pyarrow.parquet as pq
-    t = pq.read_table(path, columns=["alias", "entity_id", "prior"])
-    out: Dict[str, Tuple[str, float]] = {}
-    for a, e, p in zip(t.column("alias").to_pylist(),
-                       t.column("entity_id").to_pylist(),
-                       t.column("prior").to_pylist()):
+    t = pq.read_table(path, columns=["alias", "entity_id", "prior", "title"])
+    out: Dict[str, tuple] = {}
+    for a, e, p, ti in zip(t.column("alias").to_pylist(),
+                           t.column("entity_id").to_pylist(),
+                           t.column("prior").to_pylist(),
+                           t.column("title").to_pylist()):
         cur = out.get(a)
         if cur is None or p > cur[1]:
-            out[a] = (e, p)
+            out[a] = (e, p, ti)
     return out
 
 
