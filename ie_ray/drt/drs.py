@@ -84,6 +84,64 @@ class Rel:
         return "%s(%s)" % (self.pred, ",".join(map(repr, self.refs)))
 
 
+class Neg:
+    """Negated sub-DRS condition ``!(...)`` (parity: drt/drs.py:1486)."""
+
+    __slots__ = ("drs", "src")
+
+    def __init__(self, drs: "DRS"):
+        self.drs = drs
+        self.src = None
+
+    @property
+    def refs(self):
+        return [r for c in self.drs.conditions for r in c.refs]
+
+    def resolved(self):
+        return ("!", tuple(c.resolved() for c in self.drs.conditions))
+
+
+class Imp:
+    """Implication ``A -> B`` (parity: drt/drs.py:1626; used for VerbNet
+    class implications in the reference)."""
+
+    __slots__ = ("ante", "cons", "src")
+
+    def __init__(self, ante: "DRS", cons: "DRS"):
+        self.ante = ante
+        self.cons = cons
+        self.src = None
+
+    @property
+    def refs(self):
+        return [r for c in self.ante.conditions + self.cons.conditions
+                for r in c.refs]
+
+    def resolved(self):
+        return ("->", tuple(c.resolved() for c in self.ante.conditions),
+                tuple(c.resolved() for c in self.cons.conditions))
+
+
+class Or:
+    """Disjunction ``A or B`` (parity: drt/drs.py:1796)."""
+
+    __slots__ = ("left", "right", "src")
+
+    def __init__(self, left: "DRS", right: "DRS"):
+        self.left = left
+        self.right = right
+        self.src = None
+
+    @property
+    def refs(self):
+        return [r for c in self.left.conditions + self.right.conditions
+                for r in c.refs]
+
+    def resolved(self):
+        return ("|", tuple(c.resolved() for c in self.left.conditions),
+                tuple(c.resolved() for c in self.right.conditions))
+
+
 class DRS:
     """An ordered list of conditions plus a derived universe.
 
@@ -135,14 +193,30 @@ class DRS:
         return show_linear(self)
 
 
+def _render(c, names, fol: bool = False) -> str:
+    if isinstance(c, Rel):
+        return "%s(%s)" % (c.pred, ",".join(names[r.find()] for r in c.refs))
+    if isinstance(c, Neg):
+        inner = ",".join(_render(x, names, fol) for x in c.drs.conditions)
+        return ("~(%s)" if fol else "!(%s)") % inner
+    if isinstance(c, Imp):
+        a = ",".join(_render(x, names, fol) for x in c.ante.conditions)
+        b = ",".join(_render(x, names, fol) for x in c.cons.conditions)
+        return "(%s) -> (%s)" % (a, b)
+    if isinstance(c, Or):
+        a = ",".join(_render(x, names, fol) for x in c.left.conditions)
+        b = ",".join(_render(x, names, fol) for x in c.right.conditions)
+        return ("(%s) | (%s)" if fol else "(%s) or (%s)") % (a, b)
+    raise TypeError(type(c))
+
+
 def show_set(drs: DRS) -> str:
     """Set notation ``<{X1,E2},{boy(X1),...}>`` (parity: SHOW_SET,
     src/python/marbles/ie/drt/common.py:13-22)."""
     names = drs.names()
     universe = [names[r] for r in sorted((r for r in names if r.bound),
                                          key=lambda r: int(names[r][1:]))]
-    conds = ["%s(%s)" % (c.pred, ",".join(names[r.find()] for r in c.refs))
-             for c in drs.conditions]
+    conds = [_render(c, names) for c in drs.conditions]
     return "<{%s},{%s}>" % (",".join(universe), ",".join(conds))
 
 
@@ -154,8 +228,7 @@ def show_fol(drs: DRS) -> str:
     names = drs.names()
     universe = [names[r] for r in sorted((r for r in names if r.bound),
                                          key=lambda r: int(names[r][1:]))]
-    conds = ["%s(%s)" % (c.pred, ",".join(names[r.find()] for r in c.refs))
-             for c in drs.conditions]
+    conds = [_render(c, names, fol=True) for c in drs.conditions]
     body = " & ".join(conds) if conds else "true"
     for v in reversed(universe):
         body = "exists %s.(%s)" % (v, body)
@@ -167,7 +240,5 @@ def show_linear(drs: DRS) -> str:
     universe = [names[r] for r in sorted(
         (r for r in names if r.bound),
         key=lambda r: int(names[r][1:]))]
-    conds = []
-    for c in drs.conditions:
-        conds.append("%s(%s)" % (c.pred, ",".join(names[r.find()] for r in c.refs)))
+    conds = [_render(c, names) for c in drs.conditions]
     return "[%s| %s]" % (",".join(universe), ",".join(conds))
