@@ -25,6 +25,34 @@ class ComposeError(Exception):
     pass
 
 
+class Constituent:
+    """(vntype, word-index span, head index) — parity:
+    ie/core/sentence.py:218-321; vntypes constituent_types.py:6-17."""
+
+    __slots__ = ("vntype", "span", "head")
+
+    def __init__(self, vntype: str, span: List[int], head: int):
+        self.vntype = vntype
+        self.span = span
+        self.head = head
+
+    def text(self, tokens, mark_head: bool = False) -> str:
+        words = []
+        for i in self.span:
+            w = tokens[i].word
+            words.append(("#" + w) if (mark_head and i == self.head) else w)
+        return " ".join(words)
+
+
+# clean category signature → constituent vntype
+_VNTYPES = {
+    "NP": "NP", "N": None, "PP": "PP",
+    "S[dcl]": "S_DCL", "S[wq]": "S_WQ", "S[q]": "S_Q", "S[em]": "S_EM",
+    "S[b]\\NP": "S_INF", "S[to]\\NP": "S_INF", "S[ng]\\NP": "VP",
+    "S[adj]\\NP": "ADJP", "S[pss]\\NP": "VP", "S": "S",
+}
+
+
 class SentenceSem:
     """Result of composing one sentence."""
 
@@ -32,6 +60,22 @@ class SentenceSem:
         self.tokens = tokens
         self.extras = extras
         self.root = root
+        self.constituents: List[Constituent] = []
+
+    def constituent_string(self) -> str:
+        """Head-marked constituent rendering (parity:
+        compose_test.py:57-70 get_constituent_string)."""
+        return " ".join("%s(%s)" % (c.vntype, c.text(self.tokens, True))
+                        for c in self.constituents)
+
+    def select_phrases(self) -> dict:
+        """ref → phrase text for entity/event refs (C12-lite)."""
+        out = {}
+        for c in self.constituents:
+            tok = self.tokens[c.head]
+            for r in tok.refs[:1]:
+                out.setdefault(r.find(), c.text(self.tokens))
+        return out
 
     def get_drs(self, nodups: bool = True) -> DRS:
         conds: List[Rel] = []
@@ -117,8 +161,48 @@ class Composer:
         extras: List[Rel] = []
         sem = self._walk(root, tokens, extras)
         sent = SentenceSem(tokens, extras, sem)
+        sent.constituents = self._collect_constituents(root)
         self.resolve_proper_names(sent)
         return sent
+
+    # -- constituents (C6-lite: spans + CCGBANK heads) -----------------------
+
+    def _collect_constituents(self, root):
+        """Pre-order constituent list with spans and CCGBANK heads."""
+        out = []
+
+        def span_head(node):
+            if isinstance(node, Leaf):
+                return [node.idx], node.idx
+            spans, heads = [], []
+            for ch in node.children:
+                s, h = span_head(ch)
+                spans.append(s)
+                heads.append(h)
+            return (sorted(x for s in spans for x in s),
+                    heads[min(node.head, len(heads) - 1)])
+
+        def walk_pre(node):
+            if isinstance(node, Leaf):
+                return
+            vntype = _VNTYPES.get(node.cat.signature) or \
+                ("S_DCL" if node is root and node.cat.base == "S" else None)
+            if vntype:
+                span, head = span_head(node)
+                out.append(Constituent(vntype, span, head))
+            for ch in node.children:
+                walk_pre(ch)
+
+        walk_pre(root)
+        # drop exact duplicates (NP directly over N etc.)
+        seen = set()
+        uniq = []
+        for c in out:
+            key = (c.vntype, tuple(c.span))
+            if key not in seen:
+                seen.add(key)
+                uniq.append(c)
+        return uniq
 
     # -- tree walk ----------------------------------------------------------
 

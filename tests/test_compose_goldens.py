@@ -42,6 +42,13 @@ def test_boygirl_exact():
         "believe(E3),_EVENT(E3),_ARG0(E3,X1),_ARG1(E3,X4),girl(X4)]")
 
 
+def test_boygirl_constituents_exact():
+    # compose_test.py:122-123
+    assert _drs(BOYGIRL).constituent_string() == (
+        "S_DCL(The boy #wants to believe the girl) NP(#The boy) "
+        "S_INF(#to believe the girl) S_INF(#believe the girl) NP(#the girl)")
+
+
 def test_boygirl_triples():
     t = {(x["subj"], x["pred"], x["obj"]) for x in _drs(BOYGIRL).triples()}
     assert ("boy", "want", "believe") in t
