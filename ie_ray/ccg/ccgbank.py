@@ -96,3 +96,16 @@ def parse_ccgbank(text: str):
 
 def tree_words(leaves) -> str:
     return " ".join(l.word for l in leaves)
+
+
+def to_ccgbank(node) -> str:
+    """Serialize a Leaf/Node tree back to the one-line CCGBANK form —
+    ``parse_ccgbank(to_ccgbank(t))`` round-trips (parity:
+    get_predarg_ccgbank identity, ie/test/exec_test.py:100-101)."""
+    if isinstance(node, Leaf):
+        predarg = node.predarg.signature if node.predarg else node.cat.signature
+        return "(<L %s %s %s %s %s>)" % (node.cat.signature, node.pos,
+                                         node.pos, node.word, predarg)
+    kids = " ".join(to_ccgbank(c) for c in node.children)
+    return "(<T %s %d %d> %s )" % (node.cat.signature, node.head,
+                                   len(node.children), kids)

@@ -77,6 +77,48 @@ class SentenceSem:
                 out.setdefault(r.find(), c.text(self.tokens))
         return out
 
+    def verbnet_chunks(self) -> List[Constituent]:
+        """SRL chunk view (parity: get_verbnet_sentence,
+        ie/core/sentence.py:569-675; golden compose_test.py:126-127:
+        ``NP(#The boy) VP(#wants) S_INF(#to believe) NP(#the girl)``)."""
+        minimal_nps = []
+        nps = [c for c in self.constituents if c.vntype == "NP"]
+        for c in nps:
+            inner = [o for o in nps if o is not c
+                     and set(o.span) < set(c.span)]
+            if not inner:
+                minimal_nps.append(c)
+        covered = {i for c in minimal_nps for i in c.span}
+        chunks = list(minimal_nps)
+        i = 0
+        n = len(self.tokens)
+        while i < n:
+            t = self.tokens[i]
+            if i in covered or t.ispunct:
+                i += 1
+                continue
+            if t.isverb or t.pos == "TO":
+                run = [i]
+                j = i + 1
+                # a TO starts a new (infinitival) chunk
+                while j < n and j not in covered \
+                        and self.tokens[j].pos != "TO" \
+                        and (self.tokens[j].isverb):
+                    run.append(j)
+                    j += 1
+                vntype = "S_INF" if any(self.tokens[k].pos == "TO"
+                                        for k in run) else "VP"
+                chunks.append(Constituent(vntype, run, run[0]))
+                i = j
+            else:
+                i += 1
+        chunks.sort(key=lambda c: c.span[0])
+        return chunks
+
+    def verbnet_string(self) -> str:
+        return " ".join("%s(%s)" % (c.vntype, c.text(self.tokens, True))
+                        for c in self.verbnet_chunks())
+
     def get_drs(self, nodups: bool = True) -> DRS:
         conds: List[Rel] = []
         for t in self.tokens:

@@ -49,6 +49,23 @@ def test_boygirl_constituents_exact():
         "S_INF(#to believe the girl) S_INF(#believe the girl) NP(#the girl)")
 
 
+def test_boygirl_verbnet_view_exact():
+    # compose_test.py:126-127 (get_verbnet_sentence)
+    assert _drs(BOYGIRL).verbnet_string() == (
+        "NP(#The boy) VP(#wants) S_INF(#to believe) NP(#the girl)")
+
+
+def test_ccgbank_roundtrip():
+    # parity: get_predarg_ccgbank identity (exec_test.py:100-101)
+    from ie_ray.ccg.ccgbank import parse_ccgbank, to_ccgbank
+    for d in (BOYGIRL, BUS, DOOR, FARMER, WELCOME):
+        root, leaves = parse_ccgbank(d)
+        ser = to_ccgbank(root)
+        root2, leaves2 = parse_ccgbank(ser)
+        assert to_ccgbank(root2) == ser
+        assert [x.word for x in leaves] == [x.word for x in leaves2]
+
+
 def test_boygirl_triples():
     t = {(x["subj"], x["pred"], x["obj"]) for x in _drs(BOYGIRL).triples()}
     assert ("boy", "want", "believe") in t
