@@ -124,11 +124,12 @@ def kg_triples(fixture_dir: Optional[str] = None,
 
 
 def kg_full(fixture_dir: Optional[str] = None, out_dir: str = "/tmp/ie_ray_out",
-            concurrency=None) -> dict:
-    """Full run: triples → nodes/edges → partitioned parquet + manifests.
-
-    Returns summary counts (small driver-side values only)."""
+            concurrency=None, canonicalize: bool = True) -> dict:
+    """Full run: triples → canonicalize → nodes/edges → partitioned parquet
+    + manifests.  Returns summary counts (small driver-side values only)."""
     from ..stages.graph import build_edges, build_nodes, write_graph
+    from ..stages.link import (alias_edges_from_triples, canonicalize_ids,
+                               connected_components)
 
     # materialize the (reduced) triples once — kg_full consumes them three
     # ways (quarantine sink, nodes, edges) and re-running the whole page
@@ -136,6 +137,11 @@ def kg_full(fixture_dir: Optional[str] = None, out_dir: str = "/tmp/ie_ray_out",
     # than the page input, so this is a deliberate small-side checkpoint,
     # not a full-input materialization.
     triples = kg_triples(fixture_dir, concurrency=concurrency).materialize()
+    if canonicalize:
+        comp = {r["node"]: r["component"] for r in
+                connected_components(
+                    alias_edges_from_triples(triples)).take_all()}
+        triples = canonicalize_ids(triples, ray.put(comp)).materialize()
     # quarantine rows flow to their own sink; good rows to the graph
     good = triples.filter(expr="kind != 'quarantine' and kind != 'empty'")
     quarantine = triples.filter(expr="kind == 'quarantine'")

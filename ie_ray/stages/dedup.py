@@ -313,6 +313,14 @@ def embedding_dup_pairs(ds, threshold: float = 0.95, bucket_dims: int = 4):
 
     pairs = ds.map_batches(to_buckets, batch_format="pyarrow") \
         .groupby("bucket").map_groups(emit, batch_format="pyarrow")
-    return (pairs.groupby(["vec_a", "vec_b"]).max("cosine")
-            .map_batches(lambda t: t.rename_columns(
-                ["vec_a", "vec_b", "cosine"]), batch_format="pyarrow"))
+    result = (pairs.groupby(["vec_a", "vec_b"]).max("cosine")
+              .map_batches(lambda t: t.rename_columns(
+                  ["vec_a", "vec_b", "cosine"]), batch_format="pyarrow"))
+    if result.count() == 0:
+        # keep a typed schema even when no pairs clear the threshold
+        import ray.data
+        return ray.data.from_arrow(pa.table({
+            "vec_a": pa.array([], type=pa.int64()),
+            "vec_b": pa.array([], type=pa.int64()),
+            "cosine": pa.array([], type=pa.float64())}))
+    return result
