@@ -294,6 +294,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "avg_value": pc.round(t.column("avg_value"), 4)})
         return agg.map_batches(finish, batch_format="pyarrow")
 
+    def events_sessions(sf_dir):
+        """Sessionization: count per-user sessions split at >30-min gaps —
+        the classic stateful streaming op, expressed as a per-key group
+        sort (event-time order is only ever needed within one user)."""
+        ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+
+        def sessions(group: pa.Table) -> pa.Table:
+            ts = sorted(t.timestamp() for t in group.column("ts").to_pylist())
+            n = 1 + sum(1 for a, b in zip(ts, ts[1:]) if b - a > 1800)
+            return pa.table({
+                "user_id": group.slice(0, 1).column("user_id"),
+                "n_sessions": pa.array([n], type=pa.int64())})
+
+        return ds.groupby("user_id").map_groups(sessions,
+                                                batch_format="pyarrow")
+
+    def top_words(sf_dir):
+        """Corpus-wide top-20 words: per-batch partial counts (combiner)
+        → one small groupby → sort+limit (heavy-hitter pattern)."""
+        ds = _docs(sf_dir)
+
+        def partial(b: pa.Table) -> pa.Table:
+            counts: dict = {}
+            for t in b.column("text").to_pylist():
+                for w in t.lower().split():
+                    counts[w] = counts.get(w, 0) + 1
+            keys = sorted(counts)
+            return pa.table({
+                "word": pa.array(keys, type=pa.string()),
+                "n": pa.array([counts[k] for k in keys], type=pa.int64())})
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("word").sum("n")
+               .map_batches(lambda t: t.rename_columns(["word", "n"]),
+                            batch_format="pyarrow"))
+        return agg.sort(["n", "word"], descending=[True, False]).limit(20)
+
     def lexicon_extract(sf_dir):
         """A4: stem → distinct category signatures over the derivation
         corpus (flat_map tokens → groupby(stem) distinct-count)."""
@@ -452,6 +489,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": events_by_type,
         "events_hourly_window": events_hourly_window,
         "events_user_stats": events_user_stats,
+        "events_sessions": events_sessions,
+        "top_words": top_words,
         "lexicon_extract": lexicon_extract,
         "nation_region": nation_region,
         "order_status_counts": order_status_counts,
@@ -536,6 +575,16 @@ def oracle_sql() -> dict[str, str]:
         "events_user_stats":
             "SELECT user_id, count(*)::BIGINT AS n_events, "
             "round(avg(value), 4) AS avg_value FROM events GROUP BY user_id",
+        "events_sessions":
+            "WITH x AS (SELECT user_id, epoch(ts) - lag(epoch(ts)) "
+            "OVER (PARTITION BY user_id ORDER BY ts) AS gap FROM events) "
+            "SELECT user_id, count(CASE WHEN gap IS NULL OR gap > 1800 "
+            "THEN 1 END)::BIGINT AS n_sessions FROM x GROUP BY user_id",
+        "top_words":
+            "WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), "
+            "'\\s+')) AS word FROM documents WHERE trim(text) != '') "
+            "SELECT word, count(*)::BIGINT AS n FROM w WHERE word != '' "
+            "GROUP BY word ORDER BY n DESC, word ASC LIMIT 20",
         "nation_region":
             "SELECT r_name, count(*)::BIGINT AS n_nations FROM nation "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
