@@ -2,15 +2,16 @@
 
 Stage graph (all streaming, no mid-pipeline materialization):
 
-    read_parquet(pages, columns=[url, warc_ts, html, lang])
+    read_parquet(pages, columns=[url, html, lang])
       → extract_text (stateless map_batches, Arrow)
       → filter lang == 'en'
-      → add_page_hash → exact dedup (hash-partition shuffle)
+      → add_page_hash → online dedup (sharded owner-index actors)
       → segment (flat explode page → sentence rows)
       → ReplayParserActor (actor pool, broadcast derivation dict)
-      → ComposeActor (actor pool, per-actor Composer state)
+      → ComposeActor (actor pool, per-actor Composer state + LRU)
       → LinkActor (broadcast alias dict)
-      → [build_nodes/build_edges groupbys → partitioned parquet + manifests]
+      → [canonicalize → build_nodes/build_edges groupbys
+         → hash-partitioned parquet + lineage manifests]
 
 Parity with the reference's daemon chain: SURVEY.md §3.2; re-architecture
 rationale §4.
