@@ -143,7 +143,7 @@ def single_flagship(sf_dir: str, num_cpus: int) -> dict:
     return fs
 
 
-def scaling(sf_dir: str, reps: int = 2) -> dict:
+def scaling(sf_dir: str, reps: int = 3) -> dict:
     """Fresh processes at 8 and 32 CPUs on identical input; best of ``reps``
     runs per level (steady-state throughput — the first run pays one-off
     page-cache and fixture warming that a long-running cluster job never
