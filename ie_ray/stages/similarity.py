@@ -82,6 +82,83 @@ def knn_top1(ds, queries, query_ids, concurrency=(1, 4)):
     return res
 
 
+class LshKnnActor:
+    """Scale-path ANN: random-hyperplane LSH.
+
+    ``__init__`` draws the hyperplanes once per actor and pre-hashes the
+    broadcast queries; ``__call__`` hashes each corpus batch and emits
+    similarities only for corpus rows whose bucket is within hamming
+    distance 1 of a query's bucket (multiprobe).  Per-batch candidate work
+    is O(batch × matching queries) instead of O(batch × all queries)."""
+
+    def __init__(self, queries, query_ids, k: int, nbits: int = 8,
+                 seed: int = 13):
+        import ray
+        if isinstance(queries, ray.ObjectRef):
+            queries = ray.get(queries)
+        self.q = _normalize(np.asarray(queries, dtype=np.float64))
+        self.query_ids = list(query_ids)
+        self.k = k
+        rng = np.random.RandomState(seed)
+        self.planes = rng.randn(self.q.shape[1], nbits)
+        self.nbits = nbits
+        qsig = (self.q @ self.planes >= 0).astype(np.uint32)
+        self.qbuckets = (qsig << np.arange(nbits, dtype=np.uint32)).sum(axis=1)
+        # bucket → query indexes, expanded to hamming-1 probes
+        self.probe: dict = {}
+        for qi, b in enumerate(self.qbuckets):
+            for alt in [int(b)] + [int(b) ^ (1 << j) for j in range(nbits)]:
+                self.probe.setdefault(alt, []).append(qi)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = _normalize(np.asarray(batch.column("embedding").to_pylist(),
+                                  dtype=np.float64))
+        sig = (m @ self.planes >= 0).astype(np.uint32)
+        buckets = (sig << np.arange(self.nbits, dtype=np.uint32)).sum(axis=1)
+        out_q, out_n, out_s = [], [], []
+        by_bucket: dict = {}
+        for i, b in enumerate(buckets):
+            by_bucket.setdefault(int(b), []).append(i)
+        for b, rows in by_bucket.items():
+            qis = self.probe.get(b)
+            if not qis:
+                continue
+            sub = m[rows]
+            sims = self.q[qis] @ sub.T
+            for a, qi in enumerate(qis):
+                for c, ri in enumerate(rows):
+                    out_q.append(self.query_ids[qi])
+                    out_n.append(int(ids[ri]))
+                    out_s.append(round(float(sims[a, c]), 6))
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor": pa.array(out_n, type=pa.int64()),
+            "cosine": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def knn_lsh(ds, queries, query_ids, k: int = 5, nbits: int = 8,
+            concurrency=(1, 4)):
+    """Approximate top-k via hyperplane-LSH candidate generation + the same
+    small global merge as knn_brute.  Recall < 1 by design; raise multiprobe
+    radius or lower nbits to trade compute for recall."""
+    import ray
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    cand = ds.map_batches(
+        LshKnnActor,
+        fn_constructor_kwargs={"queries": qref, "query_ids": list(query_ids),
+                               "k": k, "nbits": nbits},
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency, num_cpus=1)
+
+    def topk(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("cosine", "descending"), ("neighbor", "ascending")])
+        return t.slice(0, k)
+
+    return cand.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
 class SimPairsActor:
     """All-pairs cosine ≥ τ against a broadcast corpus matrix.
 

@@ -75,6 +75,41 @@ def test_knn_and_sim_pairs(ray_session):
     assert (3, 7) in pairs
 
 
+def test_knn_lsh_recall(ray_session):
+    import ray.data
+    from ie_ray.stages.similarity import knn_brute, knn_lsh
+    rng = np.random.RandomState(5)
+    m = rng.randn(400, 32)
+    # plant 3 true near-neighbours per query (LSH finds NEAR points;
+    # on purely random data "top-5" is arbitrary and unfindable by design)
+    qids = list(range(8))
+    planted = {}
+    slot = 50
+    for q in qids:
+        planted[q] = []
+        for _ in range(3):
+            m[slot] = m[q] + 0.05 * rng.randn(32)
+            planted[q].append(slot)
+            slot += 1
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(400), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              type=pa.list_(pa.float32())),
+    }))
+    approx = {}
+    for r in knn_lsh(ds, m[:8], qids, k=4, nbits=6).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor"])
+    hits = sum(len(set(planted[q]) & approx.get(q, set())) for q in qids)
+    total = sum(len(planted[q]) for q in qids)
+    assert hits / total >= 0.9, (hits, total)
+    # sanity: brute force finds the same planted neighbours
+    exact = {}
+    for r in knn_brute(ds, m[:8], qids, k=4).take_all():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor"])
+    ehits = sum(len(set(planted[q]) & exact.get(q, set())) for q in qids)
+    assert ehits == total
+
+
 def test_textstats_and_langid(ray_session):
     import ray.data
     from ie_ray.stages.textstats import langid_batch, quality_batch, token_count_batch
