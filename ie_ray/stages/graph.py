@@ -172,6 +172,11 @@ def write_graph(nodes_ds, edges_ds, out_dir: str, num_parts: int = 8):
                             for m in sorted(os.listdir(os.path.join(out_dir, "manifests")))
                             if m.startswith(name + "-") and m.endswith(".json")]
             continue
+        if os.path.isdir(path):
+            # no _done marker but files exist → a previous run crashed
+            # mid-write; drop the partial table so the rewrite is clean
+            import shutil
+            shutil.rmtree(path)
         ds.map_batches(add_part(key), batch_format="pyarrow") \
           .write_parquet(path, partition_cols=["part"])
         os.makedirs(path, exist_ok=True)  # empty dataset writes nothing
