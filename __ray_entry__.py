@@ -119,6 +119,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def minhash_dedup_pairs(sf_dir):
         return dedup.minhash_lsh_pairs(_docs(sf_dir))
 
+    def minhash_dedup_keep(sf_dir):
+        """The full near-dedup flow: LSH pairs → connected components →
+        one canonical keeper (min doc_id) per duplicate cluster, plus all
+        untouched docs.  This is the keep-list a training-data pipeline
+        actually consumes."""
+        import ray as _ray
+        from ie_ray.stages.link import connected_components
+        pairs = dedup.minhash_lsh_pairs(_docs(sf_dir))
+
+        def as_edges(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "a": pa.array([str(x) for x in b.column("doc_a").to_pylist()],
+                              type=pa.string()),
+                "b": pa.array([str(x) for x in b.column("doc_b").to_pylist()],
+                              type=pa.string())})
+
+        edges = pairs.map_batches(as_edges, batch_format="pyarrow")
+        comp = {int(r["node"]): int(r["component"])
+                for r in connected_components(edges).take_all()}
+        ref = _ray.put(comp)
+
+        def keep(b: pa.Table) -> pa.Table:
+            m = _ray.get(ref) if not isinstance(ref, dict) else ref
+            ids = b.column("doc_id").to_pylist()
+            kept = [i for i in ids if m.get(i, i) == i]
+            return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+
+        return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+    def quality_filter_docs(sf_dir):
+        """Keep-list from quality signals (≥10 tokens, ≥1 stopword) —
+        every signal is SQL-reproducible so the oracle verifies the kept
+        set exactly."""
+        scored = _docs(sf_dir).map_batches(textstats.quality_batch,
+                                           batch_format="pyarrow")
+
+        def keep(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            mask = pc.and_(
+                pc.greater_equal(b.column("n_tokens"), 10),
+                pc.greater_equal(b.column("n_stopwords"), 1))
+            return pa.table({"doc_id": b.filter(mask).column("doc_id")})
+
+        return scored.map_batches(keep, batch_format="pyarrow")
+
     def simhash_pairs(sf_dir):
         return dedup.simhash_pairs(_docs(sf_dir))
 
@@ -478,6 +523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": langid,
         "doc_fingerprints": doc_fingerprints,
         "minhash_dedup_pairs": minhash_dedup_pairs,
+        "minhash_dedup_keep": minhash_dedup_keep,
+        "quality_filter_docs": quality_filter_docs,
         "simhash_pairs": simhash_pairs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -535,6 +582,12 @@ def oracle_sql() -> dict[str, str]:
         "paragraph_counts":
             "SELECT doc_id, len(string_split(text, chr(10)))::BIGINT "
             "AS n_paras FROM documents",
+        "quality_filter_docs":
+            "SELECT doc_id FROM documents WHERE "
+            "(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END) >= 10 AND "
+            "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "x -> list_contains(" + _EN_STOPWORDS_SQL + ", lower(x)))) >= 1",
         "doc_md5":
             "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "embedding_sim_pairs":
