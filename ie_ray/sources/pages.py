@@ -199,7 +199,7 @@ def golden_sentences(n: int = 1200, seed: int = SEED) -> List[dict]:
         return (rng.choice(FIRST),)
 
     for i in range(n):
-        kind = rng.randrange(13)
+        kind = rng.randrange(15)
         if kind == 0:       # The N1 V the N2
             n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)
             v3, vb = rng.choice(TV)
@@ -296,6 +296,26 @@ def golden_sentences(n: int = 1200, seed: int = SEED) -> List[dict]:
                                  _L("N", "NNS", n2)))
             drv = _sent(_np_det(n1, "The"), _vp_tv(v3, obj))
             triples = [(n1, vb, n2, "arg")]
+        elif kind == 12:    # The N1 does not V the N2 (negation)
+            n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)
+            _, vb = rng.choice(TV)
+            text = "The %s does not %s the %s." % (n1, vb, n2)
+            inner = _vp_tv(vb, _np_det(n2), feat="b", pos="VB")
+            negd = _T(r"S[b]\NP", 0,
+                      _L(r"(S[b]\NP)/(S[b]\NP)", "RB", "not"), inner)
+            vp = _T(r"S[dcl]\NP", 0,
+                    _L(r"(S[dcl]\NP)/(S[b]\NP)", "VBZ", "does"), negd)
+            drv = _sent(_np_det(n1, "The"), vp)
+            triples = [(n1, vb, n2, "arg")]
+        elif kind == 13:    # The N1 and the N2 V the N3 (noun coordination)
+            n1, n2, n3 = (rng.choice(NOUNS) for _ in range(3))
+            v3, vb = rng.choice(TV)
+            text = "The %s and the %s %s the %s." % (n1, n2, v3, n3)
+            subj = _T("NP", 0, _np_det(n1, "The"),
+                      _T("NP[conj]", 1, _L("conj", "CC", "and"),
+                         _np_det(n2)))
+            drv = _sent(subj, _vp_tv(v3, _np_det(n3)))
+            triples = [(n1, vb, n3, "arg")]
         else:               # Name , the N1 , V the N2 (appositive → _AKA)
             nm = name_pair()
             n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)
