@@ -60,10 +60,13 @@ def kg_triples(fixture_dir: Optional[str] = None,
     fixture_dir = fixture_dir or default_fixture_dir()
     if concurrency is None:
         # elastic pools: each heavy stage may grow to a third of the cluster
-        # (three heavy stages — parse, compose, link); Ray's backpressure
-        # balances actual actor counts without an actor-spawn storm
+        # (three heavy stages — parse, compose, link); a moderate prestart
+        # minimum cuts the ramp-up time that otherwise dominates short runs
         ncpu = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = (1, max(2, ncpu // 3))
+        cap = max(2, ncpu // 3)
+        # prestart minimum only when there's headroom — on tiny clusters the
+        # reserved actors would starve the stateless task operators
+        concurrency = (min(4, cap), cap) if ncpu >= 16 else (1, cap)
     elif isinstance(concurrency, int):
         concurrency = (1, concurrency)
     ncpu_total = int(ray.cluster_resources().get("CPU", 4))
