@@ -108,22 +108,19 @@ def kg_triples(fixture_dir: Optional[str] = None,
         batch_size=4096,
         concurrency=concurrency,
         num_cpus=actor_cpus)
+    # entity linking is fused into the compose actor (alias dict broadcast
+    # once): one less 9M-row hop through the object store per million pages
+    compose_kwargs = {}
+    if link:
+        compose_kwargs["alias_map"] = ray.put(load_alias_map(
+            os.path.join(fixture_dir, "alias_table.parquet")))
     ds = ds.map_batches(
         ComposeActor,
+        fn_constructor_kwargs=compose_kwargs,
         batch_format="pyarrow",
         batch_size=32768,
         concurrency=concurrency,
         num_cpus=actor_cpus)
-    if link:
-        alias_ref = ray.put(load_alias_map(
-            os.path.join(fixture_dir, "alias_table.parquet")))
-        ds = ds.map_batches(
-            LinkActor,
-            fn_constructor_kwargs={"alias_map": alias_ref},
-            batch_format="pyarrow",
-            batch_size=65536,
-            concurrency=concurrency,
-            num_cpus=actor_cpus)
     return ds
 
 

@@ -37,11 +37,28 @@ class ComposeActor:
 
     _CACHE_MAX = 65536
 
-    def __init__(self, emit_drs: bool = False):
+    def __init__(self, emit_drs: bool = False, alias_map=None):
+        """``alias_map`` (broadcast dict or ObjectRef) fuses entity linking
+        into this stage — one less 9M-row hop through the object store;
+        the standalone LinkActor remains for pipelines that link later."""
         from collections import OrderedDict
         self.composer = Composer()
         self.emit_drs = emit_drs
+        self.linker = None
+        if alias_map is not None:
+            from .link import LinkActor
+            self.linker = LinkActor(alias_map)
+            self._link_memo = {}
         self._cache = OrderedDict()
+
+    def _link(self, label):
+        hit = self._link_memo.get(label)
+        if hit is None and label not in self._link_memo:
+            hit = self.linker._link_one(label)
+            if len(self._link_memo) > 500_000:
+                self._link_memo.clear()
+            self._link_memo[label] = hit
+        return hit
 
     def _compose(self, derivation: str):
         hit = self._cache.get(derivation)
@@ -67,6 +84,9 @@ class ComposeActor:
         cols = {n: [] for n in TRIPLE_SCHEMA.names}
         if self.emit_drs:
             cols["drs"] = []
+        if self.linker is not None:
+            cols["subj_id"] = []
+            cols["obj_id"] = []
 
         def emit(u, p, s, h, subj, pred, obj, kind, err, drs=""):
             cols["url"].append(u)
@@ -80,6 +100,9 @@ class ComposeActor:
             cols["error"].append(err)
             if self.emit_drs:
                 cols["drs"].append(drs)
+            if self.linker is not None:
+                cols["subj_id"].append(self._link(subj))
+                cols["obj_id"].append(self._link(obj))
 
         for u, p, s, h, d, perr in zip(urls, paras, sents, hashes, derivs, perrs):
             if perr:
@@ -99,5 +122,8 @@ class ComposeActor:
         schema = TRIPLE_SCHEMA
         if self.emit_drs:
             schema = schema.append(pa.field("drs", pa.string()))
+        if self.linker is not None:
+            schema = schema.append(pa.field("subj_id", pa.string()))
+            schema = schema.append(pa.field("obj_id", pa.string()))
         return pa.table({n: pa.array(cols[n], type=schema.field(n).type)
                          for n in schema.names})
