@@ -384,6 +384,16 @@ def build_leaf_sem(tok: Token) -> Sem:
         tok.conds.append(Rel("_POSS", [owner, final]))
         return Sem(cat, tree)
 
+    # wh-words: the pronoun names the extraction GAP — the NP argument of
+    # the clausal complement (What → what(X) where X is the missing object)
+    if tok.pos in ("WP", "WDT") and cat.arg.isfunctor \
+            and cat.arg.arg.isatom and isinstance(tree, tuple) \
+            and isinstance(tree[1], tuple):
+        gap = tree_final(tree[1][1])
+        tok.conds.append(Rel(tok.stem, [gap]))
+        gap.find().binder = tok
+        return Sem(cat, tree)
+
     if tok.isverb and final_atom.is_sy:
         _verb_conds(tok, refs, cat)
         return Sem(cat, tree)
@@ -484,6 +494,16 @@ def _verb_conds(tok: Token, refs: List[Ref], cat: Category):
             tok.conds.append(Rel("_MODAL", [final]))
         # auxiliaries contribute nothing (event passes through)
         return
+    has_verbal_comp = False
+    c = cat
+    while c.isfunctor:
+        if c.arg.isfunctor and c.arg.final_atom().is_sy:
+            has_verbal_comp = True
+        c = c.result
+    if word_l in ("do", "does", "did") and has_verbal_comp:
+        # do-support (question inversion): no conditions; the event ref was
+        # already unified with the verbal complement in _leaf_tree
+        return
     tok.conds.append(Rel(tok.stem, [final]))
     tok.conds.append(Rel("_EVENT", [final]))
     for pred, r in zip(_EVENT_PREDICATES, refs[1:]):
@@ -538,6 +558,15 @@ def _leaf_tree(cat: Category, tok: Token) -> RefTree:
 
     tree = build(cat)
     _apply_control_sharing(cat, tree)
+    if tok.word.lower() in ("do", "does", "did"):
+        # do-support: the auxiliary's clause event IS its verbal
+        # complement's event (question inversion, negation)
+        c, t = cat, tree
+        while c.isfunctor and isinstance(t, tuple):
+            if c.arg.isfunctor and c.arg.final_atom().is_sy:
+                tree_final(t[1]).union(tree_final(tree))
+                break
+            c, t = c.result, t[0]
     return tree
 
 

@@ -199,7 +199,7 @@ def golden_sentences(n: int = 1200, seed: int = SEED) -> List[dict]:
         return (rng.choice(FIRST),)
 
     for i in range(n):
-        kind = rng.randrange(15)
+        kind = rng.randrange(16)
         if kind == 0:       # The N1 V the N2
             n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)
             v3, vb = rng.choice(TV)
@@ -316,6 +316,18 @@ def golden_sentences(n: int = 1200, seed: int = SEED) -> List[dict]:
                          _np_det(n2)))
             drv = _sent(subj, _vp_tv(v3, _np_det(n3)))
             triples = [(n1, vb, n3, "arg")]
+        elif kind == 14:    # What does the N1 V ?  (wh-question, object gap)
+            n1 = rng.choice(NOUNS)
+            _, vb = rng.choice(TV)
+            text = "What does the %s %s ?" % (n1, vb)
+            body = _T(r"S[q]/NP", 0,
+                      _T(r"S[q]/(S[b]\NP)", 0,
+                         _L(r"(S[q]/(S[b]\NP))/NP", "VBZ", "does"),
+                         _np_det(n1, "the")),
+                      _L(r"(S[b]\NP)/NP", "VB", vb))
+            drv = _T(r"S[wq]", 1,
+                     _L(r"S[wq]/(S[q]/NP)", "WP", "What"), body)
+            triples = [(n1, vb, "what", "arg")]
         else:               # Name , the N1 , V the N2 (appositive → _AKA)
             nm = name_pair()
             n1, n2 = rng.choice(NOUNS), rng.choice(NOUNS)
