@@ -148,6 +148,9 @@ def kg_full(fixture_dir: Optional[str] = None, out_dir: str = "/tmp/ie_ray_out",
     quarantine = triples.filter(expr="kind == 'quarantine'")
     os.makedirs(os.path.join(out_dir, "quarantine"), exist_ok=True)
     quarantine.write_parquet(os.path.join(out_dir, "quarantine"))
+    # provenance-bearing triples table (url/sent-level lineage for every edge)
+    os.makedirs(os.path.join(out_dir, "triples"), exist_ok=True)
+    good.write_parquet(os.path.join(out_dir, "triples"))
 
     nodes = build_nodes(good)
     edges = build_edges(good)
