@@ -32,11 +32,15 @@ class ReplayParserActor:
     node in shared memory, not one per task.
     """
 
-    def __init__(self, derivations):
+    def __init__(self, derivations, heuristic_fallback: bool = True):
         import ray
         if isinstance(derivations, ray.ObjectRef):
             derivations = ray.get(derivations)
         self.derivations: Dict[str, str] = derivations
+        self.fallback = None
+        if heuristic_fallback:
+            from ..sources.heuristic_parse import synthesize_derivation
+            self.fallback = synthesize_derivation
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sents = batch.column("sentence").to_pylist()
@@ -49,6 +53,10 @@ class ReplayParserActor:
                 errors.append("too_long")
                 continue
             d = self.derivations.get(key)
+            if d is None and self.fallback is not None:
+                d = self.fallback(s)
+                if d is not None:
+                    self.derivations[key] = d   # per-actor memo
             if d is None:
                 derivs.append("")
                 errors.append("no_parse")
