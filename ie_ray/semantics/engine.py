@@ -197,14 +197,16 @@ class Composer:
 
     # -- public -------------------------------------------------------------
 
-    def compose_ccgbank(self, derivation: str) -> SentenceSem:
+    def compose_ccgbank(self, derivation: str,
+                        resolve_names: bool = True) -> SentenceSem:
         root, leaves = parse_ccgbank(derivation)
         tokens = [Token(l.idx, l.word, l.pos, l.cat) for l in leaves]
         extras: List[Rel] = []
         sem = self._walk(root, tokens, extras)
         sent = SentenceSem(tokens, extras, sem)
         sent.constituents = self._collect_constituents(root)
-        self.resolve_proper_names(sent)
+        if resolve_names:
+            self.resolve_proper_names(sent)
         return sent
 
     # -- constituents (C6-lite: spans + CCGBANK heads) -----------------------

@@ -73,7 +73,11 @@ def test_boygirl_triples():
 
 
 def test_welcome_proper_merge_exact():
-    # compose_test.py:138 (after resolve_proper_names)
+    # compose_test.py:135 (before resolve_proper_names) and :138 (after)
+    pre = Composer().compose_ccgbank(WELCOME, resolve_names=False)
+    assert pre.get_drs().show() == (
+        "[E1,X2| welcome(E1),_EVENT(E1),_ARG0(E1,X3),_ARG1(E1,X2),to(X2),"
+        "Merryweather(X2),High(X2)]")
     assert _drs(WELCOME).get_drs().show() == (
         "[E1,X2| welcome(E1),_EVENT(E1),_ARG0(E1,X3),_ARG1(E1,X2),to(X2),"
         "Merryweather-High(X2)]")
