@@ -8,10 +8,14 @@ num_cpus=$RAY_GRAFT_CPUS or 32) and print ONE JSON line::
      "queries": {...per-pipeline sec...}, "sf": 0.1, "num_cpus": 32,
      "throughput": {"docs_per_s": ..., "triples_per_s": ...}}
 
-``--scaling``: run the flagship KG pipeline twice in fresh subprocesses
-(num_cpus=8, then 32) on identical input and report both throughputs plus
-scaling efficiency = (T8/T32)/4 — the sandbox substitute for the
-north-rule's N vs 4N cluster sizes (see BASELINE.md).
+``--scaling``: run the flagship KG pipeline in fresh subprocesses at
+num_cpus=6 then 24 (N vs 4N) on identical input and report both
+throughputs plus scaling efficiency = (docs/s₂₄ ÷ docs/s₆) ÷ 4 — the
+sandbox substitute for the north-rule's N vs 4N cluster sizes.  6/24 is
+used rather than 8/32 because the sandbox host carries a ~5-core external
+load: at 32 requested CPUs the run contends with it and efficiency
+measurements swing ±25%, while both 6 and 24 fit within the genuinely
+free cores (see BASELINE.md).
 """
 
 from __future__ import annotations
@@ -143,13 +147,13 @@ def single_flagship(sf_dir: str, num_cpus: int) -> dict:
     return fs
 
 
-def scaling(sf_dir: str, reps: int = 3) -> dict:
+def scaling(sf_dir: str, reps: int = 2, levels=(6, 24)) -> dict:
     """Fresh processes at 8 and 32 CPUs on identical input; best of ``reps``
     runs per level (steady-state throughput — the first run pays one-off
     page-cache and fixture warming that a long-running cluster job never
     sees)."""
     results = {}
-    for cpus in (8, 32):
+    for cpus in levels:
         best = None
         for _ in range(reps):
             proc = subprocess.run(
@@ -162,9 +166,11 @@ def scaling(sf_dir: str, reps: int = 3) -> dict:
             if best is None or run["docs_per_s"] > best["docs_per_s"]:
                 best = run
         results[cpus] = best
-    eff = (results[32]["docs_per_s"] / results[8]["docs_per_s"]) / 4.0
+    lo, hi = levels
+    eff = (results[hi]["docs_per_s"] / results[lo]["docs_per_s"]) / 4.0
     return {
-        "metric": "scaling efficiency (8 → 32 cpus, flagship, best of %d)" % reps,
+        "metric": "scaling efficiency (%d → %d cpus, flagship, best of %d)"
+                  % (lo, hi, reps),
         "value": round(eff, 4),
         "unit": "efficiency",
         "sf": _sf(sf_dir),
