@@ -31,15 +31,24 @@ def _sf_pages(sf_dir: str) -> int:
     return max(60, int(sf * 20000))
 
 
+def _strip_meta(b: pa.Table) -> pa.Table:
+    """Drop parquet field metadata (pandas dicts) — it defeats Ray's schema
+    dedup hashing in groupby reduces (zero-copy cast, types unchanged)."""
+    return b.cast(pa.schema([pa.field(f.name, f.type) for f in b.schema]))
+
+
 def _docs(sf_dir):
     import ray.data
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet")).map_batches(
+        _strip_meta, batch_format="pyarrow")
 
 
 def _tbl(sf_dir, name, columns=None):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, name + ".parquet"),
-                                 columns=columns)
+                                 columns=columns).map_batches(
+        _strip_meta, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -346,7 +355,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
 
         def sessions(group: pa.Table) -> pa.Table:
-            ts = sorted(t.timestamp() for t in group.column("ts").to_pylist())
+            from datetime import timezone
+            # parquet timestamps are tz-naive UTC; make that explicit so the
+            # gaps match the oracle's epoch(ts) on non-UTC hosts (DST safety)
+            ts = sorted(t.replace(tzinfo=timezone.utc).timestamp()
+                        for t in group.column("ts").to_pylist())
             n = 1 + sum(1 for a, b in zip(ts, ts[1:]) if b - a > 1800)
             return pa.table({
                 "user_id": group.slice(0, 1).column("user_id"),
@@ -573,7 +586,7 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_split_to_array(trim(text), '\\s+')) END::BIGINT "
             "AS n_tokens, "
             "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
-            "x -> list_contains(" + _EN_STOPWORDS_SQL + ", lower(x))))::BIGINT "
+            "x -> list_contains(" + _EN_STOPWORDS_SQL + ", translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))))::BIGINT "
             "AS n_stopwords, "
             "length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) "
             "AS n_upper FROM documents",
@@ -587,7 +600,7 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN trim(text) = '' THEN 0 ELSE "
             "len(regexp_split_to_array(trim(text), '\\s+')) END) >= 10 AND "
             "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
-            "x -> list_contains(" + _EN_STOPWORDS_SQL + ", lower(x)))) >= 1",
+            "x -> list_contains(" + _EN_STOPWORDS_SQL + ", translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))) >= 1",
         "doc_md5":
             "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "embedding_sim_pairs":

@@ -23,6 +23,12 @@ def triple_pr(triples_ds, fixture_dir: str) -> dict:
                    golden.column("obj").to_pylist()))
 
     produced = set()
+    # seen_hashes must come from EVERY row the pipeline emitted — including
+    # quarantine/empty rows — so a sentence whose composition fails entirely
+    # still counts in the recall denominator (it stays in gold_seen with no
+    # matching produced triples).  Restricting to produced triples would hide
+    # whole-sentence extraction failures from the >=0.95 recall gate.
+    seen_hashes = set()
     for batch in triples_ds.iter_batches(batch_format="pyarrow",
                                          batch_size=8192):
         for h, s, p, o, k in zip(batch.column("sent_hash").to_pylist(),
@@ -30,12 +36,12 @@ def triple_pr(triples_ds, fixture_dir: str) -> dict:
                                  batch.column("pred").to_pylist(),
                                  batch.column("obj").to_pylist(),
                                  batch.column("kind").to_pylist()):
+            seen_hashes.add(h)
             if k in ("arg", "aka", "poss"):
                 produced.add((h, s, p, o))
 
     # golden covers only sentences that actually appear in the produced pages;
-    # restrict to hashes seen on either side to keep the metric well-defined
-    seen_hashes = {t[0] for t in produced}
+    # restrict to hashes the pipeline saw to keep the metric well-defined
     gold_seen = {t for t in gold if t[0] in seen_hashes}
     matched = produced & gold_seen
     precision = len(matched) / max(len(produced), 1)

@@ -14,6 +14,10 @@ import pyarrow as pa
 _PUNCT_RE = re.compile(r"[.,;:!?]")
 _BPEISH_RE = re.compile(r"\w+|[^\w\s]")
 
+# A-Z → a-z only (see quality_batch: parity with the ASCII SQL oracle)
+_ASCII_LOWER = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+                             "abcdefghijklmnopqrstuvwxyz")
+
 _STOPWORDS_EN = {"the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
                  "was", "were", "it", "that", "this", "with", "for", "on",
                  "as", "at", "by", "be", "has", "have", "not", "but"}
@@ -47,8 +51,13 @@ def quality_batch(batch: pa.Table) -> pa.Table:
         n_punct.append(len(_PUNCT_RE.findall(t)))
         toks = t.split()
         n_tokens.append(len(toks))
-        n_stop.append(sum(1 for w in toks if w.lower() in _STOPWORDS_EN))
-        n_upper.append(sum(1 for ch in t if ch.isupper()))
+        # ASCII-only case folding: the SQL oracle counts [A-Z] and compares
+        # against ASCII stopwords, so Unicode isupper()/str.lower() (which
+        # match 'É', 'ß', KELVIN SIGN, …) would break exact parity on
+        # non-ASCII corpora.
+        n_stop.append(sum(1 for w in toks
+                          if w.translate(_ASCII_LOWER) in _STOPWORDS_EN))
+        n_upper.append(sum(1 for ch in t if "A" <= ch <= "Z"))
     return pa.table({
         "doc_id": batch.column("doc_id"),
         "n_chars": pa.array(n_chars, type=pa.int64()),
