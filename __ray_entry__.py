@@ -129,33 +129,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.minhash_lsh_pairs(_docs(sf_dir))
 
     def minhash_dedup_keep(sf_dir):
-        """The full near-dedup flow: LSH pairs → connected components →
-        one canonical keeper (min doc_id) per duplicate cluster, plus all
-        untouched docs.  This is the keep-list a training-data pipeline
-        actually consumes."""
-        import ray as _ray
+        """The full near-dedup flow: LSH candidates → exact-jaccard verified
+        pairs → distributed connected components → one canonical keeper
+        (numeric-min doc_id) per duplicate cluster, plus all untouched docs.
+        This is the keep-list a training-data pipeline actually consumes.
+
+        Fully distributed: the component labels stay a Dataset and the
+        keep-list is a left-outer hash join (anti-join) — no O(nodes)
+        driver-side map (the round-1 take_all() anti-pattern is gone)."""
         from ie_ray.stages.link import connected_components
-        pairs = dedup.minhash_lsh_pairs(_docs(sf_dir))
+        docs = _docs(sf_dir)
+        pairs = dedup.ngram_jaccard_pairs(docs)
 
         def as_edges(b: pa.Table) -> pa.Table:
+            # zero-pad so lexicographic min == numeric min inside CC
             return pa.table({
-                "a": pa.array([str(x) for x in b.column("doc_a").to_pylist()],
+                "a": pa.array(["%020d" % x
+                               for x in b.column("doc_a").to_pylist()],
                               type=pa.string()),
-                "b": pa.array([str(x) for x in b.column("doc_b").to_pylist()],
+                "b": pa.array(["%020d" % x
+                               for x in b.column("doc_b").to_pylist()],
                               type=pa.string())})
 
-        edges = pairs.map_batches(as_edges, batch_format="pyarrow")
-        comp = {int(r["node"]): int(r["component"])
-                for r in connected_components(edges).take_all()}
-        ref = _ray.put(comp)
+        labels = connected_components(
+            pairs.map_batches(as_edges, batch_format="pyarrow"))
 
-        def keep(b: pa.Table) -> pa.Table:
-            m = _ray.get(ref) if not isinstance(ref, dict) else ref
-            ids = b.column("doc_id").to_pylist()
-            kept = [i for i in ids if m.get(i, i) == i]
-            return pa.table({"doc_id": pa.array(kept, type=pa.int64())})
+        def dup_rows(b: pa.Table) -> pa.Table:
+            out = [int(n) for n, c in zip(b.column("node").to_pylist(),
+                                          b.column("component").to_pylist())
+                   if n != c]
+            return pa.table({
+                "dup_id": pa.array(out, type=pa.int64()),
+                "is_dup": pa.array([1] * len(out), type=pa.int64())})
 
-        return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
+        dups = labels.map_batches(dup_rows, batch_format="pyarrow")
+        joined = docs.select_columns(["doc_id"]).join(
+            dups, "left_outer", num_partitions=dedup._join_partitions(),
+            on=("doc_id",), right_on=("dup_id",))
+
+        def keep_batch(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            mask = pc.is_null(b.column("is_dup"))
+            return pa.table({"doc_id": b.filter(mask).column("doc_id")})
+
+        return joined.map_batches(keep_batch, batch_format="pyarrow")
 
     def quality_filter_docs(sf_dir):
         """Keep-list from quality signals (≥10 tokens, ≥1 stopword) —
@@ -485,6 +502,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }))
         return ds.map_batches(extract_clauses_batch, batch_format="pyarrow")
 
+    def cky_parse_triples(sf_dir):
+        """T1: the real supertagger+CKY parser over NON-fixture sentences
+        (the reference's clausefinder corpus) — none of these exist in the
+        replay corpus, so every derivation comes from ie_ray/ccg/parser.py.
+        Rows-only driver check; the P/R ≥ 0.8 gate lives in
+        tests/test_cky_parser.py."""
+        from ie_ray.sources.clausefinder_fixtures import CLAUSEFINDER_SENTENCES
+        from ie_ray.stages.compose_stage import ComposeActor
+        from ie_ray.stages.parse import ReplayParserActor
+        n = len(CLAUSEFINDER_SENTENCES)
+        ds = ray.data.from_arrow(pa.table({
+            "url": pa.array(["clausefinder"] * n, type=pa.string()),
+            "para_idx": pa.array([0] * n, type=pa.int32()),
+            "sent_idx": pa.array(range(n), type=pa.int32()),
+            "sentence": pa.array(CLAUSEFINDER_SENTENCES, type=pa.string()),
+        }))
+        parsed = ds.map_batches(ReplayParserActor,
+                                fn_constructor_kwargs={"derivations": {}},
+                                batch_format="pyarrow", concurrency=(1, 2),
+                                num_cpus=1)
+        return parsed.map_batches(ComposeActor, batch_format="pyarrow",
+                                  concurrency=(1, 2), num_cpus=1)
+
     def kg_drs(sf_dir):
         """Per-sentence linear DRS + FOL strings (C14 renderings) for the
         derivation pool — the engine's full semantic output."""
@@ -560,6 +600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_canonical_edges": kg_canonical_edges,
         "extraction_identity": extraction_identity,
         "clause_extract": clause_extract,
+        "cky_parse_triples": cky_parse_triples,
         "kg_drs": kg_drs,
         "media_features": media_features,
     }
@@ -570,7 +611,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    from ie_ray.stages.dedup import (EMBEDDING_DUP_SQL, NGRAM_PAIRS_SQL,
+                                     _NGRAM_SQL_GRAMS, simhash_oracle_sql)
+    keep_sql = (
+        "WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(translate("
+        "text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+        "'abcdefghijklmnopqrstuvwxyz'), '[0-9a-z_]+') AS words "
+        "FROM documents), "
+        "g AS (SELECT doc_id, list_distinct(list_transform(range(1, "
+        "len(words)-1), i -> words[i] || ' ' || words[i+1] || ' ' || "
+        "words[i+2])) AS grams FROM w WHERE len(words) >= 3), "
+        "e AS (SELECT a.doc_id AS x, b.doc_id AS y FROM g a JOIN g b "
+        "ON a.doc_id != b.doc_id "
+        "WHERE len(list_intersect(a.grams, b.grams))::DOUBLE / "
+        "len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5), "
+        "reach(x, y) AS (SELECT x, y FROM e "
+        "UNION SELECT r.x, e.y FROM reach r JOIN e ON r.y = e.x "
+        "WHERE e.y != r.x) "
+        "SELECT doc_id FROM documents d WHERE NOT EXISTS "
+        "(SELECT 1 FROM reach WHERE reach.x = d.doc_id "
+        "AND reach.y < d.doc_id)")
     return {
+        "ngram_jaccard_pairs": NGRAM_PAIRS_SQL,
+        "simhash_pairs": simhash_oracle_sql(3),
+        "embedding_dup_pairs": EMBEDDING_DUP_SQL,
+        "minhash_dedup_keep": keep_sql,
         "exact_dedup_docs":
             "SELECT md5(text) AS text_hash, min(doc_id) AS doc_id "
             "FROM documents GROUP BY md5(text)",

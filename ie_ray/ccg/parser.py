@@ -1,0 +1,436 @@
+"""CKY CCG parser with a rule/lexicon supertagger (T1).
+
+Replaces round-1's single-clause-pattern heuristic with a genuine parser
+over the existing :mod:`ie_ray.ccg.category` unification engine, so
+arbitrary real sentences produce CCGBANK derivations for the composer
+instead of quarantining.
+
+Public-knowledge design (no learned model in this sandbox):
+
+* a **supertagger** assigns each token a small set of candidate CCG
+  categories with weights — a closed-class lexicon (determiners,
+  prepositions, auxiliaries, complementizers, relativizers …) in
+  standard CCGbank category conventions plus POS-driven open-class
+  candidates (the categories EasySRL's supertagger would rank;
+  parity: ``ext/easysrl/.../main/EasySRL.java:305-309`` pipeline shape,
+  ``ie/grpc/__init__.py:103-135`` sentence→derivation contract);
+* **CKY with a per-cell beam** searches over forward/backward
+  application and composition, coordination, punctuation absorption and
+  an N→NP unary — exactly the rule inventory the composer's structural
+  dispatch understands (``ie_ray/semantics/engine.py:270-338``);
+* the best spanning ``S[dcl]`` (or other S, or NP) is emitted as a
+  CCGBANK s-expression string, the same wire format the replay corpus
+  uses, so the downstream actor-pool stages are unchanged.
+
+Scale note: the parser is per-sentence CPU work with no shared state
+beyond the static lexicon — ideal actor-pool material.  Cost is
+O(n³·beam²); sentences longer than ``MAX_CKY_TOKENS`` are left to the
+caller's quarantine path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Tuple
+
+from ..nlp.postag import tag as pos_tag
+from .category import Category
+
+MAX_CKY_TOKENS = 48
+BEAM = 24
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"\d+(?:[.,]\d+)*%?|[A-Za-z][A-Za-z0-9\-']*|[^\sA-Za-z0-9]")
+
+_NORMALIZE = str.maketrans({"’": "'", "‘": "'", "“": '"', "”": '"',
+                            "—": ",", "–": "-", "…": ","})
+
+
+def tokenize(sentence: str) -> List[str]:
+    out = []
+    for t in _TOKEN_RE.findall(sentence.strip().translate(_NORMALIZE)):
+        if len(t) > 2 and t.lower().endswith("'s"):
+            out.append(t[:-2])
+            out.append("'s")
+        elif len(t) > 3 and t.lower().endswith("n't"):
+            out.append(t[:-3])
+            out.append("n't")
+        else:
+            out.append(t)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# supertagger
+# ---------------------------------------------------------------------------
+
+# closed-class word → [(category, POS, weight)]
+_BE_FEAT = {"is": "dcl", "are": "dcl", "am": "dcl", "was": "dcl",
+            "were": "dcl", "be": "b", "been": "pt", "being": "ng"}
+_BE_POS = {"is": "VBZ", "are": "VBP", "am": "VBP", "was": "VBD",
+           "were": "VBD", "be": "VB", "been": "VBN", "being": "VBG"}
+
+
+def _be_cats(form: str):
+    f = _BE_FEAT[form]
+    p = _BE_POS[form]
+    return [(r"(S[%s]\NP)/(S[adj]\NP)" % f, p, 0.0),
+            (r"(S[%s]\NP)/NP" % f, p, -0.05),
+            (r"(S[%s]\NP)/(S[pss]\NP)" % f, p, -0.1),
+            (r"(S[%s]\NP)/(S[ng]\NP)" % f, p, -0.15),
+            (r"(S[%s]\NP)/PP" % f, p, -0.2),
+            (r"(S[%s]\NP)/(S[to]\NP)" % f, p, -0.25),
+            (r"(S[%s]\NP)/S[em]" % f, p, -0.3),
+            (r"S[%s]\NP" % f, p, -0.6)]
+
+
+_PREP_CATS = [(r"(NP\NP)/NP", "IN", -0.1),
+              (r"((S\NP)\(S\NP))/NP", "IN", -0.15),
+              (r"PP/NP", "IN", -0.2),
+              (r"(S/S)/NP", "IN", -0.4)]
+
+_CLOSED_CATS: Dict[str, list] = {
+    "of": [(r"(NP\NP)/NP", "IN", 0.0), (r"PP/NP", "IN", -0.3),
+           (r"(N\N)/NP", "IN", -0.35)],
+    "to": [(r"(S[to]\NP)/(S[b]\NP)", "TO", 0.0)] + \
+        [(c, "TO", w - 0.25) for c, _p, w in _PREP_CATS],
+    "that": [(r"S[em]/S[dcl]", "IN", -0.05),
+             (r"(NP\NP)/(S[dcl]\NP)", "WDT", -0.1),
+             (r"NP/N", "DT", -0.2), (r"(NP\NP)/S[dcl]", "IN", -0.35),
+             (r"NP", "DT", -0.5)],
+    "and": [("conj", "CC", 0.0)], "or": [("conj", "CC", 0.0)],
+    "but": [("conj", "CC", 0.0)], "nor": [("conj", "CC", 0.0)],
+    "&": [("conj", "CC", 0.0)],
+    "not": [(r"(S\NP)\(S\NP)", "RB", 0.0)],
+    "n't": [(r"(S\NP)\(S\NP)", "RB", 0.0)],
+    "there": [(r"NP", "EX", -0.1)],
+    "because": [(r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.2),
+                (r"(S/S)/S[dcl]", "IN", -0.25)],
+    "while": [(r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.2),
+              (r"(S/S)/S[dcl]", "IN", -0.25)],
+    "if": [(r"(S/S)/S[dcl]", "IN", -0.2),
+           (r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.25)],
+    "when": [(r"((S\NP)\(S\NP))/S[dcl]", "WRB", -0.2),
+             (r"(S/S)/S[dcl]", "WRB", -0.25)],
+}
+for _w in ("has", "have", "had"):
+    _CLOSED_CATS[_w] = [
+        (r"(S[dcl]\NP)/(S[pt]\NP)", {"has": "VBZ", "have": "VBP",
+                                     "had": "VBD"}[_w], 0.0),
+        (r"(S[dcl]\NP)/NP", {"has": "VBZ", "have": "VBP",
+                             "had": "VBD"}[_w], -0.3)]
+for _w, _f in _BE_FEAT.items():
+    _CLOSED_CATS[_w] = _be_cats(_w)
+for _w, _p in (("do", "VBP"), ("does", "VBZ"), ("did", "VBD")):
+    _CLOSED_CATS[_w] = [(r"(S[dcl]\NP)/(S[b]\NP)", _p, 0.0),
+                        (r"(S[q]/(S[b]\NP))/NP", _p, -0.2),
+                        (r"(S[dcl]\NP)/NP", _p, -0.4)]
+# base-form "have" after modals/to
+_CLOSED_CATS["have"] = _CLOSED_CATS["have"] + [
+    (r"(S[b]\NP)/(S[pt]\NP)", "VB", -0.05),
+    (r"(S[b]\NP)/NP", "VB", -0.35)]
+
+# finite verb candidate set, parameterized by S-feature
+def _verb_cats(feat: str, p: str):
+    return [(r"(S[%s]\NP)/NP" % feat, p, 0.0),
+            (r"S[%s]\NP" % feat, p, -0.1),
+            (r"(S[%s]\NP)/PP" % feat, p, -0.2),
+            (r"(S[%s]\NP)/(S[to]\NP)" % feat, p, -0.25),
+            (r"(S[%s]\NP)/S[em]" % feat, p, -0.3),
+            (r"(S[%s]\NP)/(S[ng]\NP)" % feat, p, -0.35),
+            (r"(S[%s]\NP)/(S[adj]\NP)" % feat, p, -0.55),
+            (r"(S[%s]\NP)/S[dcl]" % feat, p, -0.5),
+            (r"((S[%s]\NP)/NP)/NP" % feat, p, -0.5),
+            (r"((S[%s]\NP)/PP)/NP" % feat, p, -0.45),
+            (r"((S[%s]\NP)/(S[to]\NP))/NP" % feat, p, -0.5),
+            (r"((S[%s]\NP)/(S[adj]\NP))/NP" % feat, p, -0.6)]
+
+
+_POS_CATS: Dict[str, list] = {
+    "NN": [("N", "NN", 0.0), (r"N/N", "NN", -0.4)],
+    "NNS": [("N", "NNS", 0.0), (r"N/N", "NNS", -0.45)],
+    "NNP": [("N", "NNP", 0.0), (r"N/N", "NNP", -0.15)],
+    "NNPS": [("N", "NNPS", 0.0), (r"N/N", "NNPS", -0.2)],
+    "JJ": [(r"N/N", "JJ", 0.0), (r"S[adj]\NP", "JJ", -0.3),
+           ("N", "JJ", -0.35),
+           (r"(S[adj]\NP)/S[em]", "JJ", -0.4),
+           (r"(S[adj]\NP)/(S[to]\NP)", "JJ", -0.45),
+           (r"(S[adj]\NP)/PP", "JJ", -0.5)],
+    "JJR": [(r"N/N", "JJR", 0.0), (r"S[adj]\NP", "JJR", -0.3)],
+    "JJS": [(r"N/N", "JJS", 0.0), (r"S[adj]\NP", "JJS", -0.3)],
+    "CD": [(r"N/N", "CD", -0.05), ("N", "CD", -0.1)],
+    "RB": [(r"(S\NP)\(S\NP)", "RB", -0.05),
+           (r"(S\NP)/(S\NP)", "RB", -0.1),
+           (r"(S[adj]\NP)/(S[adj]\NP)", "RB", -0.2),
+           (r"S/S", "RB", -0.3), (r"(N/N)/(N/N)", "RB", -0.5)],
+    "RBR": [(r"(S\NP)\(S\NP)", "RBR", -0.1)],
+    "VBZ": _verb_cats("dcl", "VBZ"),
+    "VBP": _verb_cats("dcl", "VBP"),
+    "VBD": _verb_cats("dcl", "VBD"),
+    "VB": _verb_cats("b", "VB"),
+    "VBG": [(r"(S[ng]\NP)/NP", "VBG", 0.0),
+            (r"S[ng]\NP", "VBG", -0.1),
+            (r"(S[ng]\NP)/PP", "VBG", -0.3),
+            (r"N/N", "VBG", -0.3)],
+    "VBN": [(r"(S[pt]\NP)/NP", "VBN", 0.0),
+            (r"S[pss]\NP", "VBN", -0.05),
+            (r"S[pt]\NP", "VBN", -0.15),
+            (r"(S[pss]\NP)/PP", "VBN", -0.3),
+            (r"(S[pt]\NP)/S[dcl]" , "VBN", -0.35),
+            (r"(S[pt]\NP)/S[em]", "VBN", -0.35)],
+    "PRP": [("NP", "PRP", 0.0)],
+    "PRP$": [(r"NP/N", "PRP$", 0.0)],
+    "DT": [(r"NP/N", "DT", 0.0), ("NP", "DT", -0.4)],
+    "POS": [(r"(NP/N)\NP", "POS", 0.0)],
+    "IN": _PREP_CATS,
+    "TO": [(r"(S[to]\NP)/(S[b]\NP)", "TO", 0.0)],
+    "MD": [(r"(S[dcl]\NP)/(S[b]\NP)", "MD", 0.0)],
+    "CC": [("conj", "CC", 0.0)],
+    "WDT": [(r"(NP\NP)/(S[dcl]\NP)", "WDT", 0.0)],
+    "WP": [(r"(NP\NP)/(S[dcl]\NP)", "WP", 0.0), ("NP", "WP", -0.3)],
+    "EX": [("NP", "EX", 0.0)],
+    "WRB": [(r"(S/S)/S[dcl]", "WRB", -0.2)],
+    ".": [(".", ".", 0.0)], ",": [(",", ",", 0.0)],
+    ";": [(";", ";", 0.0)], ":": [(":", ":", 0.0)],
+    "LRB": [("LRB", "LRB", 0.0)], "RRB": [("RRB", "RRB", 0.0)],
+    "LQU": [("LQU", "LQU", 0.0)], "RQU": [("RQU", "RQU", 0.0)],
+}
+
+# dual-class words: closed-class reading plus ordinary verb readings
+_CLOSED_CATS["like"] = [(c, p, w - 0.2) for c, p, w in _PREP_CATS] + \
+    [(c, "VBP", w - 0.05) for c, p, w in _verb_cats("dcl", "VBP")]
+_CLOSED_CATS["said"] = [(r"(S[dcl]\NP)/S[em]", "VBD", 0.0),
+                        (r"(S[dcl]\NP)/S[dcl]", "VBD", -0.05),
+                        (r"(S[dcl]\NP)/(S[to]\NP)", "VBD", -0.2),
+                        (r"(S[dcl]\NP)/NP", "VBD", -0.3),
+                        (r"S[dcl]\NP", "VBD", -0.4),
+                        (r"(S[pt]\NP)/S[em]", "VBN", -0.05),
+                        (r"(S[pt]\NP)/S[dcl]", "VBN", -0.1)]
+_CLOSED_CATS["says"] = [(c, "VBZ", w)
+                        for c, p, w in _CLOSED_CATS["said"][:5]]
+
+def supertag(words: List[str]) -> List[List[Tuple[str, str, float]]]:
+    """Candidate (category, POS, weight) lists per token."""
+    tags = pos_tag(words)
+    out = []
+    for w, t in zip(words, tags):
+        lower = w.lower()
+        cands = _CLOSED_CATS.get(lower)
+        if cands is None:
+            cands = _POS_CATS.get(t) or [("N", "NN", -0.2)]
+        out.append(cands)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CKY
+# ---------------------------------------------------------------------------
+
+class _Item:
+    __slots__ = ("cat", "conj", "score", "tree")
+
+    def __init__(self, cat, conj, score, tree):
+        self.cat = cat
+        self.conj = conj
+        self.score = score
+        self.tree = tree   # ("L", sig, pos, word) | ("T", sig, head, [...])
+
+
+def _punify(a: Category, b: Category) -> bool:
+    """Parser-strict unification: same atom base required (no N↔NP
+    coercion — that is a composer-side tolerance which makes the parser
+    wildly overgenerate, e.g. N/N applying to a finished NP)."""
+    if a.isatom and b.isatom:
+        if a.base != b.base:
+            return False
+        if not a.features or not b.features:
+            return True
+        return bool(set(a.features) & set(b.features)) \
+            or "X" in a.features or "X" in b.features
+    if a.isfunctor and b.isfunctor:
+        return (a.slash == b.slash and _punify(a.result, b.result)
+                and _punify(a.arg, b.arg))
+    return False
+
+
+def _mk_functor_sig(result: Category, slash: str, arg: Category) -> str:
+    r = result.signature
+    a = arg.signature
+    if result.isfunctor:
+        r = "(%s)" % r
+    if arg.isfunctor:
+        a = "(%s)" % a
+    return r + slash + a
+
+
+def _combine(lc: Category, rc: Category, lconj: bool, rconj: bool):
+    """Yield (result Category, conj flag, weight, head child) options."""
+    out = []
+    lp, rp = lc.ispunct, rc.ispunct
+    if lp and rp:
+        return out
+    if lp:
+        out.append((rc, rconj, -0.01, 1))
+        return out
+    if rp:
+        out.append((lc, lconj, -0.01, 0))
+        return out
+    if lc.isconj and not rc.isconj and not rconj:
+        out.append((rc, True, -0.05, 1))
+        return out
+    if rconj and not lconj and not lc.isconj and _punify(lc, rc):
+        out.append((lc, False, -0.05, 0))
+        return out
+    if lconj or rconj or lc.isconj or rc.isconj:
+        return out
+    # forward application
+    if lc.isfunctor and lc.isarg_right and _punify(lc.arg, rc):
+        res = rc if lc.ismodifier else lc.result
+        out.append((res, False, 0.0, 0))
+    # backward application
+    if rc.isfunctor and rc.isarg_left and _punify(rc.arg, lc):
+        res = lc if rc.ismodifier else rc.result
+        out.append((res, False, 0.0, 1))
+    # forward composition (incl. crossed)
+    if lc.isfunctor and lc.isarg_right and rc.isfunctor \
+            and _punify(lc.arg, rc.result):
+        res = rc if lc.ismodifier else \
+            Category.parse(_mk_functor_sig(lc.result, rc.slash, rc.arg))
+        out.append((res, False, -0.6, 0))
+    # backward composition (incl. crossed)
+    if rc.isfunctor and rc.isarg_left and lc.isfunctor \
+            and _punify(rc.arg, lc.result):
+        res = lc if rc.ismodifier else \
+            Category.parse(_mk_functor_sig(rc.result, lc.slash, lc.arg))
+        out.append((res, False, -0.6, 1))
+    return out
+
+
+_CAT_NP = Category.parse("NP")
+_SIG_NG = r"S[ng]\NP"
+
+
+def _unary_options(cat: Category):
+    out = []
+    if cat.isn:
+        out.append((_CAT_NP, -0.1))
+    elif cat.signature == _SIG_NG:
+        # gerund nominalization: "leaving the EU could …" — penalized below
+        # the (S\NP)/(S[ng]\NP) complement reading so control wins when a
+        # governing verb exists
+        out.append((_CAT_NP, -0.45))
+    return out
+
+
+def _add(cell: Dict, item: _Item):
+    key = (item.cat.signature, item.conj)
+    cur = cell.get(key)
+    if cur is None or item.score > cur.score:
+        cell[key] = item
+
+
+def _prune(cell: Dict) -> Dict:
+    if len(cell) <= BEAM:
+        return cell
+    best = sorted(cell.items(), key=lambda kv: -kv[1].score)[:BEAM]
+    return dict(best)
+
+
+def _conj_sig(cat: Category) -> str:
+    """Node label for a conj-marked phrase: NP[conj] style for atoms,
+    plain signature for functors (the composer derives the conj flag from
+    the conj child either way)."""
+    return cat.signature + "[conj]" if cat.isatom else cat.signature
+
+
+class CkyParser:
+    """parse(sentence) → CCGBANK derivation string or None."""
+
+    def __init__(self, beam: int = BEAM, max_tokens: int = MAX_CKY_TOKENS):
+        self.beam = beam
+        self.max_tokens = max_tokens
+
+    def parse(self, sentence: str) -> Optional[str]:
+        words = tokenize(sentence)
+        if not words or len(words) > self.max_tokens:
+            return None
+        try:
+            cands = supertag(words)
+        except Exception:
+            return None
+        n = len(words)
+        # chart[i][j] = cell for span words[i:j+1]
+        chart = [[None] * n for _ in range(n)]
+        for i, (w, cs) in enumerate(zip(words, cands)):
+            cell: Dict = {}
+            for sig, pos, wt in cs:
+                try:
+                    cat = Category.parse(sig)
+                except ValueError:
+                    continue
+                _add(cell, _Item(cat, False, wt, ("L", sig, pos, w)))
+                for ucat, uw in _unary_options(cat):
+                    _add(cell, _Item(
+                        ucat, False, wt + uw,
+                        ("T", ucat.signature, 0, [("L", sig, pos, w)])))
+            chart[i][i] = _prune(cell)
+        for span in range(2, n + 1):
+            for i in range(0, n - span + 1):
+                j = i + span - 1
+                cell: Dict = {}
+                for k in range(i, j):
+                    left = chart[i][k]
+                    right = chart[k + 1][j]
+                    if not left or not right:
+                        continue
+                    for li in left.values():
+                        for ri in right.values():
+                            for res, conj, wt, head in _combine(
+                                    li.cat, ri.cat, li.conj, ri.conj):
+                                sig = _conj_sig(res) if conj \
+                                    else res.signature
+                                tree = ("T", sig, head, [li.tree, ri.tree])
+                                _add(cell, _Item(res, conj,
+                                                 li.score + ri.score + wt,
+                                                 tree))
+                # unary on the combined cell
+                for it in list(cell.values()):
+                    if it.conj:
+                        continue
+                    for ucat, uw in _unary_options(it.cat):
+                        _add(cell, _Item(ucat, False, it.score + uw,
+                                         ("T", ucat.signature, 0, [it.tree])))
+                chart[i][j] = _prune(cell)
+        top = chart[0][n - 1]
+        if not top:
+            return None
+        best = None
+        for it in top.values():
+            if it.conj:
+                continue
+            c = it.cat
+            pri = 3 if c.signature == "S[dcl]" else \
+                2 if (c.isatom and c.base == "S") else \
+                1 if c.isnp else 0
+            if pri == 0:
+                continue
+            key = (pri, it.score)
+            if best is None or key > best[0]:
+                best = (key, it)
+        if best is None:
+            return None
+        return _emit(best[1].tree)
+
+
+def _emit(tree) -> str:
+    if tree[0] == "L":
+        _, sig, pos, word = tree
+        word = word.replace(" ", "_") or "_"
+        return "(<L %s %s %s %s %s>)" % (sig, pos, pos, word, sig)
+    _, sig, head, children = tree
+    return "(<T %s %d %d> %s )" % (sig, head, len(children),
+                                   " ".join(_emit(c) for c in children))

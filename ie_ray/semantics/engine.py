@@ -154,16 +154,18 @@ class SentenceSem:
                         rank[r] = cr
             elif len(refs) == 2 and pred.startswith("_ARG"):
                 args.setdefault(refs[0], {})[pred] = refs[1]
-        # event verb labels — prefer conditions emitted by verb tokens
-        # (complementizers like "that" also name the shared event ref)
-        for verbs_only in (True, False):
+        # event verb labels — prefer conditions emitted by main verb tokens
+        # (modals share the event ref but the content verb names it;
+        # complementizers like "that" also name the shared event ref)
+        for pass_ in range(3):
             for c in drs.conditions:
                 pred, refs = c.resolved()
                 if len(refs) == 1 and refs[0] in events \
                         and not pred.startswith("_") \
                         and events[refs[0]] is None \
-                        and (not verbs_only or (c.src is not None
-                                                and c.src.isverb)):
+                        and (pass_ >= 2
+                             or (c.src is not None and c.src.isverb
+                                 and (pass_ == 1 or c.src.pos != "MD"))):
                     events[refs[0]] = pred
         out = []
         for e, verb in events.items():

@@ -99,6 +99,8 @@ def lemmatize_verb(word: str) -> str:
         return w[:-3] + "y"
     if w.endswith("ed") and len(w) > 3:
         stem = w[:-2]
+        if len(stem) == 2:
+            return stem + "e"                     # died → die, owed → owe
         if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS and stem[-1] not in "sl":
             return stem[:-1]                      # stopped → stop
         if _needs_e(stem):
@@ -119,7 +121,7 @@ def _needs_e(stem: str) -> bool:
     if len(stem) < 2:
         return False
     if stem.endswith(("iev", "eav", "eez", "ooz", "uc", "iz", "yz",
-                      "os", "as", "is", "rs", "ov", "ors", "nc")):
+                      "os", "as", "is", "rs", "ov", "ors", "nc", "ud")):
         return True        # believe, oppose, praise, endorse, approve, announce
     if stem.endswith("u"):
         return True                                   # continue, argue, rescue

@@ -32,7 +32,8 @@ class ReplayParserActor:
     node in shared memory, not one per task.
     """
 
-    def __init__(self, derivations, heuristic_fallback: bool = True):
+    def __init__(self, derivations, heuristic_fallback: bool = True,
+                 cky_fallback: bool = True):
         import ray
         if isinstance(derivations, ray.ObjectRef):
             derivations = ray.get(derivations)
@@ -41,6 +42,26 @@ class ReplayParserActor:
         if heuristic_fallback:
             from ..sources.heuristic_parse import synthesize_derivation
             self.fallback = synthesize_derivation
+        # the real parser (supertagger + CKY, ie_ray/ccg/parser.py) — built
+        # once per actor; covers arbitrary text beyond the replay corpus
+        self.cky = None
+        if cky_fallback:
+            from ..ccg.parser import CkyParser
+            self.cky = CkyParser()
+
+    def _parse_one(self, s: str) -> str:
+        d = self.derivations.get(
+            hashlib.md5(s.encode("utf-8")).hexdigest())
+        if d is not None:
+            return d
+        if self.fallback is not None:
+            d = self.fallback(s)
+        if d is None and self.cky is not None:
+            try:
+                d = self.cky.parse(s)
+            except Exception:
+                d = None
+        return d
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sents = batch.column("sentence").to_pylist()
@@ -52,11 +73,9 @@ class ReplayParserActor:
                 derivs.append("")
                 errors.append("too_long")
                 continue
-            d = self.derivations.get(key)
-            if d is None and self.fallback is not None:
-                d = self.fallback(s)
-                if d is not None:
-                    self.derivations[key] = d   # per-actor memo
+            d = self._parse_one(s)
+            if d is not None:
+                self.derivations[key] = d       # per-actor memo
             if d is None:
                 derivs.append("")
                 errors.append("no_parse")

@@ -54,6 +54,114 @@ def test_ngram_jaccard(docs_ds):
     assert pairs[(0, 1)] == 1.0
 
 
+def test_simhash_vectorized_matches_reference():
+    from ie_ray.stages.dedup import SimHasher, simhash64
+    sh = SimHasher()
+    texts = ["The quick brown fox jumps over the lazy dog",
+             "", "a", "hello hello hello world",
+             "naïve café — déjà vu!  123 abc_def",
+             "Prime Minister Theresa May said talks would resume."]
+    for t in texts:
+        assert sh.simhash(t) == simhash64(t), t
+
+
+def test_minhash_recall_precision_vs_exact(ray_session):
+    """minhash_lsh_pairs (est ≥ 0.7) against DuckDB exact 5-gram jaccard:
+    precision/recall gates on a corpus with planted near-dups — the
+    documented-recall-gate form of the oracle for an estimator op."""
+    import duckdb
+    import ray.data
+    rng = np.random.RandomState(11)
+    base = ["w%d" % rng.randint(0, 400) for _ in range(80)]
+    texts = []
+    for i in range(40):
+        words = list(base)
+        if i % 4 == 0:        # near-dup of doc 0: flip one word (keeps all
+            # pairwise jaccards well above the 0.7 threshold — estimator
+            # variance at the exact boundary is not what this test gates)
+            k = rng.randint(0, 80)
+            words[k] = "x%d" % rng.randint(0, 400)
+        else:                 # unrelated
+            words = ["u%d_%d" % (i, j) for j in range(80)]
+        texts.append(" ".join(words))
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(range(40), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string())}))
+    from ie_ray.stages.dedup import minhash_lsh_pairs
+    got = {(r["doc_a"], r["doc_b"])
+           for r in minhash_lsh_pairs(ds, jaccard_threshold=0.7).take_all()}
+    con = duckdb.connect()
+    con.register("docs", pa.table({"doc_id": pa.array(range(40)),
+                                   "text": pa.array(texts)}))
+    exact = set(con.execute("""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM docs),
+        g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(words)-3),
+          i -> array_to_string(words[i:i+4], ' '))) AS grams FROM w)
+        SELECT a.doc_id, b.doc_id FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+              len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7
+        """).fetchall())
+    assert exact, "fixture must contain true near-dup pairs"
+    tp = len(got & exact)
+    assert tp / len(exact) >= 0.9, (got, exact)     # recall gate
+    assert tp / max(len(got), 1) >= 0.9, (got, exact)  # precision gate
+
+
+def test_embedding_dup_multiprobe_sign_flip(ray_session):
+    """A cosine-0.99 pair whose first-dim sign flips (near-zero coordinate)
+    must be found via the hamming-1 multiprobe."""
+    import ray.data
+    from ie_ray.stages.dedup import embedding_dup_pairs
+    rng = np.random.RandomState(4)
+    m = rng.randn(30, 16)
+    m[5] = np.abs(m[5]) + 1.0
+    m[5][0] = 0.001              # near-zero leading coordinate
+    m[9] = m[5].copy()
+    m[9][0] = -0.001             # sign flip on dim 0 → different primary
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(30), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              type=pa.list_(pa.float32()))}))
+    pairs = {(r["vec_a"], r["vec_b"])
+             for r in embedding_dup_pairs(ds, threshold=0.95).take_all()}
+    assert (5, 9) in pairs
+    assert all(a < b for a, b in pairs)
+    assert len(pairs) == len(set(pairs))
+
+
+def test_dedup_keep_numeric_min(ray_session):
+    """Cluster {9, 10, 11} must keep doc 9 (numeric min, not lexicographic
+    — '10' < '9' as strings)."""
+    import ray.data
+    from ie_ray.stages.dedup import ngram_jaccard_pairs
+    from ie_ray.stages.link import connected_components
+    words = ["tok%d" % i for i in range(60)]
+    dup = " ".join(words)
+    texts = {i: "unique doc %d with filler %s" % (i, " ".join(
+        "f%d_%d" % (i, j) for j in range(30))) for i in range(12)}
+    texts[9] = dup
+    texts[10] = dup + " tail9"
+    texts[11] = dup + " tail10 extra"
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[i] for i in sorted(texts)],
+                         type=pa.string())}))
+    pairs = ngram_jaccard_pairs(ds, threshold=0.5)
+
+    def as_edges(b):
+        return pa.table({
+            "a": pa.array(["%020d" % x for x in b.column("doc_a").to_pylist()],
+                          type=pa.string()),
+            "b": pa.array(["%020d" % x for x in b.column("doc_b").to_pylist()],
+                          type=pa.string())})
+
+    labels = {int(r["node"]): int(r["component"])
+              for r in connected_components(
+                  pairs.map_batches(as_edges,
+                                    batch_format="pyarrow")).take_all()}
+    assert labels[10] == 9 and labels[11] == 9 and labels[9] == 9
+
+
 def test_knn_and_sim_pairs(ray_session):
     import ray.data
     from ie_ray.stages.similarity import knn_brute, sim_pairs_exact
