@@ -462,17 +462,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def kg_canonical_edges(sf_dir):
         """Full canonicalization path: triples → _AKA alias edges →
-        distributed connected components → canonical-id edge table."""
-        import ray as _ray
+        distributed connected components (join-based label propagation) →
+        canonical-id relabel via hash join — the component labels never
+        leave the cluster (no driver-side O(nodes) map)."""
         from ie_ray.stages.link import (alias_edges_from_triples,
-                                        canonicalize_ids,
+                                        canonicalize_ids_ds,
                                         connected_components)
         fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
         triples = kg_triples(fd).materialize()
-        comp = {r["node"]: r["component"] for r in
-                connected_components(
-                    alias_edges_from_triples(triples)).take_all()}
-        canon = canonicalize_ids(triples, _ray.put(comp))
+        labels = connected_components(alias_edges_from_triples(triples))
+        canon = canonicalize_ids_ds(triples, labels)
         good = canon.filter(expr="kind != 'quarantine' and kind != 'empty'")
         return build_edges(good)
 

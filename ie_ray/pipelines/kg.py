@@ -129,7 +129,7 @@ def kg_full(fixture_dir: Optional[str] = None, out_dir: str = "/tmp/ie_ray_out",
     """Full run: triples → canonicalize → nodes/edges → partitioned parquet
     + manifests.  Returns summary counts (small driver-side values only)."""
     from ..stages.graph import build_edges, build_nodes, write_graph
-    from ..stages.link import (alias_edges_from_triples, canonicalize_ids,
+    from ..stages.link import (alias_edges_from_triples, canonicalize_ids_ds,
                                connected_components)
 
     # materialize the (reduced) triples once — kg_full consumes them three
@@ -139,10 +139,10 @@ def kg_full(fixture_dir: Optional[str] = None, out_dir: str = "/tmp/ie_ray_out",
     # not a full-input materialization.
     triples = kg_triples(fixture_dir, concurrency=concurrency).materialize()
     if canonicalize:
-        comp = {r["node"]: r["component"] for r in
-                connected_components(
-                    alias_edges_from_triples(triples)).take_all()}
-        triples = canonicalize_ids(triples, ray.put(comp)).materialize()
+        # labels stay a Dataset end-to-end: CC by join-based label
+        # propagation, relabel by hash join — nothing O(nodes) on the driver
+        labels = connected_components(alias_edges_from_triples(triples))
+        triples = canonicalize_ids_ds(triples, labels).materialize()
     # quarantine rows flow to their own sink; good rows to the graph
     good = triples.filter(expr="kind != 'quarantine' and kind != 'empty'")
     quarantine = triples.filter(expr="kind == 'quarantine'")

@@ -57,7 +57,11 @@ def _join_partitions(requested=None) -> int:
             if ray.is_initialized() else 8
     except Exception:
         cpus = 8
-    return max(2, min(16, cpus // 4))
+    # conservative default: a hash partition that receives ZERO keys builds
+    # a schema-less empty table and arrow's join errors on the key FieldRef
+    # (ray join.py finalize) — few partitions keep that probability
+    # negligible at gate scale; production callers size this to data volume
+    return max(2, min(4, cpus // 8))
 
 _ASCII_LOWER = str.maketrans("ABCDEFGHIJKLMNOPQRSTUVWXYZ",
                              "abcdefghijklmnopqrstuvwxyz")

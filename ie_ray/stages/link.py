@@ -102,24 +102,45 @@ def load_alias_map(path: str) -> Dict[str, tuple]:
 # connected components: hash-min label propagation over edge datasets
 # ---------------------------------------------------------------------------
 
+def _label_sig(labels_ds) -> int:
+    """Order-insensitive content signature of a (node, label) Dataset —
+    one int64 per block reaches the driver, never the rows."""
+    import hashlib as _h
+    tot = 0
+    for row in labels_ds.map_batches(
+            lambda t: pa.table({"h": pa.array([sum(
+                int(_h.md5((n + "|" + l).encode()).hexdigest()[:8], 16)
+                for n, l in zip(t.column("node").to_pylist(),
+                                t.column("label").to_pylist()))],
+                type=pa.int64())}),
+            batch_format="pyarrow").take_all():
+        tot = (tot + row["h"]) & 0xFFFFFFFFFFFF
+    return tot
+
+
 def connected_components(edges_ds, max_iters: int = 25):
-    """Union-find over an edge Dataset ``(a:string, b:string)`` computed
-    entirely with groupby shuffles — no driver-side graph, no joins.
+    """Hash-min label propagation over an edge Dataset ``(a:string,
+    b:string)`` — no driver-side graph at any point.
 
-    Hash-min label propagation: each iteration unions the current label
-    table with the (doubled) edge list, groups by node, takes the min label
-    seen at the node, and pushes that label to every neighbour; a second
-    ``groupby(node).min`` collapses the messages.  Converges in O(diameter)
-    iterations and exits early when an aggregate signature of the label
-    table stops changing — alias graphs with hub concepts can chain
-    entity–concept–entity paths, so the cap is generous.  The label table is
+    Each iteration groups a node's adjacency rows together with its
+    current label row (union + one ``groupby``), takes the min label with
+    a VECTORIZED Arrow kernel (``pc.min`` — round-1 looped Python over
+    the group, which serialized a hub's whole neighbourhood into one
+    slow task), and pushes it to every neighbour; fan-in then collapses
+    through ``groupby(node).min`` — min is associative, so Ray
+    pre-combines per block before the exchange and a hot node's millions
+    of incoming messages reduce to one candidate per (block × key).
+    Fan-OUT of a true hub (emitting O(degree) rows from one group) is
+    inherent to message passing; at web scale callers salt hub keys by
+    splitting ``a`` into ``a#0..a#k`` sub-nodes chained to ``a``.
+
+    Converges in O(diameter) iterations; exits early when a per-block
+    signature of the label table stops changing.  The label table is
     ``materialize()``d per iteration (one small row per node) so the lazy
-    plan doesn't re-execute the whole chain each round.
-
-    Skew note: min is associative, so Ray's sort shuffle pre-combines per
-    block — a hot node's millions of messages reduce to one candidate per
-    (block × key) before the exchange.  Returns Dataset (node, component).
+    plan doesn't re-execute the chain each round.  Returns Dataset
+    (node, component) where component = min node id in the component.
     """
+    import pyarrow.compute as pc
 
     def explode(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_pylist()
@@ -132,88 +153,103 @@ def connected_components(edges_ds, max_iters: int = 25):
     # adjacency, both directions (static across iterations)
     adj = edges_ds.map_batches(explode, batch_format="pyarrow").materialize()
 
-    # initial labels: min(node, min(neighbors))
+    # initial labels: min(node, min(neighbors)) — vectorized
     def self_label(batch: pa.Table) -> pa.Table:
-        n = batch.column("node").to_pylist()
-        p = batch.column("peer").to_pylist()
         return pa.table({
             "node": batch.column("node"),
-            "label": pa.array([min(x, y) for x, y in zip(n, p)],
-                              type=pa.string()),
+            "label": pc.min_element_wise(batch.column("node"),
+                                         batch.column("peer")),
         })
 
     labels = (adj.map_batches(self_label, batch_format="pyarrow")
               .groupby("node").min("label")
               .map_batches(lambda t: t.rename_columns(["node", "label"]),
                            batch_format="pyarrow")).materialize()
+    cur_sig = _label_sig(labels)
+
+    def tag_adj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "peer": t.column("peer"),
+            "label": pa.nulls(t.num_rows, pa.string()),
+        })
+
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "peer": pa.nulls(t.num_rows, pa.string()),
+            "label": t.column("label"),
+        })
+
+    def push(group: pa.Table) -> pa.Table:
+        # vectorized: min over the label rows, broadcast to all peer rows
+        node = group.column("node")[0]
+        lab = pc.min(group.column("label"))
+        if not lab.is_valid or node.as_py() < lab.as_py():
+            lab = node
+        peers = pc.drop_null(group.column("peer"))
+        n_out = len(peers) + 1
+        return pa.table({
+            "node": pa.chunked_array([peers.combine_chunks(),
+                                      pa.array([node.as_py()])]),
+            "label": pa.array([lab.as_py()] * n_out, type=pa.string()),
+        })
 
     for _ in range(max_iters - 1):
-        # one round: (labels ∪ adjacency) grouped by node → push min label
-        # to every neighbour, then collapse messages per node
-        tagged_labels = labels.map_batches(
-            lambda t: pa.table({
-                "node": t.column("node"),
-                "peer": pa.array([None] * t.num_rows, type=pa.string()),
-                "label": t.column("label")}),
-            batch_format="pyarrow")
-        tagged_edges = adj.map_batches(
-            lambda t: pa.table({
-                "node": t.column("node"),
-                "peer": t.column("peer"),
-                "label": pa.array([None] * t.num_rows, type=pa.string())}),
-            batch_format="pyarrow")
-
-        def push(group: pa.Table) -> pa.Table:
-            node = group.column("node")[0].as_py()
-            lab = node
-            peers = []
-            for p, l in zip(group.column("peer").to_pylist(),
-                            group.column("label").to_pylist()):
-                if l is not None and l < lab:
-                    lab = l
-                if p is not None:
-                    peers.append(p)
-            nodes = [node] + peers
-            return pa.table({
-                "node": pa.array(nodes, type=pa.string()),
-                "label": pa.array([lab] * len(nodes), type=pa.string()),
-            })
-
-        messages = tagged_labels.union(tagged_edges) \
-            .groupby("node").map_groups(push, batch_format="pyarrow")
+        merged = adj.map_batches(tag_adj, batch_format="pyarrow").union(
+            labels.map_batches(tag_labels, batch_format="pyarrow"))
+        messages = merged.groupby("node").map_groups(push,
+                                                     batch_format="pyarrow")
         new_labels = (messages.groupby("node").min("label")
                       .map_batches(lambda t: t.rename_columns(
                           ["node", "label"]), batch_format="pyarrow")
                       ).materialize()
-        # convergence: compare cheap aggregate signatures
-        import hashlib as _h
-
-        def sig(ds):
-            tot = 0
-            for row in ds.map_batches(
-                    lambda t: pa.table({"h": pa.array([sum(
-                        int(_h.md5((n + "|" + l).encode()).hexdigest()[:8], 16)
-                        for n, l in zip(t.column("node").to_pylist(),
-                                        t.column("label").to_pylist()))],
-                        type=pa.int64())}),
-                    batch_format="pyarrow").take_all():
-                tot = (tot + row["h"]) & 0xFFFFFFFFFFFF
-            return tot
-
-        if sig(new_labels) == sig(labels):
-            labels = new_labels
-            break
+        new_sig = _label_sig(new_labels)
         labels = new_labels
+        if new_sig == cur_sig:
+            break
+        cur_sig = new_sig
     return labels.map_batches(
         lambda t: t.rename_columns(["node", "component"]),
         batch_format="pyarrow")
 
 
+def canonicalize_ids_ds(triples_ds, labels_ds, num_partitions=None):
+    """Rewrite subj_id/obj_id to canonical component ids by hash-JOINing
+    the (node, component) label Dataset onto the triples — the label table
+    never leaves the cluster (replaces round-1's ``take_all()`` → driver
+    dict → ``ray.put`` broadcast, which is O(nodes) on the driver).
+
+    Two left-outer joins (subj side, obj side); ids without a component
+    (singletons, quarantine nulls) keep themselves.
+    """
+    from .dedup import _join_partitions
+    import pyarrow.compute as pc
+    np_ = _join_partitions(num_partitions)
+
+    def relabel_join(ds, id_col):
+        side = labels_ds.map_batches(
+            lambda t, _c="_canon_" + id_col: t.rename_columns(["node", _c]),
+            batch_format="pyarrow")
+        joined = ds.join(side, "left_outer", num_partitions=np_,
+                         on=(id_col,), right_on=("node",))
+        canon_col = "_canon_" + id_col
+
+        def coalesce(t: pa.Table) -> pa.Table:
+            merged = pc.coalesce(t.column(canon_col), t.column(id_col))
+            t2 = t.drop_columns([canon_col])
+            return t2.set_column(t2.column_names.index(id_col),
+                                 id_col, merged)
+
+        return joined.map_batches(coalesce, batch_format="pyarrow")
+
+    return relabel_join(relabel_join(triples_ds, "subj_id"), "obj_id")
+
+
 def canonicalize_ids(triples_ds, components_map_ref):
-    """Rewrite subj_id/obj_id to canonical component ids via a broadcast
-    component map (small side; at 10^12-page scale the map itself shards —
-    swap the broadcast for a partitioned lookup service like the dedup
-    index)."""
+    """Broadcast-dict variant of :func:`canonicalize_ids_ds` for small
+    component maps (tests, notebooks).  Production pipelines use the
+    Dataset-join form — the map must not live on the driver at scale."""
     import ray
 
     def relabel(batch: pa.Table) -> pa.Table:

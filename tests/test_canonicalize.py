@@ -18,6 +18,61 @@ def test_connected_components(ray_session):
     assert comp["x"] == comp["y"] == "x"
 
 
+def test_cc_hub_component(ray_session):
+    """A star graph (hub with many leaves) — the shape that round-1's
+    per-node map_groups push serialized into one Python task — must
+    converge to the hub component under the join-based propagation."""
+    import ray.data
+    from ie_ray.stages.link import connected_components
+    leaves = ["leaf%03d" % i for i in range(200)]
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array(["hub"] * 200, type=pa.string()),
+        "b": pa.array(leaves, type=pa.string()),
+    }))
+    comp = {r["node"]: r["component"]
+            for r in connected_components(edges).take_all()}
+    assert set(comp.values()) == {"hub"}
+    assert len(comp) == 201
+
+
+def test_canonicalize_ds_matches_broadcast(ray_session):
+    """The distributed join relabel must produce exactly the broadcast-dict
+    relabel's output on a planted alias cluster."""
+    import ray
+    import ray.data
+    from ie_ray.stages.link import (canonicalize_ids, canonicalize_ids_ds,
+                                    connected_components)
+    triples = ray.data.from_arrow(pa.table({
+        "subj": pa.array(["A", "B", "C", "D", None], type=pa.string()),
+        "pred": pa.array(["aka", "aka", "sees", "sees", None],
+                         type=pa.string()),
+        "obj": pa.array(["B", "C", "D", "A", None], type=pa.string()),
+        "kind": pa.array(["aka", "aka", "arg", "arg", "quarantine"],
+                         type=pa.string()),
+        "subj_id": pa.array(["e:a", "e:b", "e:c", "e:d", None],
+                            type=pa.string()),
+        "obj_id": pa.array(["e:b", "e:c", "e:d", "e:a", None],
+                           type=pa.string()),
+    }))
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array(["e:a", "e:b"], type=pa.string()),
+        "b": pa.array(["e:b", "e:c"], type=pa.string()),
+    }))
+    labels = connected_components(edges).materialize()
+    comp = {r["node"]: r["component"] for r in labels.take_all()}
+
+    def canon_rows(ds):
+        return sorted(((r["subj_id"] or "", r["obj_id"] or "", r["kind"])
+                       for r in ds.take_all()))
+
+    via_ds = canon_rows(canonicalize_ids_ds(triples, labels))
+    via_map = canon_rows(canonicalize_ids(triples, ray.put(comp)))
+    assert via_ds == via_map
+    # the planted cluster {e:a, e:b, e:c} collapsed to e:a
+    assert ("e:a", "e:a", "aka") in via_ds
+    assert ("", "", "quarantine") in via_ds
+
+
 def test_canonicalize_pipeline(ray_session, tmp_path):
     import ray
     import ray.data
