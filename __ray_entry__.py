@@ -79,14 +79,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.exact_dedup_docs(_docs(sf_dir))
 
     def doc_token_counts(sf_dir):
-        ds = _docs(sf_dir).map_batches(
-            lambda b: pa.table({
-                "doc_id": b.column("doc_id"),
-                "n_tokens": pa.array(
-                    [len(t.split()) for t in b.column("text").to_pylist()],
-                    type=pa.int64())}),
-            batch_format="pyarrow")
-        return ds
+        def count(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            # vectorized whitespace tokens == Python str.split() semantics:
+            # trim first (arrow emits boundary empties), special-case ""
+            trimmed = pc.utf8_trim_whitespace(b.column("text"))
+            n = pc.list_value_length(
+                pc.utf8_split_whitespace(trimmed)).cast(pa.int64())
+            n = pc.if_else(pc.equal(trimmed, ""),
+                           pa.scalar(0, type=pa.int64()), n)
+            return pa.table({"doc_id": b.column("doc_id"), "n_tokens": n})
+        return _docs(sf_dir).map_batches(count, batch_format="pyarrow")
 
     def doc_quality(sf_dir):
         return _docs(sf_dir).map_batches(textstats.quality_batch,
@@ -98,13 +101,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               batch_format="pyarrow")
 
     def paragraph_counts(sf_dir):
-        return _docs(sf_dir).map_batches(
-            lambda b: pa.table({
+        def count(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
                 "doc_id": b.column("doc_id"),
-                "n_paras": pa.array(
-                    [len(t.split("\n")) for t in b.column("text").to_pylist()],
-                    type=pa.int64())}),
-            batch_format="pyarrow")
+                "n_paras": pc.list_value_length(
+                    pc.split_pattern(b.column("text"), "\n")
+                ).cast(pa.int64())})
+        return _docs(sf_dir).map_batches(count, batch_format="pyarrow")
 
     def doc_md5(sf_dir):
         import hashlib

@@ -93,7 +93,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timings = {}
 
     t0 = time.time()
-    fs = flagship_stats(sf_dir)
+    # steady-state sizing: the flagship run must be long enough that actor
+    # ramp-up (~5-8 s of fixed cost) doesn't dominate the reported docs/s —
+    # at sf0.1 this is 600k synthetic pages ≈ 20-30 s of real pipeline
+    # (fixture generation is cached under /tmp and excluded from the timer)
+    n_pages = max(2000, int(_sf(sf_dir) * 6_000_000))
+    fs = flagship_stats(sf_dir, n_pages=n_pages)
     timings["kg_flagship"] = round(fs["wall_s"], 3)
 
     def consume(name):

@@ -37,7 +37,8 @@ _FIXTURE_CACHE = {}
 
 def default_fixture_dir(n_pages: int = 200, pool_size: int = 1200) -> str:
     """Deterministic fixture tables under /tmp, generated once per size."""
-    d = "/tmp/ie_ray_fixtures/p%d_s%d" % (n_pages, pool_size)
+    # v2: multi-domain page layouts (reuters/nyt/wapo/fox wrappers)
+    d = "/tmp/ie_ray_fixtures/v2_p%d_s%d" % (n_pages, pool_size)
     marker = os.path.join(d, "alias_table.parquet")
     if not os.path.exists(marker):
         write_fixture_tables(d, n_pages=n_pages, pool_size=pool_size)
@@ -122,6 +123,93 @@ def kg_triples(fixture_dir: Optional[str] = None,
         concurrency=concurrency,
         num_cpus=actor_cpus)
     return ds
+
+
+def _page_shards(fixture_dir: str, num_shards: int):
+    """Contiguous chunks of the input parquet files — the resume unit.
+
+    Contiguity preserves row adjacency so the online dedup filter sees
+    syndicated duplicates (planted next to their source) in one shard."""
+    import glob as _glob
+    files = sorted(_glob.glob(os.path.join(fixture_dir, "pages", "*.parquet")))
+    if not files:
+        return []
+    num_shards = min(num_shards, len(files))
+    per = (len(files) + num_shards - 1) // num_shards
+    return [files[i * per:(i + 1) * per]
+            for i in range(num_shards) if files[i * per:(i + 1) * per]]
+
+
+def kg_resumable(fixture_dir: Optional[str] = None,
+                 out_dir: str = "/tmp/ie_ray_resumable",
+                 num_shards: int = 4, concurrency=None,
+                 _fail_after: Optional[int] = None) -> dict:
+    """Pages-level checkpoint-resume flagship (F1, north_rule lineage):
+
+    input parquet files are grouped into contiguous shards; each shard
+    runs the full pages→triples pipeline and lands atomically (write to a
+    tmp dir, ``os.rename``, then stamp a lineage manifest naming its
+    input files).  A crashed run re-invoked with the same ``out_dir``
+    SKIPS every shard whose manifest exists — the expensive parse/compose
+    work is never recomputed — and only the cheap final graph aggregation
+    re-runs over the landed triples.  ``_fail_after`` is a test hook that
+    simulates a crash after N shards.
+    """
+    import shutil
+
+    from ..stages.graph import (build_edges, build_nodes, manifest_path,
+                                partition_done, write_graph)
+    import pyarrow.parquet as pq
+
+    fixture_dir = fixture_dir or default_fixture_dir()
+    os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
+    shards = _page_shards(fixture_dir, num_shards)
+    completed_now, skipped = 0, 0
+    for k, files in enumerate(shards):
+        part = "triples-shard%03d" % k
+        final_dir = os.path.join(out_dir, "triples", "shard=%03d" % k)
+        if partition_done(out_dir, part):
+            skipped += 1
+            continue
+        tmp_dir = final_dir + ".tmp"
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(final_dir, ignore_errors=True)
+        os.makedirs(tmp_dir, exist_ok=True)
+        pages = ray.data.read_parquet(files, columns=["url", "html", "lang"])
+        triples = kg_triples(fixture_dir, pages_ds=pages,
+                             concurrency=concurrency)
+        triples.write_parquet(tmp_dir)
+        os.rename(tmp_dir, final_dir)
+        rows = sum(pq.ParquetFile(os.path.join(final_dir, f)).metadata.num_rows
+                   for f in os.listdir(final_dir) if f.endswith(".parquet"))
+        import json as _json
+        import time as _time
+        man = {"partition": part, "table": "triples", "rows": rows,
+               "inputs": files, "written_at": _time.time()}
+        mp = manifest_path(out_dir, part)
+        with open(mp + ".tmp", "w") as f:
+            _json.dump(man, f)
+        os.replace(mp + ".tmp", mp)
+        completed_now += 1
+        if _fail_after is not None and completed_now >= _fail_after:
+            raise RuntimeError("simulated crash after %d shards"
+                               % completed_now)
+
+    # final aggregation over all landed triples (cheap relative to compose)
+    triples = ray.data.read_parquet(os.path.join(out_dir, "triples"))
+    good = triples.filter(expr="kind != 'quarantine' and kind != 'empty'")
+    graph_dir = os.path.join(out_dir, "graph")
+    shutil.rmtree(graph_dir, ignore_errors=True)
+    manifests = write_graph(build_nodes(good), build_edges(good), graph_dir)
+    return {
+        "out_dir": out_dir,
+        "shards": len(shards),
+        "shards_skipped": skipped,
+        "shards_computed": completed_now,
+        "triples": triples.count(),
+        "nodes": sum(m["rows"] for m in manifests["nodes"]),
+        "edges": sum(m["rows"] for m in manifests["edges"]),
+    }
 
 
 def kg_full(fixture_dir: Optional[str] = None, out_dir: str = "/tmp/ie_ray_out",

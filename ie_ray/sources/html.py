@@ -1,67 +1,127 @@
-"""Deterministic HTML → article text extraction.
+"""Deterministic HTML → article text extraction, multi-domain.
 
-Contract (parity: ``src/python/marbles/newsfeed/reuters.py:59-77``): find all
-``<span id="article-text">`` containers, collect the text of every ``<p>``
-descendant, join with ``'\\n'``.  The extraction must be **byte-identical per
-url** against the ``text`` column of the pages table (BASELINE.json
-input_hint) — boilerplate outside the container is dropped.
+Per-domain container contracts (parity with the reference's four
+scrapers; a CC-style pages table has heterogeneous layouts):
 
-Implemented on the stdlib ``html.parser`` (BeautifulSoup is not available in
-this environment, and a 100 TB pipeline wants a single-pass parser anyway).
+* Reuters (``newsfeed/reuters.py:59-77``): every ``<span
+  id="article-text">``, text of each ``<p>`` descendant.
+* Washington Post (``newsfeed/washingtonpost.py``): ``<article
+  itemprop="articleBody">``, only ``<p>`` tags WITHOUT a class attr.
+* Fox (``newsfeed/foxnews.py``): ``<div class="article-body">``, every
+  ``<p>`` descendant.
+* NYT (``newsfeed/nytimes.py``): no container — the paragraphs
+  themselves carry ``class="story-body-text story-content"``.
+* Generic fallback: every ``<article>`` container's ``<p>`` descendants
+  (covers the long tail of layouts).
+
+Paragraph texts are joined with ``'\\n'`` (all four reference scrapers
+do exactly this), and the result must be **byte-identical per url**
+against the ``text`` column of the pages table (BASELINE.json
+input_hint).  ``extract_text`` runs the rules as a deterministic
+cascade — first rule that yields any paragraphs wins — so no
+domain-routing metadata is needed at 10^12-page scale.
+
+Implemented on the stdlib ``html.parser`` (BeautifulSoup is not
+available in this environment, and a 100 TB pipeline wants a
+single-pass parser anyway).
 """
 
 from __future__ import annotations
 
-from html import unescape
 from html.parser import HTMLParser
-from typing import List, Optional, Union
+from typing import Callable, List, Optional, Tuple, Union
 
 
-class _ArticleExtractor(HTMLParser):
-    def __init__(self, container_tag: str = "span",
-                 container_id: str = "article-text"):
+class _ParagraphCollector(HTMLParser):
+    """One-pass paragraph collector.
+
+    ``container_pred(tag, attrs)`` selects container elements (None means
+    "the whole document"); ``p_pred(attrs)`` filters which ``<p>``
+    descendants count.
+    """
+
+    def __init__(self,
+                 container_pred: Optional[Callable[[str, dict], bool]],
+                 p_pred: Callable[[dict], bool] = lambda attrs: True):
         super().__init__(convert_charrefs=True)
-        self.container_tag = container_tag
-        self.container_id = container_id
+        self.container_pred = container_pred
+        self.container_tag: Optional[str] = None
+        self.p_pred = p_pred
         self.depth = 0          # inside container?
         self.container_stack = 0
         self.in_p = 0
+        self.collecting = False
         self.paragraphs: List[str] = []
         self.buf: List[str] = []
 
     def handle_starttag(self, tag, attrs):
-        if self.depth > 0:
-            self.container_stack += 1
+        attrs_d = dict(attrs)
+        if self.container_pred is None or self.depth > 0:
+            if self.container_pred is not None:
+                self.container_stack += 1
             if tag == "p":
                 self.in_p += 1
                 if self.in_p == 1:
+                    self.collecting = self.p_pred(attrs_d)
                     self.buf = []
-        elif tag == self.container_tag and dict(attrs).get("id") == self.container_id:
+        elif self.container_pred(tag, attrs_d):
             self.depth = 1
+            self.container_tag = tag
             self.container_stack = 0
 
     def handle_endtag(self, tag):
-        if self.depth > 0:
+        if self.container_pred is None or self.depth > 0:
             if tag == "p" and self.in_p > 0:
                 self.in_p -= 1
                 if self.in_p == 0:
-                    self.paragraphs.append("".join(self.buf))
+                    if self.collecting:
+                        self.paragraphs.append("".join(self.buf))
+                    self.collecting = False
                     self.buf = []
-            if self.container_stack == 0 and tag == self.container_tag:
-                self.depth = 0
-            else:
-                self.container_stack = max(0, self.container_stack - 1)
+            if self.container_pred is not None:
+                if self.container_stack == 0 and tag == self.container_tag:
+                    self.depth = 0
+                else:
+                    self.container_stack = max(0, self.container_stack - 1)
 
     def handle_data(self, data):
-        if self.depth > 0 and self.in_p > 0:
+        if self.in_p > 0 and self.collecting:
             self.buf.append(data)
+
+
+def _classes(attrs: dict) -> set:
+    return set((attrs.get("class") or "").split())
+
+
+# (name, container_pred, p_pred) — cascade order matters: specific
+# container contracts before the generic <article> fallback.
+_RULES: List[Tuple[str, Optional[Callable], Callable]] = [
+    ("reuters",
+     lambda tag, a: tag == "span" and a.get("id") == "article-text",
+     lambda a: True),
+    ("washingtonpost",
+     lambda tag, a: tag == "article" and a.get("itemprop") == "articleBody",
+     lambda a: "class" not in a),
+    ("foxnews",
+     lambda tag, a: tag == "div" and "article-body" in _classes(a),
+     lambda a: True),
+    ("nytimes",
+     None,
+     lambda a: {"story-body-text", "story-content"} <= _classes(a)),
+    ("generic",
+     lambda tag, a: tag == "article",
+     lambda a: True),
+]
 
 
 def extract_text(html: Union[bytes, str]) -> str:
     """Extract article text from page HTML (see module docstring)."""
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
-    p = _ArticleExtractor()
-    p.feed(html)
-    p.close()
-    return "\n".join(p.paragraphs)
+    for _name, container_pred, p_pred in _RULES:
+        p = _ParagraphCollector(container_pred, p_pred)
+        p.feed(html)
+        p.close()
+        if p.paragraphs:
+            return "\n".join(p.paragraphs)
+    return ""

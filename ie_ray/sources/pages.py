@@ -77,6 +77,9 @@ ORGS = [("Acme", "Corp"), ("Zenith", "Industries"), ("Borealis", "Group"),
 DOMAINS = ["news0.example.com", "news1.example.com", "news2.example.com",
            "news3.example.com"]
 
+# one container contract per synthetic domain (ie_ray/sources/html.py rules)
+_LAYOUTS = ["reuters", "nytimes", "washingtonpost", "foxnews"]
+
 # the deliberately hot entity (skew test per north_star)
 HOT_ENTITY = ("Global", "Assembly")
 
@@ -357,13 +360,32 @@ _BOILERPLATE = ("<nav><ul><li>Home</li><li>World</li><li>Markets</li></ul>"
                 "</nav><div class=\"ad\">Subscribe today!</div>")
 
 
-def _page_html(title: str, paragraphs: List[str]) -> str:
-    body = "".join("<p>%s</p>" % p for p in paragraphs)
-    # an empty paragraph and trailing boilerplate the extractor must handle
-    return ("<html><head><title>%s</title></head><body>%s"
-            "<span id=\"article-text\">%s</span>"
+def _page_html(title: str, paragraphs: List[str],
+               layout: str = "reuters") -> str:
+    """Wrap paragraphs in one of the four reference container contracts
+    (newsfeed/{reuters,nytimes,washingtonpost,foxnews}.py) so the
+    extraction cascade is exercised across heterogeneous layouts.  The
+    boilerplate <p> outside the container / without the NYT classes must
+    be dropped by every rule."""
+    noise = _BOILERPLATE + "<p class=\"promo\">Subscribe today!</p>"
+    if layout == "nytimes":
+        body = "".join(
+            "<p class=\"story-body-text story-content\">%s</p>" % p
+            for p in paragraphs)
+        mid = "<div id=\"story\">%s</div>" % body
+    elif layout == "washingtonpost":
+        body = "".join("<p>%s</p>" % p for p in paragraphs)
+        mid = ("<article itemprop=\"articleBody\">"
+               "<p class=\"interstitial\">AD</p>%s</article>" % body)
+    elif layout == "foxnews":
+        body = "".join("<p>%s</p>" % p for p in paragraphs)
+        mid = "<div class=\"article-body main\">%s</div>" % body
+    else:  # reuters
+        body = "".join("<p>%s</p>" % p for p in paragraphs)
+        mid = "<span id=\"article-text\">%s</span>" % body
+    return ("<html><head><title>%s</title></head><body>%s%s"
             "<footer>© example</footer></body></html>"
-            % (title, _BOILERPLATE, body))
+            % (title, noise, mid))
 
 
 def synthesize_pages(n_pages: int, pool: List[dict] = None, seed: int = SEED,
@@ -388,6 +410,7 @@ def synthesize_pages(n_pages: int, pool: List[dict] = None, seed: int = SEED,
         title_src = pool[rng.randrange(len(pool))]["sentence"].rstrip(".")
         slug = "-".join(title_src.lower().split()[:6])
         domain = DOMAINS[i % len(DOMAINS)]
+        layout = _LAYOUTS[i % len(_LAYOUTS)]
         dup_of = None
         if i % 37 == 1 and i > start:          # exact duplicate of previous row
             prev = rows[-1]
@@ -403,7 +426,7 @@ def synthesize_pages(n_pages: int, pool: List[dict] = None, seed: int = SEED,
         rows.append({
             "url": url,
             "warc_ts": 1484000000_000000 + i * 60_000_000,  # epoch-us sequence
-            "html": _page_html(title_src, paras).encode("utf-8"),
+            "html": _page_html(title_src, paras, layout).encode("utf-8"),
             "text": text,
             "lang": lang,
             "_dup_of": dup_of,

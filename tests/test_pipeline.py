@@ -23,6 +23,22 @@ def test_extraction_byte_identity(ray_session, fixture_dir):
     assert rows and all(r["identical"] for r in rows)
 
 
+def test_multidomain_extraction_unit():
+    """Byte-identity per container contract (S2: reuters/nyt/wapo/fox
+    + generic <article> fallback); boilerplate <p> must be dropped."""
+    from ie_ray.sources.html import extract_text
+    from ie_ray.sources.pages import _LAYOUTS, _page_html
+    paras = ["First paragraph here.", "Second one, with <b>markup</b>."]
+    want = "First paragraph here.\nSecond one, with markup."
+    for layout in _LAYOUTS:
+        html = _page_html("Title", paras, layout)
+        assert extract_text(html.encode("utf-8")) == want, layout
+    generic = ("<html><body><p>nav junk</p><article><p>First paragraph "
+               "here.</p><p>Second one.</p></article></body></html>")
+    assert extract_text(generic) == "First paragraph here.\nSecond one."
+    assert extract_text("<html><body><p>no container</p></body></html>") == ""
+
+
 def test_exact_dedup(ray_session, fixture_dir):
     import ray.data
     from ie_ray.stages.extract import add_page_hash, exact_dedup
