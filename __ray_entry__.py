@@ -39,15 +39,21 @@ def _strip_meta(b: pa.Table) -> pa.Table:
 
 def _docs(sf_dir):
     import ray.data
+    # gate-scale tables are a few thousand rows: Ray's default 64-way block
+    # split turns every operator into 64 tiny tasks and the fixed scheduling
+    # cost dominates — 8 blocks keeps parallelism without the task spam
+    # (real corpora come in many files and block naturally)
     return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet")).map_batches(
+        os.path.join(sf_dir, "documents.parquet"),
+        override_num_blocks=8).map_batches(
         _strip_meta, batch_format="pyarrow")
 
 
-def _tbl(sf_dir, name, columns=None):
+def _tbl(sf_dir, name, columns=None, blocks=None):
     import ray.data
     return ray.data.read_parquet(os.path.join(sf_dir, name + ".parquet"),
-                                 columns=columns).map_batches(
+                                 columns=columns,
+                                 override_num_blocks=blocks).map_batches(
         _strip_meta, batch_format="pyarrow")
 
 
@@ -203,7 +209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- embeddings ------------------------------------------------------
 
     def embedding_dup_pairs(sf_dir):
-        return dedup.embedding_dup_pairs(_tbl(sf_dir, "embeddings"))
+        return dedup.embedding_dup_pairs(_tbl(sf_dir, "embeddings", blocks=8))
 
     def embedding_sim_pairs(sf_dir):
         import numpy as np
@@ -213,7 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         corpus = np.asarray(t.column("embedding").to_pylist(),
                             dtype=np.float64)
         ids = t.column("vec_id").to_pylist()
-        return similarity.sim_pairs_exact(_tbl(sf_dir, "embeddings"),
+        return similarity.sim_pairs_exact(_tbl(sf_dir, "embeddings", blocks=8),
                                           corpus, ids, threshold=0.4)
 
     def knn_top1(sf_dir):
@@ -224,7 +230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qids = t.column("vec_id").to_pylist()[:10]
         qs = np.asarray(t.column("embedding").to_pylist()[:10],
                         dtype=np.float64)
-        ds = _tbl(sf_dir, "embeddings")
+        ds = _tbl(sf_dir, "embeddings", blocks=8)
         # exclude self-matches so the answer is a real neighbor
         res = similarity.knn_brute(ds, qs, qids, k=2)
 
@@ -505,6 +511,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }))
         return ds.map_batches(extract_clauses_batch, batch_format="pyarrow")
 
+    def verbnet_lookup(sf_dir):
+        """T4/J3: verb stem → VerbNet class ids over the derivation pool
+        (SemLink vn-pb mapping; empty classes when the verb is unmapped)."""
+        from ie_ray.kb.verbnet import load_default
+        db = load_default()
+        fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
+        ds = ray.data.read_parquet(os.path.join(fd, "derivations.parquet"))
+
+        def stems(b: pa.Table) -> pa.Table:
+            from ie_ray.ccg import parse_ccgbank
+            from ie_ray.semantics.lexicon import Token
+            out = set()
+            for drv in b.column("ccgbank").to_pylist():
+                _, leaves = parse_ccgbank(drv)
+                for l in leaves:
+                    t = Token(l.idx, l.word, l.pos, l.cat)
+                    if t.isverb:
+                        out.add(t.stem)
+            ss = sorted(out)
+            return pa.table({
+                "stem": pa.array(ss, type=pa.string()),
+                "vn_classes": pa.array(
+                    [",".join(db.classes(s)) if db else "" for s in ss],
+                    type=pa.string())})
+
+        return (ds.map_batches(stems, batch_format="pyarrow")
+                .groupby("stem")
+                .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
+
     def cky_parse_triples(sf_dir):
         """T1: the real supertagger+CKY parser over NON-fixture sentences
         (the reference's clausefinder corpus) — none of these exist in the
@@ -604,6 +639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_identity": extraction_identity,
         "clause_extract": clause_extract,
         "cky_parse_triples": cky_parse_triples,
+        "verbnet_lookup": verbnet_lookup,
         "kg_drs": kg_drs,
         "media_features": media_features,
     }

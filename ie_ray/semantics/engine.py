@@ -138,6 +138,8 @@ class SentenceSem:
         events: dict = {}
         args: dict = {}
         for c in drs.conditions:
+            if not isinstance(c, Rel):
+                continue            # Imp/Or/Neg don't project to triples
             pred, refs = c.resolved()
             if len(refs) == 1:
                 r = refs[0]
@@ -159,6 +161,8 @@ class SentenceSem:
         # complementizers like "that" also name the shared event ref)
         for pass_ in range(3):
             for c in drs.conditions:
+                if not isinstance(c, Rel):
+                    continue
                 pred, refs = c.resolved()
                 if len(refs) == 1 and refs[0] in events \
                         and not pred.startswith("_") \
@@ -181,6 +185,8 @@ class SentenceSem:
                 obj = label.get(objr)
             out.append({"subj": subj, "pred": verb, "obj": obj, "kind": "arg"})
         for c in drs.conditions:
+            if not isinstance(c, Rel):
+                continue
             pred, refs = c.resolved()
             if pred == "_AKA" and len(refs) == 2:
                 out.append({"subj": label.get(refs[0]), "pred": "aka",

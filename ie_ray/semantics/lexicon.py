@@ -186,6 +186,44 @@ _WEEKDAY_RE = re.compile(
 
 _EVENT_PREDICATES = ("_ARG0", "_ARG1", "_ARG2", "_ARG3", "_ARG4", "_ARG5")
 
+# T4/J3: optional VerbNet class implications (reference default is
+# CO_NO_VERBNET — goldens compose without; install with set_verbnet_db)
+_VERBNET_DB = None
+
+
+def set_verbnet_db(db) -> None:
+    """Install (or clear, with None) the VerbNet DB — verb leaves then emit
+    the reference's ``stem(E) ⇒ _vn_<class>(E)`` implication conditions
+    (ie/semantics/lexeme.py:620-648)."""
+    global _VERBNET_DB
+    _VERBNET_DB = db
+
+
+def _verbnet_implication(stem: str, ref) -> Optional["Rel"]:
+    """Build the class implication exactly as the reference pairs it:
+    one class → plain Rel; several → Or-chain, odd leftover seeded first
+    (lexeme.py:624-637)."""
+    from ..drt.drs import DRS, Imp, Or
+    if _VERBNET_DB is None:
+        return None
+    vnclasses = _VERBNET_DB.classes(stem)
+    if not vnclasses:
+        return None
+    if len(vnclasses) == 1:
+        vncond = Rel("_vn_" + vnclasses[0], [ref])
+    else:
+        xconds = [Rel("_vn_" + vnclasses[-1], [ref])] \
+            if len(vnclasses) & 0x1 else []
+        for vna, vnb in zip(vnclasses[0::2], vnclasses[1::2]):
+            xconds.append(Or(DRS([Rel("_vn_" + vna, [ref])]),
+                             DRS([Rel("_vn_" + vnb, [ref])])))
+        while len(xconds) != 1:
+            c2 = xconds.pop()
+            c1 = xconds.pop()
+            xconds.append(Or(DRS([c1]), DRS([c2])))
+        vncond = xconds[0]
+    return Imp(DRS([Rel(stem, [ref])]), DRS([vncond]))
+
 _PASS_THROUGH_WORDS = {"to", "will", "would", "can", "could", "shall",
                        "should", "may", "might", "must", "do", "does", "did",
                        "have", "has", "had", "be", "is", "are", "was", "were",
@@ -507,6 +545,11 @@ def _verb_conds(tok: Token, refs: List[Ref], cat: Category):
         # already unified with the verbal complement in _leaf_tree
         return
     tok.conds.append(Rel(tok.stem, [final]))
+    vn = _verbnet_implication(tok.stem, final)
+    if vn is not None:
+        # the stem Rel stays asserted (triples read it); the implication
+        # adds the reference's _vn_<class> output mode on top
+        tok.conds.append(vn)
     tok.conds.append(Rel("_EVENT", [final]))
     for pred, r in zip(_EVENT_PREDICATES, refs[1:]):
         tok.conds.append(Rel(pred, [final, r]))

@@ -144,11 +144,26 @@ class MinHasher:
         })
 
 
-def minhash_signatures(ds, num_perm: int = 64, concurrency=(1, 4)):
+_MINHASHERS: dict = {}
+
+
+def _minhash_batch(batch: pa.Table, num_perm: int = 64,
+                   seed: int = 7) -> pa.Table:
+    """Task-pool form of MinHasher: the permutation table lives in a
+    per-worker-process global, so signing runs as plain tasks on the warm
+    worker pool with zero actor-startup latency (the actor form costs
+    ~2 s of pool spawn per query at interactive scale)."""
+    key = (num_perm, seed)
+    h = _MINHASHERS.get(key)
+    if h is None:
+        h = _MINHASHERS[key] = MinHasher(num_perm, seed)
+    return h(batch)
+
+
+def minhash_signatures(ds, num_perm: int = 64, concurrency=None):
     """(doc_id, signature:binary) Dataset — the reusable phase-1 product."""
-    return ds.map_batches(MinHasher, fn_constructor_kwargs={"num_perm": num_perm},
-                          batch_format="pyarrow", concurrency=concurrency,
-                          num_cpus=1)
+    return ds.map_batches(_minhash_batch, fn_kwargs={"num_perm": num_perm},
+                          batch_format="pyarrow")
 
 
 def lsh_candidate_pairs(sigs, num_perm: int = 64, bands: int = 16):
@@ -302,15 +317,22 @@ class SimHasher:
         })
 
 
-def simhash_pairs(ds, max_hamming: int = 3, concurrency=(1, 4)):
+_SIMHASHER = SimHasher()
+
+
+def _simhash_batch(batch: pa.Table) -> pa.Table:
+    return _SIMHASHER(batch)
+
+
+def simhash_pairs(ds, max_hamming: int = 3, concurrency=None):
     """Near-dup pairs with hamming(simhash) ≤ k via 4-block bucketing.
 
     For the default k=3 the op is EXACT (pigeonhole: a pair within distance
     3 shares at least one of 4 16-bit blocks), so it carries a full DuckDB
     oracle.  The 8-byte simhash rides the bucket rows (it IS the payload —
-    no second fetch needed)."""
-    hashed = ds.map_batches(SimHasher, batch_format="pyarrow",
-                            concurrency=concurrency, num_cpus=1)
+    no second fetch needed).  Hashing runs as plain tasks with a
+    per-process word-hash cache (see _minhash_batch)."""
+    hashed = ds.map_batches(_simhash_batch, batch_format="pyarrow")
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         ids, keys, hs_out = [], [], []
