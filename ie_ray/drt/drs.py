@@ -142,6 +142,60 @@ class Or:
                 tuple(c.resolved() for c in self.right.conditions))
 
 
+class Prop:
+    """Proposition condition ``x: <drs>`` — a referent naming a sub-DRS
+    (parity: drt/drs.py:1958-2050)."""
+
+    __slots__ = ("ref", "drs", "src")
+
+    def __init__(self, ref: Ref, drs: "DRS"):
+        self.ref = ref
+        self.drs = drs
+        self.src = None
+
+    @property
+    def refs(self):
+        return [self.ref] + [r for c in self.drs.conditions for r in c.refs]
+
+    def resolved(self):
+        return (":", self.ref.find(),
+                tuple(c.resolved() for c in self.drs.conditions))
+
+
+class Diamond:
+    """Possibility ``◇<drs>`` (parity: drt/drs.py:2117-2140)."""
+
+    __slots__ = ("drs", "src")
+
+    def __init__(self, drs: "DRS"):
+        self.drs = drs
+        self.src = None
+
+    @property
+    def refs(self):
+        return [r for c in self.drs.conditions for r in c.refs]
+
+    def resolved(self):
+        return ("<>", tuple(c.resolved() for c in self.drs.conditions))
+
+
+class Box:
+    """Necessity ``◻<drs>`` (parity: drt/drs.py:2258-2281)."""
+
+    __slots__ = ("drs", "src")
+
+    def __init__(self, drs: "DRS"):
+        self.drs = drs
+        self.src = None
+
+    @property
+    def refs(self):
+        return [r for c in self.drs.conditions for r in c.refs]
+
+    def resolved(self):
+        return ("[]", tuple(c.resolved() for c in self.drs.conditions))
+
+
 class DRS:
     """An ordered list of conditions plus a derived universe.
 
@@ -207,6 +261,15 @@ def _render(c, names, fol: bool = False) -> str:
         a = ",".join(_render(x, names, fol) for x in c.left.conditions)
         b = ",".join(_render(x, names, fol) for x in c.right.conditions)
         return ("(%s) | (%s)" if fol else "(%s) or (%s)") % (a, b)
+    if isinstance(c, Prop):
+        inner = ",".join(_render(x, names, fol) for x in c.drs.conditions)
+        return "%s: (%s)" % (names[c.ref.find()], inner)
+    if isinstance(c, Diamond):
+        inner = ",".join(_render(x, names, fol) for x in c.drs.conditions)
+        return "◇(%s)" % inner
+    if isinstance(c, Box):
+        inner = ",".join(_render(x, names, fol) for x in c.drs.conditions)
+        return "◻(%s)" % inner
     raise TypeError(type(c))
 
 
@@ -242,3 +305,89 @@ def show_linear(drs: DRS) -> str:
         key=lambda r: int(names[r][1:]))]
     conds = [_render(c, names) for c in drs.conditions]
     return "[%s| %s]" % (",".join(universe), ",".join(conds))
+
+
+# ---------------------------------------------------------------------------
+# DRS algebra (C14 surface, re-expressed under union-find semantics)
+#
+# The reference manipulates explicit variable names, so merge needs
+# α-conversion to avoid capture (drt/drs.py:660-780) and purify rewrites
+# colliding bound variables.  Here variables are union-find cells: two DRSs
+# never collide unless their cells were deliberately union()ed, so merge is
+# condition concatenation, and α-conversion is a structural copy onto fresh
+# (or caller-supplied) cells.
+# ---------------------------------------------------------------------------
+
+def get_freerefs(drs: DRS) -> List[Ref]:
+    """Referents used by conditions but not bound in the universe, in
+    first-occurrence order (parity: drsFreeRefs, drt/drs.py:1003-1024)."""
+    seen, out = set(), []
+    for c in drs.conditions:
+        for r in c.refs:
+            rr = r.find()
+            if not rr.bound and id(rr) not in seen:
+                seen.add(id(rr))
+                out.append(rr)
+    return out
+
+
+def merge(d1: DRS, d2: DRS) -> DRS:
+    """Assertive merge ``d1 ⊕ d2``: union of universes and conditions —
+    capture-free by construction under union-find cells (parity:
+    drs_merge, drt/drs.py:660-720)."""
+    return DRS(list(d1.conditions) + list(d2.conditions))
+
+
+def alpha_convert(drs: DRS, mapping: Optional[Dict[Ref, Ref]] = None) -> DRS:
+    """Structural copy with renamed variables.
+
+    ``mapping`` maps representative cells to replacement cells; unmapped
+    cells get fresh cells with the same kind/bound flags.  Sharing inside
+    the DRS is preserved; the copy is disconnected from the original's
+    union-find forest, so later unions on either side don't leak (parity:
+    alphaConvert, drt/drs.py:822-870)."""
+    env: Dict[int, Ref] = {}
+    mapping = mapping or {}
+
+    def sub(r: Ref) -> Ref:
+        rr = r.find()
+        if rr in mapping:
+            return mapping[rr]
+        got = env.get(id(rr))
+        if got is None:
+            got = Ref(rr.kind, rr.bound)
+            got.bound_idx = rr.bound_idx
+            got.binder = rr.binder
+            env[id(rr)] = got
+        return got
+
+    def copy_cond(c):
+        if isinstance(c, Rel):
+            out = Rel(c.pred, [sub(r) for r in c.refs])
+        elif isinstance(c, Neg):
+            out = Neg(DRS([copy_cond(x) for x in c.drs.conditions]))
+        elif isinstance(c, Imp):
+            out = Imp(DRS([copy_cond(x) for x in c.ante.conditions]),
+                      DRS([copy_cond(x) for x in c.cons.conditions]))
+        elif isinstance(c, Or):
+            out = Or(DRS([copy_cond(x) for x in c.left.conditions]),
+                     DRS([copy_cond(x) for x in c.right.conditions]))
+        elif isinstance(c, Prop):
+            out = Prop(sub(c.ref),
+                       DRS([copy_cond(x) for x in c.drs.conditions]))
+        elif isinstance(c, (Diamond, Box)):
+            out = type(c)(DRS([copy_cond(x) for x in c.drs.conditions]))
+        else:
+            raise TypeError(type(c))
+        out.src = c.src
+        return out
+
+    return DRS([copy_cond(c) for c in drs.conditions])
+
+
+def purify(drs: DRS) -> DRS:
+    """Duplicate-free, frozen form: dedup conditions then α-convert onto a
+    private cell forest so the result is immune to later unions elsewhere
+    (the union-find equivalent of the reference's purify + clean renaming,
+    drt/drs.py:905-960)."""
+    return alpha_convert(drs.dedup())

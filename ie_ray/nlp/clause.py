@@ -84,9 +84,15 @@ class ClauseFinder:
     def span_text(self, toks: List[DepToken]) -> str:
         return " ".join(t.word for t in toks)
 
-    def phrase(self, tok: DepToken, stop_labels=frozenset()) -> str:
-        stops = frozenset(stop_labels | CLAUSE_LABELS | {"APPOS", "CONJ", "CC"})
-        return self.span_text(self.subtree(tok, stops))
+    def phrase(self, tok: DepToken, stop_labels=frozenset(),
+               keep_conj: bool = False) -> str:
+        """NP-ish span.  ``keep_conj`` keeps coordinated continuations —
+        object spans want the whole "electronic , computer and building
+        products" (parity: SubtreeSpan, ie/nlp/clause.py:193-263)."""
+        stops = set(stop_labels) | set(CLAUSE_LABELS) | {"APPOS"}
+        if not keep_conj:
+            stops |= {"CONJ", "CC"}
+        return self.span_text(self.subtree(tok, frozenset(stops)))
 
     # -- extraction ---------------------------------------------------------
 
@@ -101,7 +107,34 @@ class ClauseFinder:
             clause = self._clause_for_verb(t)
             if clause is not None:
                 clauses.append(clause)
+        clauses.extend(self._isa_clauses())
         return clauses
+
+    def _isa_clauses(self) -> List[Clause]:
+        """Synthetic is-a clauses from appositives on subjects (parity:
+        _dispatch_case_appos/_close_isa_case, ie/nlp/clause.py:603-666):
+        "Bell, a telecom company, ..." → (Bell) (is) (a telecom company);
+        conjoined appositives each yield their own ISA clause."""
+        out = []
+        for t in self.tokens:
+            if t.label != "APPOS":
+                continue
+            head = self.tokens[t.head]
+            if head.label not in SUBJ_LABELS and head.label != "ROOT":
+                continue
+            subj = self.phrase(head)
+            items = [t]
+            # walk the conj chain under the appositive
+            stack = [t]
+            while stack:
+                cur = stack.pop()
+                for c in self.children[cur.idx]:
+                    if c.label == "CONJ":
+                        items.append(c)
+                        stack.append(c)
+            for item in items:
+                out.append(Clause("ISA", subj, "is", [self.phrase(item)]))
+        return out
 
     def _subject_for(self, verb: DepToken) -> Optional[DepToken]:
         for c in self.children[verb.idx]:
@@ -129,7 +162,7 @@ class ClauseFinder:
             if c.label in ("AUX", "AUXPASS", "NEG"):
                 verb_toks.append(c)
             elif c.label in OBJ_LABELS:
-                objects.append(self.phrase(c))
+                objects.append(self.phrase(c, keep_conj=True))
             elif c.label == "PREP":
                 objects.append(self.span_text(self.subtree(
                     c, frozenset(CLAUSE_LABELS))))

@@ -59,3 +59,50 @@ def test_synthesized_parses_and_stage(ray_session):
     assert by_sent[0]["objects"] == "the tax"
     assert by_sent[1]["objects"] == "against the plan"
     assert by_sent[2]["subject"] == "Anna Marbury"
+
+
+def test_google_parse_fixture_parity():
+    """The reference's real Google-NLP parse document
+    (data/clausefinder_test.json) through the compact ClauseFinder —
+    annotated EXPECTED clauses plus the appositive ISA behavior
+    (ie/nlp/clause.py:603-666)."""
+    import json
+    import os
+    path = "/root/reference/data/clausefinder_test.json"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference fixture absent")
+    from ie_ray.nlp.clause import extract_clauses_google
+    doc = json.load(open(path))
+    by_sent = {}
+    for sent, clauses in zip(doc["sentences"], extract_clauses_google(doc)):
+        by_sent[sent["text"]["content"]] = {
+            (c.ctype, c.subject, c.verb, tuple(c.objects)) for c in clauses}
+
+    def has(sent_prefix, ctype, subj, verb, objs):
+        for s, cl in by_sent.items():
+            if s.startswith(sent_prefix):
+                return (ctype, subj, verb, tuple(objs)) in cl
+        raise AssertionError("no sentence %r" % sent_prefix)
+
+    assert has("Albert Einstein died.", "SV", "Albert Einstein", "died", [])
+    assert has("Albert Einstein remained in Princeton.", "SVO",
+               "Albert Einstein", "remained", ["in Princeton"])
+    assert has("Albert Einstein has won the Nobel Prize.", "SVO",
+               "Albert Einstein", "has won", ["the Nobel Prize"])
+    assert has("RSAS gave", "SVOO", "RSAS", "gave",
+               ["Albert Einstein", "the Nobel Prize"])
+    assert has("The doorman showed", "SVOO", "The doorman", "showed",
+               ["Albert Einstein", "to his office"])
+    assert has("The problem is that", "SV", "The problem", "is", [])
+    # appositive → synthetic ISA (conjoined appositives split)
+    assert has("Bell, a telecommunication company , which", "ISA",
+               "Bell", "is", ["a telecommunication company"])
+    assert has("Bell , a telecommunication company and a fortune", "ISA",
+               "Bell", "is", ["a fortune 500 company"])
+    # coordinated object span stays whole
+    assert has("Bell, a telecommunication company , which", "SVO", "Bell",
+               "distributes", ["electronic computer and building products"])
+    # passive chain keeps its auxiliaries in the verb span
+    assert has("Bell is a telecommunication company and a fortune", "SVO",
+               "which", "is based", ["in Los Angeles"])
