@@ -119,6 +119,71 @@ class SentenceSem:
         return " ".join("%s(%s)" % (c.vntype, c.text(self.tokens, True))
                         for c in self.verbnet_chunks())
 
+    def disjoint_spans(self) -> List[List[int]]:
+        """Token-index groups whose DRS graphs are disjoint (parity:
+        get_disjoint_drs_spans, ccg.py:1822-1861): tokens are connected
+        when any of their conditions (or the sentence extras) share a
+        representative referent."""
+        parent: dict = {}
+
+        def find(k):
+            while parent.setdefault(k, k) != k:
+                parent[k] = parent[parent[k]]
+                k = parent[k]
+            return k
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+
+        tok_key = {}
+        for t in self.tokens:
+            refs = {id(r.find()) for c in t.conds for r in c.refs}
+            if not refs:
+                continue
+            tok_key[t.idx] = ("t", t.idx)
+            for rid in refs:
+                union(("t", t.idx), ("r", rid))
+        for c in self.extras:
+            rids = [id(r.find()) for r in c.refs]
+            for a, b in zip(rids, rids[1:]):
+                union(("r", a), ("r", b))
+        groups: dict = {}
+        for idx, key in tok_key.items():
+            groups.setdefault(find(key), []).append(idx)
+        return sorted(sorted(g) for g in groups.values())
+
+    def mark_orphans(self) -> None:
+        """Append ``_ORPHANED(r)`` extras for referent graphs disconnected
+        from the main (root/event-bearing) component (parity:
+        ccg.py:1185-1197).  Idempotent; _AKA-aliased components count as
+        connected because the alias condition itself joins the graphs."""
+        spans = self.disjoint_spans()
+        if len(spans) <= 1:
+            return
+        # an orphan is an ENTITY graph: a component with no event-bearing
+        # token at all (coordinated full clauses are each their own legit
+        # graph — "the door opened and I stepped up" has two)
+        already = {id(r.find()) for c in self.extras
+                   if isinstance(c, Rel) and c.pred == "_ORPHANED"
+                   for r in c.refs}
+        main = max(spans, key=len)
+        for sp in spans:
+            if sp is main or any(self.tokens[i].isverb for i in sp):
+                continue
+            head = None
+            for i in sp:
+                for c in self.tokens[i].conds:
+                    if isinstance(c, Rel) and len(c.refs) == 1 \
+                            and not c.pred.startswith("_"):
+                        head = c.refs[0].find()
+                        break
+                if head is not None:
+                    break
+            if head is not None and id(head) not in already:
+                self.extras.append(Rel("_ORPHANED", [head]))
+
     def get_drs(self, nodups: bool = True) -> DRS:
         conds: List[Rel] = []
         for t in self.tokens:
@@ -215,6 +280,7 @@ class Composer:
         sent.constituents = self._collect_constituents(root)
         if resolve_names:
             self.resolve_proper_names(sent)
+        sent.mark_orphans()
         return sent
 
     # -- constituents (C6-lite: spans + CCGBANK heads) -----------------------
@@ -337,6 +403,18 @@ class Composer:
                 unify_trees(l.tree[0][1], r.tree[0])
                 unify_trees(l.tree[1], r.tree[1])
                 return Sem(res, (l.tree[0][0], l.tree[1]))
+
+        # NP NP juxtaposition: the appositive pattern the reference finds by
+        # disjoint-DRS-graph analysis ("Name , a NP" / "a NP , Name" after
+        # comma absorption; ccg.py:1078-1197).  A right side that introduced
+        # a real referent is an alias; one that didn't is orphaned.
+        if l.cat.isnp and r.cat.isnp:
+            lr, rr = l.final_ref().find(), r.final_ref().find()
+            if rr.bound or rr.binder is not None:
+                extras.append(Rel("_AKA", [lr, rr]))
+            else:
+                extras.append(Rel("_ORPHANED", [rr]))
+            return Sem(res, l.tree)
 
         # last resort: unify final refs, keep left result shape
         self.missing_rules.add((l.cat.signature, r.cat.signature, res.signature))
