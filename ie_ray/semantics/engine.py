@@ -52,6 +52,10 @@ _VNTYPES = {
     "S[adj]\\NP": "ADJP", "S[pss]\\NP": "VP", "S": "S",
 }
 
+# VP/S modifier shapes → adverbial constituents (feature-stripped;
+# parity: CAT_VP_MOD → CONSTITUENT_ADVP, ccg.py:638-661)
+_ADVP_SHAPES = {r"(S\NP)\(S\NP)", r"(S\NP)/(S\NP)", "S/S", "S\\S"}
+
 
 class SentenceSem:
     """Result of composing one sentence."""
@@ -305,6 +309,9 @@ class Composer:
                 return
             vntype = _VNTYPES.get(node.cat.signature) or \
                 ("S_DCL" if node is root and node.cat.base == "S" else None)
+            if vntype is None and node.cat.ismodifier \
+                    and node.cat.strip_features() in _ADVP_SHAPES:
+                vntype = "ADVP"
             if vntype:
                 span, head = span_head(node)
                 out.append(Constituent(vntype, span, head))
@@ -320,7 +327,41 @@ class Composer:
             if key not in seen:
                 seen.add(key)
                 uniq.append(c)
-        return uniq
+        return self._refine_constituents(uniq)
+
+    @staticmethod
+    def _refine_constituents(consts):
+        """C6 refinement (parity: _refine_constituents, ccg.py:783-960):
+        merge adjacent same-type ADVP/ADJP adjuncts, drop single-token
+        ADVPs (a bare adverb is not a phrase), and enforce one constituent
+        per head token for identical spans (NP/PP preferred)."""
+        # merge adjacent same-type adjuncts (span-contiguous)
+        consts = sorted(consts, key=lambda c: (c.span[0], -len(c.span)))
+        merged: List[Constituent] = []
+        for c in consts:
+            if merged and c.vntype in ("ADVP", "ADJP") \
+                    and merged[-1].vntype == c.vntype \
+                    and merged[-1].span[-1] + 1 == c.span[0]:
+                prev = merged[-1]
+                prev.span = sorted(set(prev.span) | set(c.span))
+                continue
+            merged.append(c)
+        # drop singleton ADVPs
+        merged = [c for c in merged
+                  if not (c.vntype == "ADVP" and len(c.span) == 1)]
+        # one constituent per (head, span): NP/PP win over other projections
+        by_key: dict = {}
+        order = []
+        pri = {"NP": 2, "PP": 1}
+        for c in merged:
+            key = (c.head, tuple(c.span))
+            cur = by_key.get(key)
+            if cur is None:
+                by_key[key] = c
+                order.append(key)
+            elif pri.get(c.vntype, 0) > pri.get(cur.vntype, 0):
+                by_key[key] = c
+        return [by_key[k] for k in order]
 
     # -- tree walk ----------------------------------------------------------
 

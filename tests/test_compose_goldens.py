@@ -107,3 +107,23 @@ def test_no_missing_rules():
     for d in (BOYGIRL, WELCOME, DOOR, BUS, FARMER):
         c.compose_ccgbank(d)
     assert not c.missing_rules
+
+
+def test_advp_constituents_and_merge():
+    """C6 refinement: VP-modifier nodes become ADVP constituents; adjacent
+    same-type adjuncts merge; bare single-adverb ADVPs are dropped
+    (parity: _refine_constituents, ccg.py:783-960)."""
+    drv = ("(<T S[dcl] 1 2> (<T NP 0 2> (<L NP/N DT DT The NP/N>) "
+           "(<L N NN NN mayor N>) ) (<T S[dcl]\\NP 0 2> "
+           "(<T S[dcl]\\NP 0 1> (<L S[dcl]\\NP VBD VBD protested "
+           "S[dcl]\\NP>) ) (<T (S\\NP)\\(S\\NP) 0 2> "
+           "(<L ((S\\NP)\\(S\\NP))/NP IN IN with ((S\\NP)\\(S\\NP))/NP>) "
+           "(<T NP 0 2> (<L NP/N DT DT the NP/N>) "
+           "(<L N NN NN union N>) ) ) ) )")
+    sem = Composer().compose_ccgbank(drv)
+    assert sem.constituent_string() == (
+        "S_DCL(The mayor #protested with the union) NP(#The mayor) "
+        "ADVP(#with the union) NP(#the union)")
+    # single-head: every constituent has a distinct (head, span) slot
+    keys = [(c.head, tuple(c.span)) for c in sem.constituents]
+    assert len(keys) == len(set(keys))
