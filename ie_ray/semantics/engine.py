@@ -64,7 +64,59 @@ class SentenceSem:
         self.tokens = tokens
         self.extras = extras
         self.root = root
+        self.parse_root = None          # CCGBANK Node tree (set by Composer)
         self.constituents: List[Constituent] = []
+
+    def predarg_ccgbank(self) -> str:
+        """CCGBANK rendering with predarg variable tags derived from the
+        composed ref trees — atoms sharing a referent share a tag, e.g.
+        ``(S[dcl]\\NP_2)/NP_3`` for a transitive whose subject resolved to
+        variable 2 (parity: get_predarg_ccgbank,
+        ie/semantics/ccg.py:1711-1820; the reference reads the tags off its
+        functor templates, this engine reads them off the union-find cells
+        the templates became)."""
+        from ..ccg.ccgbank import Leaf as _Lf
+        from .lexicon import tree_atoms
+        names = self.get_drs().names()
+        num = {}
+        counter = [len(names)]
+
+        def var_no(ref) -> int:
+            rr = ref.find()
+            got = names.get(rr)
+            if got is not None:
+                return int(got[1:])
+            if id(rr) not in num:
+                counter[0] += 1
+                num[id(rr)] = counter[0]
+            return num[id(rr)]
+
+        def leaf_str(leaf: _Lf) -> str:
+            tok = self.tokens[leaf.idx]
+            if tok.sem is None:
+                pa = leaf.cat.signature
+            else:
+                atoms = [a for a in tree_atoms(tok.sem.tree)]
+                cat_atoms = tok.cat.atoms()
+                # pair category atoms with tree atoms positionally
+                tags = {}
+                for i, _ in enumerate(cat_atoms):
+                    if i < len(atoms):
+                        tags[i] = var_no(atoms[i])
+                pa = _tagged_signature(tok.cat, tags)
+            return "(<L %s %s %s %s %s>)" % (leaf.cat.signature, tok.pos,
+                                             tok.pos, tok.word, pa)
+
+        def walk(node) -> str:
+            if isinstance(node, _Lf):
+                return leaf_str(node)
+            return "(<T %s %d %d> %s )" % (
+                node.cat.signature, node.head, len(node.children),
+                " ".join(walk(c) for c in node.children))
+
+        if self.parse_root is None:
+            raise ValueError("no parse tree attached")
+        return walk(self.parse_root)
 
     def constituent_string(self) -> str:
         """Head-marked constituent rendering (parity:
@@ -281,6 +333,7 @@ class Composer:
         extras: List[Rel] = []
         sem = self._walk(root, tokens, extras)
         sent = SentenceSem(tokens, extras, sem)
+        sent.parse_root = root
         sent.constituents = self._collect_constituents(root)
         if resolve_names:
             self.resolve_proper_names(sent)
@@ -563,6 +616,28 @@ class Composer:
                                if not (c.pred == t.stem and len(c.refs) == 1)]
                 first.stem = merged
             i = j if j > i + 1 else i + 1
+
+
+def _tagged_signature(cat: Category, tags: dict) -> str:
+    """Category signature with ``_<n>`` predarg tags on atoms, numbered by
+    flattened atom position (result atoms first — Category.atoms order)."""
+    idx = [0]
+
+    def rec(c: Category) -> str:
+        if c.isatom:
+            i = idx[0]
+            idx[0] += 1
+            t = tags.get(i)
+            return c.signature + ("_%d" % t if t is not None else "")
+        r = rec(c.result)
+        a = rec(c.arg)
+        if c.result.isfunctor:
+            r = "(%s)" % r
+        if c.arg.isfunctor:
+            a = "(%s)" % a
+        return r + c.slash + a
+
+    return rec(cat)
 
 
 def _same_ref(a: Token, b: Token) -> bool:

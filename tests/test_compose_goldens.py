@@ -127,3 +127,21 @@ def test_advp_constituents_and_merge():
     # single-head: every constituent has a distinct (head, span) slot
     keys = [(c.head, tuple(c.span)) for c in sem.constituents]
     assert len(keys) == len(set(keys))
+
+
+def test_predarg_ccgbank_view():
+    """get_predarg_ccgbank parity (ie/semantics/ccg.py:1711-1820): leaf
+    categories carry variable tags reflecting the composed ref sharing —
+    the transitive's subject slot tags with the subject noun's variable."""
+    sem = Composer().compose_ccgbank(
+        r'(<T S[dcl] 1 2> (<T NP 0 2> (<L NP/N DT DT The NP/N>) '
+        r'(<L N NN NN boy N>) ) (<T S[dcl]\NP 0 2> '
+        r'(<L (S[dcl]\NP)/NP VBZ VBZ sees (S[dcl]\NP)/NP>) '
+        r'(<T NP 0 2> (<L NP/N DT DT a NP/N>) (<L N NN NN girl N>) ) ) )')
+    pa = sem.predarg_ccgbank()
+    assert "(S[dcl]_2\\NP_1)/NP_3" in pa
+    assert "boy N_1" in pa and "girl N_3" in pa
+    # round-trips through the parser (tags are legal category syntax)
+    from ie_ray.ccg.ccgbank import parse_ccgbank
+    root, leaves = parse_ccgbank(pa)
+    assert len(leaves) == 5
