@@ -159,6 +159,103 @@ def knn_lsh(ds, queries, query_ids, k: int = 5, nbits: int = 8,
     return cand.groupby("query_id").map_groups(topk, batch_format="pyarrow")
 
 
+def train_ivf_centroids(ds, n_centroids: int = 16, sample: int = 2048,
+                        iters: int = 8, seed: int = 23) -> np.ndarray:
+    """Coarse IVF codebook: k-means over a SMALL reservoir sample
+    (``ds.limit(sample)`` — the sample is the only thing that reaches the
+    driver; at 100 TB the codebook trains on a fraction-of-a-percent
+    sample exactly like FAISS IVF training)."""
+    rows = ds.select_columns(["embedding"]).limit(sample).take_all()
+    m = _normalize(np.asarray([r["embedding"] for r in rows],
+                              dtype=np.float64))
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)),
+                        replace=False)]
+    for _ in range(iters):
+        assign = (m @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            sel = m[assign == c]
+            if len(sel):
+                cent[c] = sel.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+class IvfKnnActor:
+    """IVF-style ANN: corpus rows are routed to their nearest coarse
+    centroid; each query only scores rows whose centroid is in the query's
+    ``nprobe`` nearest cells.  The codebook + queries are broadcast once per
+    actor; per-batch work is a centroid matmul plus one small matmul per
+    probed cell (the standard IVF-flat pattern, scale path alongside
+    :class:`LshKnnActor`)."""
+
+    def __init__(self, queries, query_ids, centroids, k: int,
+                 nprobe: int = 4):
+        import ray
+        if isinstance(queries, ray.ObjectRef):
+            queries = ray.get(queries)
+        if isinstance(centroids, ray.ObjectRef):
+            centroids = ray.get(centroids)
+        self.q = _normalize(np.asarray(queries, dtype=np.float64))
+        self.query_ids = list(query_ids)
+        self.cent = np.asarray(centroids, dtype=np.float64)
+        self.k = k
+        nprobe = min(nprobe, len(self.cent))
+        qc = self.q @ self.cent.T                       # (nq, ncent)
+        probes = np.argpartition(-qc, nprobe - 1, axis=1)[:, :nprobe]
+        self.cell_queries: dict = {}
+        for qi, cells in enumerate(probes):
+            for c in cells:
+                self.cell_queries.setdefault(int(c), []).append(qi)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+        m = _normalize(np.asarray(batch.column("embedding").to_pylist(),
+                                  dtype=np.float64))
+        assign = (m @ self.cent.T).argmax(axis=1)
+        out_q, out_n, out_s = [], [], []
+        for cell in np.unique(assign):
+            qis = self.cell_queries.get(int(cell))
+            if not qis:
+                continue
+            rows = np.nonzero(assign == cell)[0]
+            sims = self.q[qis] @ m[rows].T
+            for a, qi in enumerate(qis):
+                for c, ri in enumerate(rows):
+                    out_q.append(self.query_ids[qi])
+                    out_n.append(int(ids[ri]))
+                    out_s.append(round(float(sims[a, c]), 6))
+        return pa.table({
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "neighbor": pa.array(out_n, type=pa.int64()),
+            "cosine": pa.array(out_s, type=pa.float64()),
+        })
+
+
+def knn_ivf(ds, queries, query_ids, k: int = 5, n_centroids: int = 16,
+            nprobe: int = 4, concurrency=(1, 4)):
+    """IVF-flat approximate top-k: train a coarse codebook on a sample,
+    broadcast it, probe ``nprobe`` cells per query, merge local top-k
+    through the same small groupby as knn_brute.  Recall rises with
+    nprobe/n_centroids ratio (nprobe == n_centroids degenerates to brute)."""
+    import ray
+    cent = train_ivf_centroids(ds, n_centroids=n_centroids)
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    cref = ray.put(cent)
+    cand = ds.map_batches(
+        IvfKnnActor,
+        fn_constructor_kwargs={"queries": qref, "query_ids": list(query_ids),
+                               "centroids": cref, "k": k, "nprobe": nprobe},
+        batch_format="pyarrow", batch_size=4096,
+        concurrency=concurrency, num_cpus=1)
+
+    def topk(group: pa.Table) -> pa.Table:
+        t = group.sort_by([("cosine", "descending"), ("neighbor", "ascending")])
+        return t.slice(0, k)
+
+    return cand.groupby("query_id").map_groups(topk, batch_format="pyarrow")
+
+
 class SimPairsActor:
     """All-pairs cosine ≥ τ against a broadcast corpus matrix.
 

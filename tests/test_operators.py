@@ -218,6 +218,35 @@ def test_knn_lsh_recall(ray_session):
     assert ehits == total
 
 
+def test_knn_ivf_recall(ray_session):
+    """IVF-flat ANN finds planted near-neighbours at recall ≥ 0.9 (the
+    codebook trains on a driver-side sample only)."""
+    import ray.data
+    from ie_ray.stages.similarity import knn_ivf
+    rng = np.random.RandomState(9)
+    m = rng.randn(400, 32)
+    qids = list(range(8))
+    planted = {}
+    slot = 50
+    for q in qids:
+        planted[q] = []
+        for _ in range(3):
+            m[slot] = m[q] + 0.05 * rng.randn(32)
+            planted[q].append(slot)
+            slot += 1
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(range(400), type=pa.int64()),
+        "embedding": pa.array([r.tolist() for r in m],
+                              type=pa.list_(pa.float32()))}))
+    approx = {}
+    for r in knn_ivf(ds, m[:8], qids, k=4, n_centroids=8,
+                     nprobe=3).take_all():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor"])
+    hits = sum(len(set(planted[q]) & approx.get(q, set())) for q in qids)
+    total = sum(len(planted[q]) for q in qids)
+    assert hits / total >= 0.9, (hits, total)
+
+
 def test_textstats_and_langid(ray_session):
     import ray.data
     from ie_ray.stages.textstats import langid_batch, quality_batch, token_count_batch
