@@ -100,7 +100,8 @@ _CLOSED_CATS: Dict[str, list] = {
         [(c, "TO", w - 0.25) for c, _p, w in _PREP_CATS],
     "that": [(r"S[em]/S[dcl]", "IN", -0.05),
              (r"(NP\NP)/(S[dcl]\NP)", "WDT", -0.1),
-             (r"NP/N", "DT", -0.2), (r"(NP\NP)/S[dcl]", "IN", -0.35),
+             (r"NP/N", "DT", -0.2), (r"(NP\NP)/(S[dcl]/NP)", "WDT", -0.25),
+             (r"(NP\NP)/S[dcl]", "IN", -0.35),
              (r"NP", "DT", -0.5)],
     "and": [("conj", "CC", 0.0)], "or": [("conj", "CC", 0.0)],
     "but": [("conj", "CC", 0.0)], "nor": [("conj", "CC", 0.0)],
@@ -190,7 +191,8 @@ _POS_CATS: Dict[str, list] = {
     "TO": [(r"(S[to]\NP)/(S[b]\NP)", "TO", 0.0)],
     "MD": [(r"(S[dcl]\NP)/(S[b]\NP)", "MD", 0.0)],
     "CC": [("conj", "CC", 0.0)],
-    "WDT": [(r"(NP\NP)/(S[dcl]\NP)", "WDT", 0.0)],
+    "WDT": [(r"(NP\NP)/(S[dcl]\NP)", "WDT", 0.0),
+            (r"(NP\NP)/(S[dcl]/NP)", "WDT", -0.2)],
     "WP": [(r"(NP\NP)/(S[dcl]\NP)", "WP", 0.0), ("NP", "WP", -0.3)],
     "EX": [("NP", "EX", 0.0)],
     "WRB": [(r"(S/S)/S[dcl]", "WRB", -0.2)],
@@ -212,6 +214,20 @@ _CLOSED_CATS["said"] = [(r"(S[dcl]\NP)/S[em]", "VBD", 0.0),
                         (r"(S[pt]\NP)/S[dcl]", "VBN", -0.1)]
 _CLOSED_CATS["says"] = [(c, "VBZ", w)
                         for c, p, w in _CLOSED_CATS["said"][:5]]
+
+# quote-attribution parenthetical: "[clause] , she added" — the speech verb
+# consumes its subject then modifies the quoted clause from the right
+_PAREN_SPEECH = (r"(S[dcl]\S[dcl])\NP", )
+for _w, _p in (("said", "VBD"), ("says", "VBZ"), ("added", "VBD"),
+               ("warned", "VBD"), ("noted", "VBD"), ("argued", "VBD"),
+               ("claimed", "VBD"), ("reported", "VBD")):
+    entry = list(_CLOSED_CATS.get(_w, []))
+    if not entry:
+        entry = [(r"(S[dcl]\NP)/S[em]", _p, -0.05),
+                 (r"(S[dcl]\NP)/S[dcl]", _p, -0.1),
+                 (r"(S[dcl]\NP)/NP", _p, -0.3), (r"S[dcl]\NP", _p, -0.4)]
+    entry.append((_PAREN_SPEECH[0], _p, -0.35))
+    _CLOSED_CATS[_w] = entry
 
 def supertag(words: List[str]) -> List[List[Tuple[str, str, float]]]:
     """Candidate (category, POS, weight) lists per token."""
@@ -311,6 +327,8 @@ def _combine(lc: Category, rc: Category, lconj: bool, rconj: bool):
 
 
 _CAT_NP = Category.parse("NP")
+_CAT_TR = Category.parse(r"S/(S\NP)")          # subject type-raise
+_CAT_RELRED = Category.parse(r"NP\NP")         # reduced object relative
 _SIG_NG = r"S[ng]\NP"
 
 
@@ -318,11 +336,20 @@ def _unary_options(cat: Category):
     out = []
     if cat.isn:
         out.append((_CAT_NP, -0.1))
+    elif cat.isnp:
+        # type-raising enables object extraction ("a way few countries
+        # have accomplished"): NP → S/(S\NP), then forward composition
+        # builds S[dcl]/NP for the relativizer / reduced relative
+        out.append((_CAT_TR, -0.7))
     elif cat.signature == _SIG_NG:
         # gerund nominalization: "leaving the EU could …" — penalized below
         # the (S\NP)/(S[ng]\NP) complement reading so control wins when a
         # governing verb exists
         out.append((_CAT_NP, -0.45))
+    elif cat.isfunctor and cat.isarg_right and cat.arg.isnp \
+            and cat.result.isatom and cat.result.base == "S":
+        # object-gap clause as a bare noun postmodifier (reduced relative)
+        out.append((_CAT_RELRED, -0.6))
     return out
 
 

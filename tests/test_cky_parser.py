@@ -124,3 +124,21 @@ def test_parser_used_by_replay_actor(ray_session):
     assert ("senator", "criticize", "reform") in merged
     assert ("Maria-Castellano", "approve", "budget") in merged
     assert ("committee", "review", "proposal") in merged
+
+
+def test_object_extraction_and_attribution(parser):
+    """Type-raising + composition covers object relatives (reduced and
+    bare); quote-attribution parentheticals parse."""
+    c = Composer()
+    d = parser.parse("The plan the committee rejected failed.")
+    assert d is not None
+    tr = {(t["subj"], t["pred"]) for t in c.compose_ccgbank(d).triples()
+          if t["kind"] == "arg"}
+    assert ("plan", "reject") in tr or ("committee", "reject") in tr
+    # reduced relative with no relativizer, embedded in a PP
+    d2 = parser.parse(
+        "He repaired the damage in a way few other countries have "
+        "accomplished.")
+    assert d2 is not None
+    c.compose_ccgbank(d2)
+    assert not c.missing_rules
