@@ -670,7 +670,10 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id FROM documents d WHERE NOT EXISTS "
         "(SELECT 1 FROM reach WHERE reach.x = d.doc_id "
         "AND reach.y < d.doc_id)")
+    from ie_ray.stages.textstats import FINGERPRINT_SQL, langid_sql
     return {
+        "doc_fingerprints": FINGERPRINT_SQL,
+        "langid": langid_sql(),
         "ngram_jaccard_pairs": NGRAM_PAIRS_SQL,
         "simhash_pairs": simhash_oracle_sql(3),
         "embedding_dup_pairs": EMBEDDING_DUP_SQL,

@@ -68,9 +68,36 @@ def quality_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def _sql_list(words) -> str:
+    return "[" + ",".join("'%s'" % w for w in sorted(words)) + "]"
+
+
+def langid_sql() -> str:
+    """Exact SQL for langid_batch: same stopword overlaps, same
+    (-count, lang) tie-break (de < en < fr), same score ratio."""
+    en, de, fr = (_sql_list(_STOPWORDS_EN), _sql_list(_STOP_DE),
+                  _sql_list(_STOP_FR))
+    return (
+        "WITH t AS (SELECT doc_id, list_distinct(list_transform("
+        "CASE WHEN trim(text) = '' THEN [] ELSE "
+        "regexp_split_to_array(trim(text), '\\s+') END, x -> lower(x))) "
+        "AS ws FROM documents), "
+        "c AS (SELECT doc_id, len(list_intersect(ws, %s)) AS en, "
+        "len(list_intersect(ws, %s)) AS de, "
+        "len(list_intersect(ws, %s)) AS fr FROM t) "
+        "SELECT doc_id, "
+        "CASE WHEN greatest(en, de, fr) = 0 THEN 'und' "
+        "WHEN de >= en AND de >= fr THEN 'de' "
+        "WHEN en >= fr THEN 'en' ELSE 'fr' END AS lang_pred, "
+        "round(greatest(en, de, fr)::DOUBLE / "
+        "greatest(en + de + fr, 1), 6) AS lang_score FROM c"
+        % (en, de, fr))
+
+
 def langid_batch(batch: pa.Table) -> pa.Table:
-    """Stopword-overlap language ID (en/de/fr heuristic) — the rebuild's
-    F4-adjacent classifier; no SQL oracle (heuristic model)."""
+    """Stopword-overlap language ID (en/de/fr heuristic), exactly
+    reproducible in SQL (langid_sql) — the rebuild's F4-adjacent
+    classifier."""
     texts = batch.column("text").to_pylist()
     preds, scores = [], []
     for t in texts:
@@ -91,22 +118,27 @@ def langid_batch(batch: pa.Table) -> pa.Table:
 
 def fingerprint_batch(batch: pa.Table, w: int = 8) -> pa.Table:
     """Winnowing-style document fingerprint: min rolling hash per window of
-    word 4-grams + full md5.  Deterministic; used for fuzzy provenance."""
+    word 4-grams + full md5.  Deterministic; used for fuzzy provenance.
+
+    Canonicalization is SQL-reproducible end-to-end (see
+    FINGERPRINT_SQL): gram hash = first 16 md5 hex chars as a big-endian
+    int, selected window minima sorted/deduped and comma-joined in
+    decimal, digest = md5 of that string."""
     texts = batch.column("text").to_pylist()
     fps, md5s = [], []
     for t in texts:
         words = t.lower().split()
         grams = [" ".join(words[i:i + 4]) for i in range(max(len(words) - 3, 0))]
-        hs = [int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "little")
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:16], 16)
               for g in grams]
         sel = []
         for i in range(max(len(hs) - w + 1, 0)):
             sel.append(min(hs[i:i + w]))
         if not sel and hs:
             sel = [min(hs)]
-        digest = hashlib.md5(
-            b"".join(x.to_bytes(8, "little") for x in sorted(set(sel)))
-        ).hexdigest() if sel else ""
+        digest = hashlib.md5(",".join(
+            str(x) for x in sorted(set(sel))).encode()).hexdigest() \
+            if sel else ""
         fps.append(digest)
         md5s.append(hashlib.md5(t.encode("utf-8")).hexdigest())
     return pa.table({
@@ -114,3 +146,20 @@ def fingerprint_batch(batch: pa.Table, w: int = 8) -> pa.Table:
         "fingerprint": pa.array(fps, type=pa.string()),
         "text_md5": pa.array(md5s, type=pa.string()),
     })
+
+
+FINGERPRINT_SQL = (
+    "WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)),"
+    " '\\s+') AS words FROM documents), "
+    "g AS (SELECT doc_id, text, CASE WHEN trim(text) = '' THEN [] ELSE "
+    "list_transform(range(1, greatest(len(words)-2, 1)), i -> "
+    "array_to_string(words[i:i+3], ' ')) END AS grams FROM w), "
+    "h AS (SELECT doc_id, text, list_transform(grams, g -> "
+    "('0x' || substr(md5(g), 1, 16))::UBIGINT) AS hs FROM g), "
+    "sel AS (SELECT doc_id, text, CASE WHEN len(hs) = 0 THEN [] "
+    "WHEN len(hs) <= 7 THEN [list_min(hs)] ELSE "
+    "list_transform(range(1, len(hs)-6), i -> list_min(hs[i:i+7])) END "
+    "AS mins FROM h) "
+    "SELECT doc_id, CASE WHEN len(mins) = 0 THEN '' ELSE "
+    "md5(array_to_string(list_sort(list_distinct(mins)), ',')) END "
+    "AS fingerprint, md5(text) AS text_md5 FROM sel")
