@@ -37,8 +37,23 @@ _CURRENCY = re.compile(
     r"(\d|[\d.][\d.,]*\d)")
 
 
+# any character that can fire one of the substitution rules below — plain
+# sentences (no quotes/commas/clitics/currency) skip 8 regex scans on the
+# fast path, byte-identically (the flagship's hottest kernel after
+# extraction; see tests/test_text.py::test_fast_path_identical)
+_TRIGGER = re.compile("[′‵″‴‶‷“”\"(),:;¡§¶·¿'’$¢-¥₠-₾﹩＄￠￡￥￦ￜ]")
+
+
 def preprocess_sentence(text: str) -> str:
     """Normalize a sentence for parsing (see module docstring)."""
+    if _TRIGGER.search(text) is None:
+        # only rules whose patterns can fire without a trigger char:
+        # _SQ's `.?$` alternative (final-period padding after -s words),
+        # then final-period strip and whitespace collapse — same order as
+        # the full chain
+        text = _SQ.sub(r" \1", text)
+        text = _FS.sub(r"\1", text)
+        return _SP.sub(" ", text)
     text = _USQUOTE.sub(r"'\1'", text).replace("’", "'")
     text = _UDQUOTE.sub(' " ', text)
     text = _UPUNCT.sub(r" \1 ", text)

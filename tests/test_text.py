@@ -45,3 +45,27 @@ def test_segmentation_abbreviation_guard():
 
 def test_paragraph_split_drops_empties():
     assert split_paragraphs("a\n\n  \nb\nc") == ["a", "b", "c"]
+
+
+def test_fast_path_identical():
+    """The trigger fast path must be byte-identical to the full rule chain
+    — including _SQ's `.?$` quirk (final-period padding after -s words)."""
+    import ie_ray.nlp.text as T
+
+    class _Always:
+        def search(self, s):
+            return True
+
+    pool = ["Hello world.", "No triggers here", "A  double  space here.",
+            "The law suspends 40 plans.", "Axis.", "s.", ".", "", "Mass .",
+            "The U.S.'s plan, frankly, won't work — he said “so”.",
+            "Costs $5.20 now.", "boys' toys.", "it's fine.",
+            "Years like 1999.", "The mayor visits the farms."]
+    orig = T._TRIGGER
+    try:
+        T._TRIGGER = _Always()
+        full = [T.preprocess_sentence(s) for s in pool]
+    finally:
+        T._TRIGGER = orig
+    fast = [T.preprocess_sentence(s) for s in pool]
+    assert full == fast
