@@ -116,7 +116,16 @@ _CLOSED_CATS: Dict[str, list] = {
     "if": [(r"(S/S)/S[dcl]", "IN", -0.2),
            (r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.25)],
     "when": [(r"((S\NP)\(S\NP))/S[dcl]", "WRB", -0.2),
-             (r"(S/S)/S[dcl]", "WRB", -0.25)],
+             (r"(S/S)/S[dcl]", "WRB", -0.25),
+             (r"((S\NP)\(S\NP))/S[q]", "WRB", -0.3)],
+    # wh-degree question: "How much does it cost …" — the wh-phrase
+    # consumes an object-gap question clause built by do-support +
+    # crossed composition
+    "how": [(r"(S[wq]/(S[q]/NP))/N", "WRB", -0.25),
+            (r"S[wq]/(S[q]/NP)", "WRB", -0.35),
+            (r"(S/S)/S[dcl]", "WRB", -0.3)],
+    "much": [(r"N", "JJ", -0.3), (r"(S\NP)\(S\NP)", "RB", -0.2),
+             (r"(S[adj]\NP)/(S[adj]\NP)", "RB", -0.25)],
 }
 for _w in ("has", "have", "had"):
     _CLOSED_CATS[_w] = [
@@ -130,6 +139,9 @@ for _w, _p in (("do", "VBP"), ("does", "VBZ"), ("did", "VBD")):
     _CLOSED_CATS[_w] = [(r"(S[dcl]\NP)/(S[b]\NP)", _p, 0.0),
                         (r"(S[q]/(S[b]\NP))/NP", _p, -0.2),
                         (r"(S[dcl]\NP)/NP", _p, -0.4)]
+# bare infinitival "do" ("able to do", "has nothing to do")
+_CLOSED_CATS["do"] = _CLOSED_CATS["do"] + [
+    (r"S[b]\NP", "VB", -0.45), (r"(S[b]\NP)/NP", "VB", -0.5)]
 # base-form "have" after modals/to
 _CLOSED_CATS["have"] = _CLOSED_CATS["have"] + [
     (r"(S[b]\NP)/(S[pt]\NP)", "VB", -0.05),
@@ -180,7 +192,9 @@ _POS_CATS: Dict[str, list] = {
     "VBN": [(r"(S[pt]\NP)/NP", "VBN", 0.0),
             (r"S[pss]\NP", "VBN", -0.05),
             (r"S[pt]\NP", "VBN", -0.15),
+            (r"(S[pt]\NP)/(S[to]\NP)", "VBN", -0.25),
             (r"(S[pss]\NP)/PP", "VBN", -0.3),
+            (r"(S[pt]\NP)/(S[pss]\NP)", "VBN", -0.3),
             (r"(S[pt]\NP)/S[dcl]" , "VBN", -0.35),
             (r"(S[pt]\NP)/S[em]", "VBN", -0.35)],
     "PRP": [("NP", "PRP", 0.0)],

@@ -41,6 +41,11 @@ _CLOSED = {
     "under": "IN", "after": "IN", "before": "IN", "during": "IN",
     "between": "IN", "through": "IN", "since": "IN", "without": "IN",
     "despite": "IN", "near": "IN", "around": "IN", "about": "IN",
+    "within": "IN", "among": "IN", "amongst": "IN", "amid": "IN",
+    "across": "IN", "toward": "IN", "towards": "IN", "beyond": "IN",
+    "behind": "IN", "below": "IN", "above": "IN", "outside": "IN",
+    "inside": "IN", "alongside": "IN", "per": "IN", "via": "IN",
+    "upon": "IN", "throughout": "IN",
     "as": "IN", "like": "IN", "than": "IN", "because": "IN",
     "while": "IN", "if": "IN", "although": "IN", "though": "IN",
     "when": "WRB", "where": "WRB", "why": "WRB", "how": "WRB",
@@ -97,7 +102,8 @@ _MONTH_WORDS = {"may", "march", "august", "january", "february", "april",
 
 _ADJ_WORDS = {"next", "last", "first", "second", "third", "own", "former",
               "current", "late", "top", "chief", "senior", "new", "other",
-              "few", "several", "many", "such", "same", "main", "key"}
+              "few", "several", "many", "such", "same", "main", "key",
+              "able", "due", "likely", "ready", "keen"}
 
 
 def _lex_tag(word: str, lower: str, sent_initial: bool) -> str:
@@ -155,6 +161,11 @@ def tag(words: List[str]) -> List[str]:
         if prev_tag in ("TO", "MD") or prev in ("do", "does", "did"):
             if tags[i] in ("NN", "NNS", "VBZ", "VBD", "NNP"):
                 tags[i] = "VB"
+        # do-support question: "Do you think …" — the verb after the
+        # inverted subject is base form
+        if tags[i] in ("VBP", "NN") and i >= 2 and prev_tag == "PRP" \
+                and words[i - 2].lower() in ("do", "does", "did"):
+            tags[i] = "VB"
         # "that" as determiner/relativizer
         if lower == "that":
             nxt = tags[i + 1] if i + 1 < len(words) else ""

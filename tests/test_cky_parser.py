@@ -48,7 +48,7 @@ def test_clausefinder_parse_rate(parser):
         c.compose_ccgbank(d)         # must not raise
         ok += 1
     assert not c.missing_rules, c.missing_rules
-    assert ok / len(CLAUSEFINDER_SENTENCES) >= 0.85, \
+    assert ok / len(CLAUSEFINDER_SENTENCES) >= 0.95, \
         (ok, len(CLAUSEFINDER_SENTENCES))
 
 
@@ -87,7 +87,7 @@ def test_mixed_corpus_quarantine_rate(parser):
             c.compose_ccgbank(d)
         except Exception:
             failed += 1
-    assert failed / len(pool) < 0.20, (failed, len(pool))
+    assert failed / len(pool) < 0.10, (failed, len(pool))
     assert not c.missing_rules, c.missing_rules
 
 
