@@ -651,7 +651,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from ie_ray.stages.dedup import (EMBEDDING_DUP_SQL, NGRAM_PAIRS_SQL,
-                                     _NGRAM_SQL_GRAMS, simhash_oracle_sql)
+                                     _NGRAM_SQL_GRAMS, minhash_oracle_sql,
+                                     simhash_oracle_sql)
     keep_sql = (
         "WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(translate("
         "text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
@@ -675,6 +676,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": FINGERPRINT_SQL,
         "langid": langid_sql(),
         "ngram_jaccard_pairs": NGRAM_PAIRS_SQL,
+        "minhash_dedup_pairs": minhash_oracle_sql(),
         "simhash_pairs": simhash_oracle_sql(3),
         "embedding_dup_pairs": EMBEDDING_DUP_SQL,
         "minhash_dedup_keep": keep_sql,

@@ -122,16 +122,23 @@ class MinHasher:
 
     def __init__(self, num_perm: int = 64, seed: int = 7):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, (1 << 61) - 1, size=num_perm, dtype=np.int64)
-        self.b = rng.randint(0, (1 << 61) - 1, size=num_perm, dtype=np.int64)
-        self.p = (1 << 61) - 1
+        # Affine permutations over the Mersenne field p = 2^31-1, with the
+        # 48-bit shingle hash first reduced mod p: every product stays
+        # below 2^62, so the kernel is EXACT int64 numpy (no wraparound)
+        # and bit-for-bit reproducible in plain BIGINT SQL
+        # (see minhash_oracle_sql).  Full-range 31-bit multipliers keep
+        # the permutations min-wise independent (a narrow multiplier
+        # makes every permutation track the same min shingle).
+        self.p = (1 << 31) - 1
+        self.a = rng.randint(1, self.p, size=num_perm, dtype=np.int64)
+        self.b = rng.randint(0, self.p, size=num_perm, dtype=np.int64)
         self.num_perm = num_perm
 
     def signature(self, text: str) -> np.ndarray:
         sh = _shingles(text)
         if not sh:
             return np.full(self.num_perm, self.p, dtype=np.int64)
-        arr = np.asarray(sh, dtype=np.int64)[:, None]
+        arr = np.asarray(sh, dtype=np.int64)[:, None] % self.p
         vals = (arr * self.a[None, :] + self.b[None, :]) % self.p
         return vals.min(axis=0)
 
@@ -251,6 +258,68 @@ def minhash_lsh_pairs(ds, num_perm: int = 64, bands: int = 16,
         })
 
     return withsigs.map_batches(score, batch_format="pyarrow")
+
+
+def minhash_oracle_sql(num_perm: int = 64, bands: int = 16,
+                       jaccard_threshold: float = 0.7, k: int = 5,
+                       seed: int = 7) -> str:
+    """Generate the EXACT DuckDB SQL for :func:`minhash_lsh_pairs`.
+
+    Reproduces every step bit-for-bit: ASCII word fold, k-word shingles,
+    48-bit little-endian md5 shingle hash, the affine-mod-p signature
+    (pure BIGINT math — see MinHasher.__init__ for why no wraparound),
+    banded buckets with the MAX_BUCKET doc_id-rank cap, and the
+    signature-agreement score.  This makes a probabilistic sketch op
+    deterministically oracle-checkable: same seed → same signatures →
+    same candidate pairs → same est_jaccard, in both engines.
+    """
+    h = MinHasher(num_perm, seed)
+    rows_per_band = num_perm // bands
+    p = h.p
+    word_expr = ("regexp_extract_all(translate(text, "
+                 "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+                 "'abcdefghijklmnopqrstuvwxyz'), '[0-9a-z_]+')")
+    # " ".join(words[i:i+k]) for i in 0..len-k  (SQL lists are 1-based)
+    shingle_join = " || ' ' || ".join("words[i+%d]" % j for j in range(k))
+    # md5 hex → first 6 bytes little-endian = 48-bit int
+    le48 = ("('0x' || " + " || ".join(
+        "substr(md5(s), %d, 2)" % (2 * j + 1) for j in (5, 4, 3, 2, 1, 0))
+        + ")::BIGINT")
+    sig_elems = ", ".join(
+        "list_min(list_transform(hs, x -> ((x %% %d) * %d + %d) %% %d))"
+        % (p, int(h.a[i]), int(h.b[i]), p) for i in range(num_perm))
+    empty_sig = "[" + ", ".join([str(p)] * num_perm) + "]"
+    return (
+        "WITH w AS (SELECT doc_id, %(words)s AS words FROM documents), "
+        "shing AS (SELECT doc_id, CASE WHEN len(words) >= %(k)d THEN "
+        "list_transform(range(1, len(words) - %(km2)d), i -> %(join)s) "
+        "ELSE [array_to_string(words, ' ')] END AS shingles "
+        "FROM w WHERE len(words) >= 1), "
+        "hr AS (SELECT doc_id, list_transform(shingles, s -> %(le48)s) "
+        "AS hs FROM shing), "
+        "sig AS (SELECT d.doc_id, CASE WHEN h.hs IS NULL THEN %(empty)s "
+        "ELSE [%(sig)s] END AS sig FROM documents d "
+        "LEFT JOIN hr h ON d.doc_id = h.doc_id), "
+        "bands AS (SELECT doc_id, r.b AS band, "
+        "sig[%(rpb)d * r.b + 1 : %(rpb)d * r.b + %(rpb)d] AS key "
+        "FROM sig, range(0, %(nb)d) r(b)), "
+        "ranked AS (SELECT doc_id, band, key, row_number() OVER "
+        "(PARTITION BY band, key ORDER BY doc_id) AS rk FROM bands), "
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b "
+        "FROM ranked x JOIN ranked y ON x.band = y.band AND x.key = y.key "
+        "AND x.doc_id < y.doc_id WHERE x.rk <= %(cap)d AND y.rk <= %(cap)d)"
+        " SELECT doc_a, doc_b, "
+        "len(list_filter(range(1, %(np1)d), i -> sa.sig[i] = sb.sig[i])) "
+        "/ %(np)d.0 AS est_jaccard "
+        "FROM cand JOIN sig sa ON sa.doc_id = cand.doc_a "
+        "JOIN sig sb ON sb.doc_id = cand.doc_b "
+        "WHERE len(list_filter(range(1, %(np1)d), "
+        "i -> sa.sig[i] = sb.sig[i])) / %(np)d.0 >= %(thr)r"
+        % {"words": word_expr, "k": k, "km2": k - 2, "join": shingle_join,
+           "le48": le48, "empty": empty_sig, "sig": sig_elems,
+           "rpb": rows_per_band, "nb": bands, "cap": MAX_BUCKET,
+           "np": num_perm, "np1": num_perm + 1,
+           "thr": jaccard_threshold})
 
 
 # ---------------------------------------------------------------------------

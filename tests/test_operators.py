@@ -72,14 +72,16 @@ def test_minhash_recall_precision_vs_exact(ray_session):
     import duckdb
     import ray.data
     rng = np.random.RandomState(11)
-    base = ["w%d" % rng.randint(0, 400) for _ in range(80)]
+    # 200 base words: one flipped word gives pairwise 5-gram jaccard
+    # ≈0.90 between any two near-dups — >5σ above the 0.7 threshold for a
+    # 64-perm estimator (σ≈0.04), so a miss means a broken kernel, not
+    # estimator variance at the boundary (which this test does not gate).
+    base = ["w%d" % rng.randint(0, 400) for _ in range(200)]
     texts = []
     for i in range(40):
         words = list(base)
-        if i % 4 == 0:        # near-dup of doc 0: flip one word (keeps all
-            # pairwise jaccards well above the 0.7 threshold — estimator
-            # variance at the exact boundary is not what this test gates)
-            k = rng.randint(0, 80)
+        if i % 4 == 0:        # near-dup of doc 0: flip one word
+            k = rng.randint(0, 200)
             words[k] = "x%d" % rng.randint(0, 400)
         else:                 # unrelated
             words = ["u%d_%d" % (i, j) for j in range(80)]
