@@ -395,6 +395,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.groupby("user_id").map_groups(sessions,
                                                 batch_format="pyarrow")
 
+    def events_asof_purchase_click(sf_dir):
+        """AS-OF join: each purchase matched to the same user's most
+        recent click at-or-before it (temporal join operator — see
+        ie_ray/stages/temporal.py for the partitioning contract)."""
+        from ie_ray.stages.temporal import asof_join_prior
+        ev = _tbl(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "event_type"])
+
+        def typed(name):
+            import pyarrow.compute as pc
+            return ev.map_batches(
+                lambda t, _n=name: t.filter(
+                    pc.equal(t.column("event_type"), _n)),
+                batch_format="pyarrow")
+
+        return asof_join_prior(typed("purchase"), typed("click"),
+                               by="user_id", on="ts", id_col="event_id")
+
+    def events_top3_per_user(sf_dir):
+        """Windowed row_number() ≤ 3 per user by value (top-k-per-group
+        operator with block-level partial top-k before the shuffle)."""
+        from ie_ray.stages.temporal import top_k_per_group
+        ev = _tbl(sf_dir, "events",
+                  columns=["user_id", "event_id", "value"])
+        return top_k_per_group(ev, key="user_id", value="value", k=3)
+
+    def decontaminate_docs(sf_dir):
+        """Training-data decontamination: train docs (source != src0)
+        sharing any 8-gram with the src0 eval split."""
+        import pyarrow.compute as pc
+        from ie_ray.stages.decontam import decontaminate
+        docs = _tbl(sf_dir, "documents",
+                    columns=["doc_id", "text", "source"])
+
+        def split(src_eq: bool):
+            return docs.map_batches(
+                lambda t, _e=src_eq: t.filter(
+                    pc.equal(t.column("source"), "src0") if _e
+                    else pc.not_equal(t.column("source"), "src0")),
+                batch_format="pyarrow")
+
+        return decontaminate(split(False), split(True), n=8)
+
     def top_words(sf_dir):
         """Corpus-wide top-20 words: per-batch partial counts (combiner)
         → one small groupby → sort+limit (heavy-hitter pattern)."""
@@ -628,6 +671,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_window": events_hourly_window,
         "events_user_stats": events_user_stats,
         "events_sessions": events_sessions,
+        "events_asof_purchase_click": events_asof_purchase_click,
+        "events_top3_per_user": events_top3_per_user,
+        "decontaminate_docs": decontaminate_docs,
         "top_words": top_words,
         "lexicon_extract": lexicon_extract,
         "nation_region": nation_region,
@@ -671,6 +717,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id FROM documents d WHERE NOT EXISTS "
         "(SELECT 1 FROM reach WHERE reach.x = d.doc_id "
         "AND reach.y < d.doc_id)")
+    from ie_ray.stages.decontam import decontam_sql
     from ie_ray.stages.textstats import FINGERPRINT_SQL, langid_sql
     return {
         "doc_fingerprints": FINGERPRINT_SQL,
@@ -755,6 +802,18 @@ def oracle_sql() -> dict[str, str]:
             "OVER (PARTITION BY user_id ORDER BY ts) AS gap FROM events) "
             "SELECT user_id, count(CASE WHEN gap IS NULL OR gap > 1800 "
             "THEN 1 END)::BIGINT AS n_sessions FROM x GROUP BY user_id",
+        "events_asof_purchase_click":
+            "SELECT p.event_id, p.user_id, epoch_us(p.ts) AS on_us, "
+            "epoch_us(c.ts) AS prior_on_us "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts",
+        "events_top3_per_user":
+            "WITH ranked AS (SELECT user_id, event_id, value, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY value DESC, event_id ASC) AS rn FROM events) "
+            "SELECT user_id, event_id, value, rn FROM ranked WHERE rn <= 3",
+        "decontaminate_docs": decontam_sql(),
         "top_words":
             "WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), "
             "'\\s+')) AS word FROM documents WHERE trim(text) != '') "

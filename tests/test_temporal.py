@@ -1,0 +1,98 @@
+"""AS-OF join, top-k-per-group, and decontamination operator tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _ds(table):
+    import ray.data
+    return ray.data.from_arrow(table)
+
+
+def test_asof_join_prior_basic(ray_session):
+    from ie_ray.stages.temporal import asof_join_prior
+    left = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7, 9], type=pa.int64()),
+        "ts": pa.array([100, 205, 50, 400], type=pa.int64()),
+    })
+    right = pa.table({
+        "event_id": pa.array([10, 11, 12], type=pa.int64()),
+        "user_id": pa.array([7, 7, 8], type=pa.int64()),
+        "ts": pa.array([100, 200, 1], type=pa.int64()),
+    })
+    out = asof_join_prior(_ds(left), _ds(right)).take_all()
+    got = {r["event_id"]: (r["on_us"], r["prior_on_us"]) for r in out}
+    # event 1: ts=100 matches right ts=100 (<= is inclusive)
+    # event 2: ts=205 -> latest prior right is 200
+    # event 3: ts=50 -> no prior right row, dropped (inner semantics)
+    # event 4: user 9 has no right rows at all, dropped
+    assert got == {1: (100, 100), 2: (205, 200)}
+
+
+def test_asof_join_matches_duckdb(ray_session):
+    import duckdb
+    from ie_ray.stages.temporal import asof_join_prior
+    rng = np.random.RandomState(3)
+    n = 400
+    ev = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "user_id": pa.array(rng.randint(0, 12, n), type=pa.int64()),
+        "ts": pa.array(rng.randint(0, 10_000, n), type=pa.int64()),
+        "kind": pa.array(["l" if x else "r" for x in rng.randint(0, 2, n)]),
+    })
+    import pyarrow.compute as pc
+    left = ev.filter(pc.equal(ev.column("kind"), "l"))
+    right = ev.filter(pc.equal(ev.column("kind"), "r"))
+    got = {(r["event_id"], r["prior_on_us"])
+           for r in asof_join_prior(_ds(left), _ds(right)).take_all()}
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = set(con.execute(
+        "SELECT l.event_id, r.ts FROM l ASOF JOIN r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts").fetchall())
+    assert got == want
+
+
+def test_top_k_per_group_multiblock(ray_session):
+    from ie_ray.stages.temporal import top_k_per_group
+    rng = np.random.RandomState(5)
+    n = 500
+    t = pa.table({
+        "user_id": pa.array(rng.randint(0, 9, n), type=pa.int64()),
+        "event_id": pa.array(range(n), type=pa.int64()),
+        # few distinct values force cross-block ties -> tie_col ordering
+        "value": pa.array(rng.randint(0, 5, n).astype("float64")),
+    })
+    ds = _ds(t).repartition(8)   # exercise the per-block partial path
+    out = top_k_per_group(ds, "user_id", "value", k=3).take_all()
+    df = t.to_pandas()
+    for r in out:
+        grp = df[df.user_id == r["user_id"]].sort_values(
+            ["value", "event_id"], ascending=[False, True]).reset_index()
+        want = grp.iloc[r["rn"] - 1]
+        assert (r["event_id"], r["value"]) == (want.event_id, want.value)
+    assert len(out) == sum(min(3, (df.user_id == u).sum())
+                           for u in df.user_id.unique())
+
+
+def test_decontaminate_planted(ray_session):
+    from ie_ray.stages.decontam import decontaminate
+    shared = "alpha beta gamma delta epsilon zeta eta theta"   # 8 words
+    train = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array([
+            "clean words only here nothing shared at all ok",
+            "prefix %s suffix" % shared,       # exactly one shared 8-gram
+            shared,                            # the same single 8-gram
+        ]),
+    })
+    eval_t = pa.table({
+        "doc_id": pa.array([100], type=pa.int64()),
+        "text": pa.array(["intro %s outro" % shared]),
+    })
+    out = {r["doc_id"]: r["n_overlap"]
+           for r in decontaminate(_ds(train), _ds(eval_t)).take_all()}
+    assert out == {2: 1, 3: 1}
