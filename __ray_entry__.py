@@ -583,6 +583,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .groupby("stem")
                 .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow"))
 
+    def cky_clause_extract(sf_dir):
+        """T8 upgraded: clause extraction over REAL parses — sentences →
+        CKY → CCG-derived dependency trees (ie_ray/nlp/ccgdep.py) →
+        ClauseFinder.  No synthesized or canned parses anywhere."""
+        from ie_ray.sources.clausefinder_fixtures import CLAUSEFINDER_SENTENCES
+        from ie_ray.stages.clauses import CkyClauseActor
+        n = len(CLAUSEFINDER_SENTENCES)
+        ds = ray.data.from_arrow(pa.table({
+            "sent_id": pa.array(range(n), type=pa.int64()),
+            "sentence": pa.array(CLAUSEFINDER_SENTENCES, type=pa.string()),
+        }))
+        return ds.map_batches(CkyClauseActor, batch_format="pyarrow",
+                              concurrency=(1, 2), num_cpus=1)
+
     def cky_parse_triples(sf_dir):
         """T1: the real supertagger+CKY parser over NON-fixture sentences
         (the reference's clausefinder corpus) — none of these exist in the
@@ -685,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extraction_identity": extraction_identity,
         "clause_extract": clause_extract,
         "cky_parse_triples": cky_parse_triples,
+        "cky_clause_extract": cky_clause_extract,
         "verbnet_lookup": verbnet_lookup,
         "kg_drs": kg_drs,
         "media_features": media_features,
