@@ -252,24 +252,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # -- relational engine breadth --------------------------------------
 
     def q1_pricing(sf_dir):
+        """Low-cardinality aggregate with a block-level combiner: each
+        block pre-reduces to ≤|groups| rows (arrow group_by kernel), so
+        the exchange moves blocks×6 rows instead of the whole table —
+        the shape that holds at 10^9-row lineitem."""
         ds = _tbl(sf_dir, "lineitem",
                   columns=["l_returnflag", "l_linestatus", "l_quantity",
                            "l_extendedprice"])
-        agg = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            ray.data.aggregate.Sum("l_quantity", alias_name="sum_qty"),
-            ray.data.aggregate.Sum("l_extendedprice",
-                                   alias_name="sum_base_price"),
-            ray.data.aggregate.Count(alias_name="count_order"),
-        )
+
+        def partial(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+                [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+                 ("l_quantity", "count")])
+            g = g.rename_columns(
+                ["l_returnflag", "l_linestatus", "sum_qty",
+                 "sum_base_price", "count_order"])
+            # fuse the composite key into one column for the exchange —
+            # single-key groupby takes ray.data's fast sort path
+            k = pc.binary_join_element_wise(
+                g.column("l_returnflag"), g.column("l_linestatus"), "|")
+            return pa.table({
+                "k": k, "sum_qty": g.column("sum_qty"),
+                "sum_base_price": g.column("sum_base_price"),
+                "count_order": g.column("count_order")})
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("k").aggregate(
+                   ray.data.aggregate.Sum("sum_qty", alias_name="sum_qty"),
+                   ray.data.aggregate.Sum("sum_base_price",
+                                          alias_name="sum_base_price"),
+                   ray.data.aggregate.Sum("count_order",
+                                          alias_name="count_order")))
 
         def finish(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
+            parts = pc.split_pattern(t.column("k"), "|")
             return pa.table({
-                "l_returnflag": t.column("l_returnflag"),
-                "l_linestatus": t.column("l_linestatus"),
+                "l_returnflag": pc.list_element(parts, 0),
+                "l_linestatus": pc.list_element(parts, 1),
                 "sum_qty": pc.round(t.column("sum_qty"), 2),
                 "sum_base_price": pc.round(t.column("sum_base_price"), 2),
-                "count_order": t.column("count_order"),
+                "count_order": t.column("count_order").cast(pa.int64()),
             })
         return agg.map_batches(finish, batch_format="pyarrow")
 
