@@ -462,6 +462,157 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return decontaminate(split(False), split(True), n=8)
 
+    def events_props_stats(sf_dir):
+        """JSON payload extraction (reference S3 article→JSON analogue):
+        parse the props JSON per row, aggregate k per event type with a
+        block-level combiner."""
+        ds = _tbl(sf_dir, "events", columns=["event_type", "props"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            import json as _json
+            ks = [_json.loads(p)["k"] for p in t.column("props").to_pylist()]
+            tt = pa.table({"event_type": t.column("event_type"),
+                           "k": pa.array(ks, type=pa.int64())})
+            g = tt.group_by(["event_type"]).aggregate(
+                [("k", "sum"), ("k", "count")])
+            return g.rename_columns(["event_type", "k_sum", "n"])
+
+        agg = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("event_type").aggregate(
+                   ray.data.aggregate.Sum("k_sum", alias_name="k_sum"),
+                   ray.data.aggregate.Sum("n", alias_name="n")))
+
+        def finish(t: pa.Table) -> pa.Table:
+            ks = t.column("k_sum").to_pylist()
+            ns = t.column("n").to_pylist()
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "n": pa.array(ns, type=pa.int64()),
+                "avg_k": pa.array([round(a / b, 4)
+                                   for a, b in zip(ks, ns)],
+                                  type=pa.float64())})
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    def events_value_quantiles(sf_dir):
+        """Exact per-group quantiles (linear interpolation — DuckDB
+        quantile_cont semantics).  Per-key groups fit in memory here; the
+        100 TB path for high-cardinality keys is fixed-bin histograms."""
+        import numpy as np
+        ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+
+        def q(group: pa.Table) -> pa.Table:
+            vals = np.asarray(group.column("value"), dtype=np.float64)
+            p50, p95 = np.percentile(vals, [50, 95])
+            return pa.table({
+                "event_type": group.slice(0, 1).column("event_type"),
+                "p50": pa.array([round(float(p50), 4)], type=pa.float64()),
+                "p95": pa.array([round(float(p95), 4)], type=pa.float64())})
+
+        return ds.groupby("event_type").map_groups(q, batch_format="pyarrow")
+
+    def events_sliding_3h(sf_dir):
+        """Sliding event-time window (3 h wide, 1 h slide): each event
+        fans out to its 3 covering windows, pre-counted per block before
+        one small groupby."""
+        ds = _tbl(sf_dir, "events", columns=["ts"])
+
+        def explode(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            base = pc.floor_temporal(b.column("ts"), unit="hour").cast(
+                pa.timestamp("s"))
+            chunks = []
+            for i in range(3):
+                w = pc.subtract(base, pa.scalar(i * 3600,
+                                                type=pa.duration("s")))
+                chunks.append(pc.strftime(w, format="%Y-%m-%d %H:%M:%S"))
+            ws = pa.chunked_array(chunks)
+            g = pa.table({"window_start": ws}).group_by(
+                ["window_start"]).aggregate([([], "count_all")])
+            return g.rename_columns(["window_start", "n"])
+
+        agg = (ds.map_batches(explode, batch_format="pyarrow")
+               .groupby("window_start").sum("n"))
+        return agg.map_batches(
+            lambda t: pa.table({
+                "window_start": t.column("window_start"),
+                "n": t.column("sum(n)").cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    def boilerplate_ngrams(sf_dir):
+        """Boilerplate detection: 3-grams appearing in ≥5 distinct docs,
+        top-20 by document frequency.  One row per (doc, distinct gram)
+        enters the exchange, partially counted per block first."""
+        from ie_ray.stages.dedup import _words
+        docs = _docs(sf_dir)
+
+        def grams(b: pa.Table) -> pa.Table:
+            counts: dict = {}
+            for txt in b.column("text").to_pylist():
+                w = _words(txt)
+                for g in {" ".join(w[i:i + 3])
+                          for i in range(len(w) - 2)}:
+                    counts[g] = counts.get(g, 0) + 1
+            keys = sorted(counts)
+            return pa.table({
+                "gram": pa.array(keys, type=pa.string()),
+                "df": pa.array([counts[k] for k in keys],
+                               type=pa.int64())})
+
+        agg = (docs.map_batches(grams, batch_format="pyarrow")
+               .groupby("gram").sum("df")
+               .map_batches(lambda t: t.rename_columns(["gram", "df"]),
+                            batch_format="pyarrow"))
+        import pyarrow.compute as pc
+        filt = agg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("df"), 5)),
+            batch_format="pyarrow")
+        return filt.sort(["df", "gram"], descending=[True, False]).limit(20)
+
+    def normalize_docs(sf_dir):
+        """Stopword-stripped normalization fingerprint per doc — the
+        text-normalization map every training pipeline runs before
+        dedup; exact SQL parity via the shared tokenizer contract."""
+        import hashlib
+        from ie_ray.stages.dedup import _words
+        from ie_ray.stages.textstats import _STOPWORDS_EN
+
+        def norm(b: pa.Table) -> pa.Table:
+            out = []
+            for txt in b.column("text").to_pylist():
+                kept = [w for w in _words(txt) if w not in _STOPWORDS_EN]
+                out.append(hashlib.md5(
+                    " ".join(kept).encode("utf-8")).hexdigest())
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "norm_md5": pa.array(out, type=pa.string())})
+
+        return _docs(sf_dir).map_batches(norm, batch_format="pyarrow")
+
+    def knn_top1_ivf(sf_dir):
+        """IVF-flat ANN variant of knn_top1 (rows-only driver check; the
+        recall ≥0.9 gate vs brute force lives in tests/test_operators.py)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet")) \
+            .sort_by("vec_id")
+        qids = t.column("vec_id").to_pylist()[:10]
+        qs = np.asarray(t.column("embedding").to_pylist()[:10],
+                        dtype=np.float64)
+        ds = _tbl(sf_dir, "embeddings", blocks=8)
+        res = similarity.knn_ivf(ds, qs, qids, k=2, n_centroids=16, nprobe=8)
+
+        def pick(group: pa.Table) -> pa.Table:
+            g = group.sort_by([("cosine", "descending"),
+                               ("neighbor", "ascending")])
+            import pyarrow.compute as pc
+            g = g.filter(pc.not_equal(g.column("neighbor"),
+                                      g.column("query_id")[0]))
+            return pa.table({
+                "query_id": g.slice(0, 1).column("query_id"),
+                "neighbor": g.slice(0, 1).column("neighbor")})
+        return res.groupby("query_id").map_groups(pick,
+                                                  batch_format="pyarrow")
+
     def top_words(sf_dir):
         """Corpus-wide top-20 words: per-batch partial counts (combiner)
         → one small groupby → sort+limit (heavy-hitter pattern)."""
@@ -712,6 +863,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_purchase_click": events_asof_purchase_click,
         "events_top3_per_user": events_top3_per_user,
         "decontaminate_docs": decontaminate_docs,
+        "events_props_stats": events_props_stats,
+        "events_value_quantiles": events_value_quantiles,
+        "events_sliding_3h": events_sliding_3h,
+        "boilerplate_ngrams": boilerplate_ngrams,
+        "normalize_docs": normalize_docs,
+        "knn_top1_ivf": knn_top1_ivf,
         "top_words": top_words,
         "lexicon_extract": lexicon_extract,
         "nation_region": nation_region,
@@ -853,6 +1010,34 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY value DESC, event_id ASC) AS rn FROM events) "
             "SELECT user_id, event_id, value, rn FROM ranked WHERE rn <= 3",
         "decontaminate_docs": decontam_sql(),
+        "events_props_stats":
+            "SELECT event_type, count(*)::BIGINT AS n, "
+            "round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k "
+            "FROM events GROUP BY event_type",
+        "events_value_quantiles":
+            "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "
+            "round(quantile_cont(value, 0.95), 4) AS p95 "
+            "FROM events GROUP BY event_type",
+        "events_sliding_3h":
+            "SELECT CAST(ws AS VARCHAR) AS window_start, "
+            "count(*)::BIGINT AS n FROM (SELECT unnest(["
+            "date_trunc('hour', ts), "
+            "date_trunc('hour', ts) - INTERVAL 1 HOUR, "
+            "date_trunc('hour', ts) - INTERVAL 2 HOUR]) AS ws "
+            "FROM events) GROUP BY ws",
+        "boilerplate_ngrams":
+            _NGRAM_SQL_GRAMS +
+            " SELECT gram, count(*)::BIGINT AS df FROM "
+            "(SELECT doc_id, unnest(grams) AS gram FROM g) "
+            "GROUP BY gram HAVING count(*) >= 5 "
+            "ORDER BY df DESC, gram ASC LIMIT 20",
+        "normalize_docs":
+            "SELECT doc_id, md5(array_to_string(list_filter("
+            "regexp_extract_all(translate(text, "
+            "'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+            "'abcdefghijklmnopqrstuvwxyz'), '[0-9a-z_]+'), "
+            "w -> NOT list_contains(" + _EN_STOPWORDS_SQL + ", w)), ' ')) "
+            "AS norm_md5 FROM documents",
         "top_words":
             "WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), "
             "'\\s+')) AS word FROM documents WHERE trim(text) != '') "

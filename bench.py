@@ -113,7 +113,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     for name in ("exact_dedup_docs", "minhash_dedup_pairs", "simhash_pairs",
                  "embedding_sim_pairs", "knn_top1", "doc_quality",
                  "langid", "q1_pricing", "orders_per_segment",
-                 "events_by_type"):
+                 "events_by_type", "events_asof_purchase_click",
+                 "events_top3_per_user", "boilerplate_ngrams",
+                 "normalize_docs", "decontaminate_docs"):
         consume(name)
 
     total = round(time.time() - t0, 3)
