@@ -7,9 +7,10 @@ Stage graph (all streaming, no mid-pipeline materialization):
       → filter lang == 'en'
       → add_page_hash → online dedup (sharded owner-index actors)
       → segment (flat explode page → sentence rows)
-      → ReplayParserActor (actor pool, broadcast derivation dict)
-      → ComposeActor (actor pool, per-actor Composer state + LRU)
-      → LinkActor (broadcast alias dict)
+      → ParseComposeActor (ONE actor pool: replay/CKY parse + compose +
+        entity linking fused — derivation strings and unlinked triples,
+        the two largest intermediates, never enter the object store;
+        broadcast derivation + alias dicts, per-actor Composer LRU)
       → [canonicalize → build_nodes/build_edges groupbys
          → hash-partitioned parquet + lineage manifests]
 
@@ -102,25 +103,24 @@ def kg_triples(fixture_dir: Optional[str] = None,
     # enough to saturate the pools without drowning the driver's scheduling
     # loop (the dominant serial cost at small scale).
     derivations_ref = ray.put(_load_derivation_map(fixture_dir))
+    # parse, compose AND entity linking run fused in ONE actor pool: the
+    # per-sentence derivation strings (the largest intermediate) and the
+    # 9M-row linked-triple hop never enter the object store.  With a
+    # single heavy pool its cap can take half the cluster and still leave
+    # room for the extract/dedup operators.
+    from ..stages.compose_stage import ParseComposeActor
+    fused_kwargs = {"derivations": derivations_ref}
+    if link:
+        fused_kwargs["alias_map"] = ray.put(load_alias_map(
+            os.path.join(fixture_dir, "alias_table.parquet")))
+    fused_cap = max(concurrency[1], int(
+        ray.cluster_resources().get("CPU", 4)) // 2)
     ds = ds.map_batches(
-        ReplayParserActor,
-        fn_constructor_kwargs={"derivations": derivations_ref},
+        ParseComposeActor,
+        fn_constructor_kwargs=fused_kwargs,
         batch_format="pyarrow",
         batch_size=4096,
-        concurrency=concurrency,
-        num_cpus=actor_cpus)
-    # entity linking is fused into the compose actor (alias dict broadcast
-    # once): one less 9M-row hop through the object store per million pages
-    compose_kwargs = {}
-    if link:
-        compose_kwargs["alias_map"] = ray.put(load_alias_map(
-            os.path.join(fixture_dir, "alias_table.parquet")))
-    ds = ds.map_batches(
-        ComposeActor,
-        fn_constructor_kwargs=compose_kwargs,
-        batch_format="pyarrow",
-        batch_size=32768,
-        concurrency=concurrency,
+        concurrency=(concurrency[0], fused_cap),
         num_cpus=actor_cpus)
     return ds
 

@@ -127,3 +127,23 @@ class ComposeActor:
             schema = schema.append(pa.field("obj_id", pa.string()))
         return pa.table({n: pa.array(cols[n], type=schema.field(n).type)
                          for n in schema.names})
+
+
+class ParseComposeActor:
+    """Fused parse+compose actor: the per-sentence derivation strings —
+    the pipeline's largest intermediate (~500 B × sentences, ≈2.4 GB per
+    600k pages) — stay inside the actor instead of round-tripping the
+    object store between two pools.  One pool also means one concurrency
+    knob for the whole semantic phase."""
+
+    def __init__(self, derivations, emit_drs: bool = False, alias_map=None,
+                 heuristic_fallback: bool = True, cky_fallback: bool = True):
+        from .parse import ReplayParserActor
+        self.parser = ReplayParserActor(derivations,
+                                        heuristic_fallback=heuristic_fallback,
+                                        cky_fallback=cky_fallback)
+        self.composer_stage = ComposeActor(emit_drs=emit_drs,
+                                           alias_map=alias_map)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.composer_stage(self.parser(batch))
