@@ -206,7 +206,7 @@ class DRS:
     def __init__(self, conditions: Optional[List[Rel]] = None):
         self.conditions: List[Rel] = list(conditions or [])
 
-    def names(self) -> Dict[Ref, str]:
+    def names(self, by_word_index: bool = False) -> Dict[Ref, str]:
         """Assign canonical names X1/E2/… to variables.
 
         Bound refs are numbered first, ordered by the word index of their
@@ -216,6 +216,11 @@ class DRS:
         ``src/python/marbles/ie/semantics/ccg.py:1535-1601``; ordering
         evidenced by compose_test.py:432's ``[...,E5,X6| ..._ARG1(E4,X6),
         review(E5)...]``).
+
+        ``by_word_index=True`` is the CO_VARNAMES_MATCH_WORD_INDEX mode:
+        a bound ref is numbered 1 + the word index of its binding lexeme
+        (collisions take the next free integer), free refs continue past
+        the maximum.
         """
         seen: List[Ref] = []
         for c in self.conditions:
@@ -227,9 +232,45 @@ class DRS:
         bound.sort(key=lambda r: (r.bound_idx if r.bound_idx is not None else 1 << 30))
         ordered = bound + [r for r in seen if not r.bound]
         names: Dict[Ref, str] = {}
+        if by_word_index:
+            used = set()
+            free_start = 1
+            for r in bound:
+                i = (r.bound_idx + 1) if r.bound_idx is not None else 1
+                while i in used:
+                    i += 1
+                used.add(i)
+                free_start = max(free_start, i + 1)
+                names[r] = ("E%d" if r.kind == "e" else "X%d") % i
+            i = free_start
+            for r in (x for x in ordered if not x.bound):
+                while i in used:
+                    i += 1
+                used.add(i)
+                names[r] = ("E%d" if r.kind == "e" else "X%d") % i
+            return names
         for i, r in enumerate(ordered, start=1):
             names[r] = ("E%d" if r.kind == "e" else "X%d") % i
         return names
+
+    def remove_unary_props(self) -> "DRS":
+        """CO_REMOVE_UNARY_PROPS: a proposition ``x: <sub>`` whose
+        subordinate DRS binds a single referent is inlined — the sub-DRS
+        conditions are lifted into this DRS with the prop referent
+        union()ed onto the sub's referent (parity:
+        ``ie/drt/drs.py`` remove_proposition path)."""
+        out: List = []
+        for c in self.conditions:
+            if isinstance(c, Prop):
+                sub_bound = [r for r in {rr.find() for cc in c.drs.conditions
+                                         for rr in cc.refs} if r.bound]
+                if len(sub_bound) <= 1:
+                    if sub_bound:
+                        c.ref.find().union(sub_bound[0])
+                    out.extend(c.drs.conditions)
+                    continue
+            out.append(c)
+        return DRS(out)
 
     def dedup(self) -> "DRS":
         """Drop duplicate conditions, preserving first-occurrence order
@@ -243,8 +284,8 @@ class DRS:
                 out.append(c)
         return DRS(out)
 
-    def show(self) -> str:
-        return show_linear(self)
+    def show(self, by_word_index: bool = False) -> str:
+        return show_linear(self, by_word_index)
 
 
 def _render(c, names, fol: bool = False) -> str:
@@ -298,8 +339,8 @@ def show_fol(drs: DRS) -> str:
     return body
 
 
-def show_linear(drs: DRS) -> str:
-    names = drs.names()
+def show_linear(drs: DRS, by_word_index: bool = False) -> str:
+    names = drs.names(by_word_index)
     universe = [names[r] for r in sorted(
         (r for r in names if r.bound),
         key=lambda r: int(names[r][1:]))]

@@ -1,5 +1,5 @@
-from .engine import Composer, SentenceSem, ComposeError
+from .engine import Composer, ComposeOptions, SentenceSem, ComposeError
 from .lexicon import Token, Sem, lemmatize_verb
 
-__all__ = ["Composer", "SentenceSem", "ComposeError", "Token", "Sem",
-           "lemmatize_verb"]
+__all__ = ["Composer", "ComposeOptions", "SentenceSem", "ComposeError",
+           "Token", "Sem", "lemmatize_verb"]

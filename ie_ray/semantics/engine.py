@@ -25,6 +25,29 @@ class ComposeError(Exception):
     pass
 
 
+from dataclasses import dataclass  # noqa: E402  (options surface below)
+
+
+@dataclass(frozen=True)
+class ComposeOptions:
+    """The engine's "query options" — parity with the reference's CO_*
+    bitmask (``ie/core/constants.py:48-66``), re-expressed as a frozen
+    dataclass so it broadcasts cleanly into actor pools.
+
+    Defaults mirror the reference test suite's configuration
+    (CO_NO_VERBNET | CO_FAST_RENAME | CO_NO_WIKI_SEARCH).
+    """
+
+    remove_unary_props: bool = False        # CO_REMOVE_UNARY_PROPS
+    print_derivation: bool = False          # CO_PRINT_DERIVATION
+    verify_signatures: bool = False         # CO_VERIFY_SIGNATURES
+    no_verbnet: bool = True                 # CO_NO_VERBNET (set_verbnet_db)
+    fast_rename: bool = True                # CO_FAST_RENAME (the only path)
+    no_wiki_search: bool = True             # CO_NO_WIKI_SEARCH (alias join)
+    discard_adjunct_constituents: bool = False  # CO_DISCARD_ADJUCT_CONSTITUENTS
+    varnames_match_word_index: bool = False     # CO_VARNAMES_MATCH_WORD_INDEX
+
+
 class Constituent:
     """(vntype, word-index span, head index) — parity:
     ie/core/sentence.py:218-321; vntypes constituent_types.py:6-17."""
@@ -246,7 +269,17 @@ class SentenceSem:
             conds.extend(t.conds)
         conds.extend(self.extras)
         d = DRS(conds)
+        opts = getattr(self, "options", None)
+        if opts is not None and opts.remove_unary_props:
+            d = d.remove_unary_props()
         return d.dedup() if nodups else d
+
+    def show_drs(self) -> str:
+        """Linear DRS rendering honoring the compose options
+        (CO_VARNAMES_MATCH_WORD_INDEX)."""
+        opts = getattr(self, "options", None)
+        return self.get_drs().show(
+            bool(opts and opts.varnames_match_word_index))
 
     # -- triple projection (parity: FIXTURES.md §5; conditions read off as in
     # ie/test/conj_test.py:43-47, appos_test.py:40-46) ----------------------
@@ -321,20 +354,34 @@ class SentenceSem:
 class Composer:
     """Stateless per-sentence composer (safe to share per worker)."""
 
-    def __init__(self):
+    def __init__(self, options: Optional[ComposeOptions] = None):
         self.missing_rules = set()
+        self.options = options or ComposeOptions()
+        if not self.options.no_verbnet:
+            # CO_NO_VERBNET off: install the SemLink DB (idempotent)
+            from ..kb.verbnet import load_default
+            from .lexicon import set_verbnet_db
+            db = load_default()
+            if db is not None:
+                set_verbnet_db(db)
 
     # -- public -------------------------------------------------------------
 
     def compose_ccgbank(self, derivation: str,
                         resolve_names: bool = True) -> SentenceSem:
+        if self.options.print_derivation:
+            print(derivation)
         root, leaves = parse_ccgbank(derivation)
         tokens = [Token(l.idx, l.word, l.pos, l.cat) for l in leaves]
         extras: List[Rel] = []
         sem = self._walk(root, tokens, extras)
         sent = SentenceSem(tokens, extras, sem)
         sent.parse_root = root
+        sent.options = self.options
         sent.constituents = self._collect_constituents(root)
+        if self.options.discard_adjunct_constituents:
+            sent.constituents = [c for c in sent.constituents
+                                 if c.vntype not in ("ADVP", "ADJP")]
         if resolve_names:
             self.resolve_proper_names(sent)
         sent.mark_orphans()
@@ -512,6 +559,10 @@ class Composer:
 
         # last resort: unify final refs, keep left result shape
         self.missing_rules.add((l.cat.signature, r.cat.signature, res.signature))
+        if self.options.verify_signatures:
+            raise ComposeError(
+                "signature verification failed: no rule for %s %s -> %s"
+                % (l.cat.signature, r.cat.signature, res.signature))
         t = fresh_tree(res)
         tree_final(t).union(l.final_ref())
         tree_final(t).union(r.final_ref())
@@ -574,6 +625,10 @@ class Composer:
             return Sem(res, (t, t))
         # generic fallback: fresh shape, share final ref
         self.missing_rules.add((c.signature, "->", res.signature))
+        if self.options.verify_signatures:
+            raise ComposeError(
+                "signature verification failed: no unary rule %s -> %s"
+                % (c.signature, res.signature))
         t = fresh_tree(res)
         tree_final(t).union(child.final_ref())
         return Sem(res, t, conj=child.conj)

@@ -37,12 +37,14 @@ class ComposeActor:
 
     _CACHE_MAX = 65536
 
-    def __init__(self, emit_drs: bool = False, alias_map=None):
+    def __init__(self, emit_drs: bool = False, alias_map=None, options=None):
         """``alias_map`` (broadcast dict or ObjectRef) fuses entity linking
         into this stage — one less 9M-row hop through the object store;
-        the standalone LinkActor remains for pipelines that link later."""
+        the standalone LinkActor remains for pipelines that link later.
+        ``options`` is a :class:`ie_ray.semantics.ComposeOptions` (the
+        CO_* surface), broadcast verbatim into every actor."""
         from collections import OrderedDict
-        self.composer = Composer()
+        self.composer = Composer(options=options)
         self.emit_drs = emit_drs
         self.linker = None
         if alias_map is not None:
@@ -137,13 +139,15 @@ class ParseComposeActor:
     knob for the whole semantic phase."""
 
     def __init__(self, derivations, emit_drs: bool = False, alias_map=None,
-                 heuristic_fallback: bool = True, cky_fallback: bool = True):
+                 heuristic_fallback: bool = True, cky_fallback: bool = True,
+                 options=None):
         from .parse import ReplayParserActor
         self.parser = ReplayParserActor(derivations,
                                         heuristic_fallback=heuristic_fallback,
                                         cky_fallback=cky_fallback)
         self.composer_stage = ComposeActor(emit_drs=emit_drs,
-                                           alias_map=alias_map)
+                                           alias_map=alias_map,
+                                           options=options)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.composer_stage(self.parser(batch))
