@@ -588,6 +588,109 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _docs(sf_dir).map_batches(norm, batch_format="pyarrow")
 
+    def docs_sample_10pct(sf_dir):
+        """Deterministic content-hash sampling (the reproducible-sampling
+        trick at scale: no RNG state, no coordination — a pure map)."""
+        import hashlib
+
+        def keep(b: pa.Table) -> pa.Table:
+            ids = [d for d, t in zip(b.column("doc_id").to_pylist(),
+                                     b.column("text").to_pylist())
+                   if int.from_bytes(
+                       hashlib.md5(t.encode("utf-8")).digest()[:4],
+                       "big") % 10 == 0]
+            return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+        return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
+
+    def events_stratified_sample(sf_dir):
+        """Stratified sample: 5 events per type, ranked by md5(event_id) —
+        deterministic, shuffle-light (top-k-per-group over a hash)."""
+        import hashlib
+        ev = _tbl(sf_dir, "events", columns=["event_type", "event_id"])
+
+        def ranked(b: pa.Table) -> pa.Table:
+            hs = [hashlib.md5(str(e).encode()).hexdigest()
+                  for e in b.column("event_id").to_pylist()]
+            return pa.table({
+                "event_type": b.column("event_type"),
+                "event_id": b.column("event_id"),
+                "h": pa.array(hs, type=pa.string()),
+            })
+
+        ds = ev.map_batches(ranked, batch_format="pyarrow")
+
+        def pick(group: pa.Table) -> pa.Table:
+            g = group.sort_by([("h", "ascending"), ("event_id", "ascending")])
+            g = g.slice(0, 5)
+            return g.select(["event_type", "event_id"])
+
+        return ds.groupby("event_type").map_groups(pick,
+                                                   batch_format="pyarrow")
+
+    def q3_shipping(sf_dir):
+        """TPC-H Q3 shape (3-table join): customer segment filter is a
+        broadcast set, qualifying orders broadcast as a key→date dict
+        (both sides are small after filters — the hash-join form only
+        pays off when the filtered sides no longer fit in an actor;
+        at that point use Dataset.join as in the dedup `_attach`)."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_mktsegment"])
+        ckeys = pa.compute.filter(
+            cust.column("c_custkey"),
+            pc.equal(cust.column("c_mktsegment"), "BUILDING"))
+        cutoff = pa.scalar(__import__("datetime").datetime(1995, 3, 15))
+        orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
+                               columns=["o_orderkey", "o_custkey",
+                                        "o_orderdate"])
+        om = pc.and_(pc.is_in(orders.column("o_custkey"),
+                              value_set=ckeys.combine_chunks()),
+                     pc.less(orders.column("o_orderdate"), cutoff))
+        qual = orders.filter(om)
+        odate = {k: v for k, v in zip(
+            qual.column("o_orderkey").to_pylist(),
+            pc.strftime(qual.column("o_orderdate").cast(pa.timestamp("s")),
+                        format="%Y-%m-%d %H:%M:%S").to_pylist())}
+
+        li = _tbl(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_extendedprice", "l_discount",
+                           "l_shipdate"])
+
+        def partial(b: pa.Table, omap=odate) -> pa.Table:
+            mask = pc.greater(b.column("l_shipdate"), cutoff)
+            b = b.filter(mask)
+            keys = b.column("l_orderkey").to_pylist()
+            rev = pc.multiply(
+                b.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+            agg: dict = {}
+            for k, r in zip(keys, rev.to_pylist()):
+                d = omap.get(k)
+                if d is not None:
+                    agg[(k, d)] = agg.get((k, d), 0.0) + r
+            ks = sorted(agg)
+            return pa.table({
+                "l_orderkey": pa.array([k for k, _ in ks], type=pa.int64()),
+                "o_orderdate": pa.array([d for _, d in ks],
+                                        type=pa.string()),
+                "revenue": pa.array([agg[k] for k in ks],
+                                    type=pa.float64())})
+
+        agg = (li.map_batches(partial, batch_format="pyarrow")
+               .groupby(["l_orderkey", "o_orderdate"]).sum("revenue"))
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": t.column("l_orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "revenue": pc.round(t.column("sum(revenue)"), 2)})
+
+        return (agg.map_batches(finish, batch_format="pyarrow")
+                .sort(["revenue", "l_orderkey"], descending=[True, False])
+                .limit(10))
+
     def knn_top1_ivf(sf_dir):
         """IVF-flat ANN variant of knn_top1 (rows-only driver check; the
         recall ≥0.9 gate vs brute force lives in tests/test_operators.py)."""
@@ -869,6 +972,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_ngrams": boilerplate_ngrams,
         "normalize_docs": normalize_docs,
         "knn_top1_ivf": knn_top1_ivf,
+        "docs_sample_10pct": docs_sample_10pct,
+        "events_stratified_sample": events_stratified_sample,
+        "q3_shipping": q3_shipping,
         "top_words": top_words,
         "lexicon_extract": lexicon_extract,
         "nation_region": nation_region,
@@ -1031,6 +1137,24 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, unnest(grams) AS gram FROM g) "
             "GROUP BY gram HAVING count(*) >= 5 "
             "ORDER BY df DESC, gram ASC LIMIT 20",
+        "docs_sample_10pct":
+            "SELECT doc_id FROM documents WHERE "
+            "('0x' || substr(md5(text), 1, 8))::BIGINT % 10 = 0",
+        "events_stratified_sample":
+            "WITH r AS (SELECT event_type, event_id, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY md5(event_id::VARCHAR), "
+            "event_id) AS rn FROM events) "
+            "SELECT event_type, event_id FROM r WHERE rn <= 5",
+        "q3_shipping":
+            "SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1995-03-15' "
+            "AND l_shipdate > TIMESTAMP '1995-03-15' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10",
         "normalize_docs":
             "SELECT doc_id, md5(array_to_string(list_filter("
             "regexp_extract_all(translate(text, "
