@@ -157,15 +157,36 @@ def single_flagship(sf_dir: str, num_cpus: int) -> dict:
     return fs
 
 
-def scaling(sf_dir: str, reps: int = 2, levels=(6, 24)) -> dict:
-    """Fresh processes at 8 and 32 CPUs on identical input; best of ``reps``
-    runs per level (steady-state throughput — the first run pays one-off
-    page-cache and fixture warming that a long-running cluster job never
-    sees)."""
+def _effective_cores(n: int = 32, secs: float = 1.0) -> float:
+    """How many host cores this sandbox can actually use right now — the
+    box is shared and the external load swings by whole cores over
+    minutes, which corrupts any sequential A-then-B comparison."""
+    import multiprocessing as mp
+
+    def burn(_):
+        t = time.time()
+        x = 0
+        while time.time() - t < secs:
+            x += 1
+        return x
+
+    one = burn(0)
+    with mp.Pool(n) as p:
+        r = p.map(burn, range(n))
+    return round(sum(r) / one, 1)
+
+
+def scaling(sf_dir: str, reps: int = 3, levels=(6, 24)) -> dict:
+    """Fresh processes on identical input; reps are INTERLEAVED across
+    levels (6,24,6,24,…) and the best rep per level wins, so both levels
+    get a shot at the host's quiet windows — a sequential per-level
+    protocol couples each level to whatever external load happened to be
+    running during its slot.  Each rep records the effective-core probe
+    taken just before it."""
     results = {}
-    for cpus in levels:
-        best = None
-        for _ in range(reps):
+    for _ in range(reps):
+        for cpus in levels:
+            free = _effective_cores()
             proc = subprocess.run(
                 [sys.executable, __file__, "--single-run", str(cpus)],
                 capture_output=True, text=True, cwd=os.path.dirname(
@@ -173,9 +194,10 @@ def scaling(sf_dir: str, reps: int = 2, levels=(6, 24)) -> dict:
                 env={**os.environ, "GRAFT_SF_DIR": sf_dir})
             line = proc.stdout.strip().splitlines()[-1]
             run = json.loads(line)
+            run["effective_cores_probe"] = free
+            best = results.get(cpus)
             if best is None or run["docs_per_s"] > best["docs_per_s"]:
-                best = run
-        results[cpus] = best
+                results[cpus] = run
     lo, hi = levels
     eff = (results[hi]["docs_per_s"] / results[lo]["docs_per_s"]) / 4.0
     return {

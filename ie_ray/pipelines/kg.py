@@ -72,9 +72,12 @@ def kg_triples(fixture_dir: Optional[str] = None,
     elif isinstance(concurrency, int):
         concurrency = (1, concurrency)
     ncpu_total = int(ray.cluster_resources().get("CPU", 4))
-    # on tiny clusters, full-CPU actor reservations deadlock the task ops
-    # (3 pools × 1 CPU + dedup leaves nothing for reads) — use half-CPU slots
-    actor_cpus = 1 if ncpu_total >= 16 else 0.5
+    # Half-CPU actor slots ONLY below 6 CPUs (pytest-size clusters), where
+    # full reservations would deadlock the task operators.  At ≥6 the
+    # accounting must be honest — 0.5-CPU actors oversubscribe the host
+    # (each busy actor burns a real core), which inflates small-cluster
+    # throughput and corrupts the N-vs-4N scaling measurement.
+    actor_cpus = 1 if ncpu_total >= 6 else 0.5
     if pages_ds is None:
         pages_ds = ray.data.read_parquet(
             os.path.join(fixture_dir, "pages"),
