@@ -157,22 +157,23 @@ def single_flagship(sf_dir: str, num_cpus: int) -> dict:
     return fs
 
 
+def _burn(secs: float) -> int:
+    t = time.time()
+    x = 0
+    while time.time() - t < secs:
+        x += 1
+    return x
+
+
 def _effective_cores(n: int = 32, secs: float = 1.0) -> float:
     """How many host cores this sandbox can actually use right now — the
     box is shared and the external load swings by whole cores over
     minutes, which corrupts any sequential A-then-B comparison."""
     import multiprocessing as mp
 
-    def burn(_):
-        t = time.time()
-        x = 0
-        while time.time() - t < secs:
-            x += 1
-        return x
-
-    one = burn(0)
+    one = _burn(secs)
     with mp.Pool(n) as p:
-        r = p.map(burn, range(n))
+        r = p.map(_burn, [secs] * n)
     return round(sum(r) / one, 1)
 
 
