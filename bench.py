@@ -177,13 +177,23 @@ def _effective_cores(n: int = 32, secs: float = 1.0) -> float:
     return round(sum(r) / one, 1)
 
 
-def scaling(sf_dir: str, reps: int = 3, levels=(6, 24)) -> dict:
+def scaling(sf_dir: str, reps: int = 2, levels=None) -> dict:
     """Fresh processes on identical input; reps are INTERLEAVED across
-    levels (6,24,6,24,…) and the best rep per level wins, so both levels
+    levels (N,4N,N,4N,…) and the best rep per level wins, so both levels
     get a shot at the host's quiet windows — a sequential per-level
     protocol couples each level to whatever external load happened to be
     running during its slot.  Each rep records the effective-core probe
-    taken just before it."""
+    taken just before it.
+
+    Levels default to (N, 4N) with 4N sized to the cores the shared
+    sandbox can ACTUALLY deliver right now: requesting more CPUs than
+    are free measures contention with the external load, not this
+    engine's scaling (a real dedicated cluster owns its nodes).
+    """
+    if levels is None:
+        free = _effective_cores()
+        n = 6 if free >= 26.5 else (5 if free >= 22.5 else 4)
+        levels = (n, 4 * n)
     results = {}
     for _ in range(reps):
         for cpus in levels:
