@@ -77,7 +77,11 @@ def kg_triples(fixture_dir: Optional[str] = None,
     # accounting must be honest — 0.5-CPU actors oversubscribe the host
     # (each busy actor burns a real core), which inflates small-cluster
     # throughput and corrupts the N-vs-4N scaling measurement.
-    actor_cpus = 1 if ncpu_total >= 6 else 0.5
+    # IE_RAY_HONEST_ACTOR_CPUS forces full reservations at ANY cluster
+    # size — the scaling harness sets it so a small leg picked below 6
+    # CPUs (adaptive levels) can't silently burn 2× its nominal cores.
+    actor_cpus = 1 if (ncpu_total >= 6
+                       or os.environ.get("IE_RAY_HONEST_ACTOR_CPUS")) else 0.5
     if pages_ds is None:
         pages_ds = ray.data.read_parquet(
             os.path.join(fixture_dir, "pages"),
