@@ -932,6 +932,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(DrsActor, batch_format="pyarrow",
                               concurrency=(1, 2), num_cpus=1)
 
+    def kg_nominals(sf_dir):
+        """RT-mask-driven NP/VP phrase selection (C12: select_phrases +
+        get_np_nominals/get_vp_nominals, ref ccg.py:1271-1356) over the
+        derivation pool — one row per selected phrase."""
+        from ie_ray.semantics.engine import Composer
+        fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
+        ds = ray.data.read_parquet(os.path.join(fd, "derivations.parquet"))
+
+        class NomActor:
+            def __init__(self):
+                self.composer = Composer()
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                hashes, kinds, phrases = [], [], []
+                for h, d in zip(b.column("sent_hash").to_pylist(),
+                                b.column("ccgbank").to_pylist()):
+                    try:
+                        sem = self.composer.compose_ccgbank(d)
+                        views = [("np", sem.get_np_nominals()),
+                                 ("vp", sem.get_vp_nominals()),
+                                 ("orphan",
+                                  sem.get_orphaned_np_nominals() or [])]
+                    except Exception:
+                        continue
+                    for kind, items in views:
+                        for _, sp in items:
+                            hashes.append(h)
+                            kinds.append(kind)
+                            phrases.append(sem.span_text(sp))
+                return pa.table({
+                    "sent_hash": pa.array(hashes, type=pa.string()),
+                    "kind": pa.array(kinds, type=pa.string()),
+                    "phrase": pa.array(phrases, type=pa.string()),
+                })
+
+        return ds.map_batches(NomActor, batch_format="pyarrow",
+                              concurrency=(1, 2), num_cpus=1)
+
     def media_features(sf_dir):
         from ie_ray.stages.multimodal import MediaDecodeActor, synthesize_media
         ds = ray.data.from_arrow(synthesize_media(64))
@@ -989,6 +1027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cky_clause_extract": cky_clause_extract,
         "verbnet_lookup": verbnet_lookup,
         "kg_drs": kg_drs,
+        "kg_nominals": kg_nominals,
         "media_features": media_features,
     }
 

@@ -305,6 +305,13 @@ def _combine(lc: Category, rc: Category, lconj: bool, rconj: bool):
         return out
     if lp:
         out.append((rc, rconj, -0.01, 1))
+        # appositive comma: ", NP" → NP\NP ("Robbie , a tennis player ,
+        # charged …"; the composer's NP→NP\NP coercion emits _AKA).
+        # Priced to beat noun-compound absorption across the comma
+        # (N/N -0.4 + N→NP -0.1 on the appositive side) but lose to
+        # genuine list-coordination readings (-0.01/-0.05 per joint).
+        if lc.signature == "," and rc.isnp and not rconj:
+            out.append((_CAT_APPOS, False, -0.3, 1))
         return out
     if rp:
         out.append((lc, lconj, -0.01, 0))
@@ -343,6 +350,7 @@ def _combine(lc: Category, rc: Category, lconj: bool, rconj: bool):
 _CAT_NP = Category.parse("NP")
 _CAT_TR = Category.parse(r"S/(S\NP)")          # subject type-raise
 _CAT_RELRED = Category.parse(r"NP\NP")         # reduced object relative
+_CAT_APPOS = Category.parse(r"NP\NP")          # appositive ", NP"
 _SIG_NG = r"S[ng]\NP"
 
 

@@ -125,6 +125,11 @@ def _lex_tag(word: str, lower: str, sent_initial: bool) -> str:
         return "VBD"   # repaired to VBN after have/be
     if lower.endswith("ly") and len(lower) > 4:
         return "RB"
+    # hyphenated compounds in participial/ordinal shape are prenominal
+    # adjectives, not verbs: "hot-tempered", "long-standing",
+    # "eleven-year-old" (Penn convention; appos_test.py fixtures)
+    if "-" in lower[1:-1] and lower.endswith(("ed", "ing", "old")):
+        return "JJ"
     if lower.endswith("ing") and len(lower) > 5:
         return "VBG"
     if lower.endswith("ed") and len(lower) > 3:

@@ -19,6 +19,9 @@ from ..ccg.ccgbank import Leaf, Node, parse_ccgbank
 from ..drt.drs import DRS, Ref, Rel
 from .lexicon import (Sem, Token, build_leaf_sem, fresh_tree, mirror_tree,
                       tree_atoms, tree_final, unify_trees)
+from .reftypes import (RT_ATTRIBUTE, RT_DATE, RT_EMPTY_DRS, RT_ENTITY,
+                       RT_EVENT, RT_EVENT_ATTRIB, RT_EVENT_MODAL,
+                       RT_NUMBER, RT_ORPHANED, RT_PROPERNAME)
 
 
 class ComposeError(Exception):
@@ -89,6 +92,12 @@ class SentenceSem:
         self.root = root
         self.parse_root = None          # CCGBANK Node tree (set by Composer)
         self.constituents: List[Constituent] = []
+        # parity: lexemes whose production carried an empty DRS are marked
+        # RT_EMPTY_DRS (reference sets it at production-build time; here
+        # "no conditions" is the same statement)
+        for t in tokens:
+            if not t.conds and not t.ispunct:
+                t.mask |= RT_EMPTY_DRS
 
     def predarg_ccgbank(self) -> str:
         """CCGBANK rendering with predarg variable tags derived from the
@@ -147,14 +156,108 @@ class SentenceSem:
         return " ".join("%s(%s)" % (c.vntype, c.text(self.tokens, True))
                         for c in self.constituents)
 
-    def select_phrases(self) -> dict:
-        """ref → phrase text for entity/event refs (C12-lite)."""
-        out = {}
-        for c in self.constituents:
-            tok = self.tokens[c.head]
-            for r in tok.refs[:1]:
-                out.setdefault(r.find(), c.text(self.tokens))
-        return out
+    def span_text(self, idxs: List[int]) -> str:
+        return " ".join(self.tokens[i].word for i in idxs)
+
+    def select_phrases(self, select, exclude=None,
+                       contiguous: bool = True) -> dict:
+        """RT-mask-driven phrase selection (parity: select_phrases,
+        ie/semantics/ccg.py:1271-1338).
+
+        Args:
+            select: int RT_* mask, or a predicate over Token.
+            exclude: optional mask/predicate — an unselected lexeme that
+                matches and carries an n-ary condition over ≥2 referents
+                knocks out any selected group keyed by those referents.
+            contiguous: drop groups whose convex hull contains a
+                non-empty-DRS token outside the group (after trimming
+                trailing conjoins/brackets, as the reference does).
+
+        Returns ref → sorted list of token indices.
+        """
+        if isinstance(select, int):
+            mask = select
+            select = lambda t: 0 != (t.mask & mask)   # noqa: E731
+        groups: dict = {}
+        for t in self.tokens:
+            if t.refs and select(t):
+                groups.setdefault(t.refs[0].find(), []).append(t.idx)
+
+        def isconjlike(i: int) -> bool:
+            t = self.tokens[i]
+            return t.cat.isconj or t.word == ","
+
+        # trim leading/trailing conjoins and commas
+        for sp in groups.values():
+            while sp and isconjlike(sp[0]):
+                sp.pop(0)
+            while sp and isconjlike(sp[-1]):
+                sp.pop()
+
+        if exclude is not None:
+            if isinstance(exclude, int):
+                emask = exclude
+                exclude = lambda t: 0 != (t.mask & emask)   # noqa: E731
+            for t in self.tokens:
+                if not t.refs or select(t) or not exclude(t):
+                    continue
+                refs = {r.find() for c in t.conds for r in c.refs}
+                if len(refs) < 2:
+                    continue
+                for r in refs:
+                    groups.pop(r, None)
+
+        # remove solo empty entries
+        for t in self.tokens:
+            if t.mask & RT_EMPTY_DRS and t.refs:
+                sp = groups.get(t.refs[0].find())
+                if sp is not None and (
+                        not sp or (len(sp) == 1
+                                   and self.tokens[sp[0]].mask & RT_EMPTY_DRS)):
+                    del groups[t.refs[0].find()]
+
+        if contiguous:
+            _CONJ_STEMS = {"or", "and", "neither", "nor",
+                           "-LRB-", "-RRB-", "-LQU-", "-RQU-"}
+            doomed = []
+            for r, sp in groups.items():
+                if not sp:
+                    doomed.append(r)
+                    continue
+                gap = [i for i in range(sp[0], sp[-1] + 1) if i not in sp]
+                while gap and self.tokens[sp[-1]].stem in _CONJ_STEMS:
+                    sp.pop()
+                    if not sp:
+                        break
+                    gap = [i for i in range(sp[0], sp[-1] + 1)
+                           if i not in sp]
+                if not sp or (gap and not all(
+                        (not self.tokens[i].conds) for i in gap)):
+                    doomed.append(r)
+            for r in doomed:
+                del groups[r]
+        return {r: sp for r, sp in groups.items() if sp}
+
+    def get_np_nominals(self):
+        """(ref, span) noun phrases over the logical model (parity:
+        ccg.py:1340-1347)."""
+        return sorted(self.select_phrases(
+            RT_ENTITY | RT_PROPERNAME | RT_ATTRIBUTE | RT_DATE
+            | RT_NUMBER | RT_EMPTY_DRS).items(),
+            key=lambda kv: kv[1][0])
+
+    def get_vp_nominals(self):
+        """(ref, span) verb phrases over the logical model (parity:
+        ccg.py:1349-1356)."""
+        return sorted(self.select_phrases(
+            RT_EVENT_ATTRIB | RT_EVENT_MODAL | RT_EVENT).items(),
+            key=lambda kv: kv[1][0])
+
+    def get_orphaned_np_nominals(self):
+        """Orphaned NPs/anaphora, or None when there are none (parity:
+        ccg.py:1358-1365)."""
+        nps = self.select_phrases(RT_ORPHANED)
+        return sorted(nps.items(), key=lambda kv: kv[1][0]) if nps else None
 
     def verbnet_chunks(self) -> List[Constituent]:
         """SRL chunk view (parity: get_verbnet_sentence,
@@ -261,6 +364,8 @@ class SentenceSem:
                 if head is not None:
                     break
             if head is not None and id(head) not in already:
+                for i in sp:
+                    self.tokens[i].mask |= RT_ORPHANED
                 self.extras.append(Rel("_ORPHANED", [head]))
 
     def get_drs(self, nodups: bool = True) -> DRS:

@@ -24,6 +24,11 @@ from typing import List, Optional, Tuple, Union
 
 from ..ccg.category import Category
 from ..drt.drs import Ref, Rel
+from .reftypes import (
+    ADV_LOCATION, PRONOUN_MASK, RT_ANAPHORA, RT_ATTRIBUTE, RT_DATE,
+    RT_ENTITY, RT_EVENT, RT_EVENT_ATTRIB, RT_EVENT_MODAL, RT_INTERSECTION,
+    RT_LOCATION, RT_NEGATE, RT_NUMBER, RT_PLURAL, RT_POSSESSIVE,
+    RT_PP, RT_PROPERNAME, RT_UNION)
 
 # ---------------------------------------------------------------------------
 # POS classes (Penn tags, as emitted in CCGBANK leaves)
@@ -317,12 +322,13 @@ class Token:
     """One word of a sentence with its semantic contribution."""
 
     __slots__ = ("idx", "word", "stem", "pos", "cat", "conds", "sem",
-                 "isproper", "isverb", "ispunct", "refs")
+                 "isproper", "isverb", "ispunct", "refs", "mask")
 
     def __init__(self, idx: int, word: str, pos: str, cat: Category):
         self.idx = idx
         self.pos = pos
         self.cat = cat
+        self.mask = 0               # RT_* referent-type bits (reftypes.py)
         self.conds: List[Rel] = []
         self.sem: Optional[Sem] = None
         self.refs: List[Ref] = []
@@ -376,6 +382,11 @@ def build_leaf_sem(tok: Token) -> Sem:
     # atoms ---------------------------------------------------------------
     if cat.isatom:
         if cat.ispunct or cat.isconj:
+            if cat.isconj:
+                # parity: lexeme.py:509-515 (conjoins carry set-operator
+                # bits and an empty DRS)
+                tok.mask |= {"or": RT_UNION, "nor": RT_UNION | RT_NEGATE,
+                             "and": RT_INTERSECTION}.get(word_l, 0)
             return Sem(cat, Ref("x"))
         r = Ref("e" if cat.is_sy else "x")
         if cat.isn or cat.isnp:
@@ -385,10 +396,12 @@ def build_leaf_sem(tok: Token) -> Sem:
                 _proper_conds(tok, r)
                 _bind(r, tok)
             elif tok.pos == "CD":
+                tok.mask |= RT_NUMBER
                 tok.conds.append(Rel(tok.stem, [r]))
                 tok.conds.append(Rel("_NUM", [r]))
                 _bind(r, tok)
             else:
+                tok.mask |= _noun_mask(tok)
                 tok.conds.append(Rel(tok.stem, [r]))
                 _bind(r, tok)
         else:
@@ -420,6 +433,7 @@ def build_leaf_sem(tok: Token) -> Sem:
 
     # possessive clitic 's: (NP[nb]/N)\NP — _POSS(owner, owned)
     if tok.pos == "POS":
+        tok.mask |= RT_POSSESSIVE    # parity: lexeme.py:822-823
         owner = refs[-1] if len(refs) > 1 else Ref("x")
         tok.conds.append(Rel("_POSS", [owner, final]))
         return Sem(cat, tree)
@@ -445,20 +459,30 @@ def build_leaf_sem(tok: Token) -> Sem:
     if tok.pos in POS_ADVERBS or cat.ismodifier or _returns_modifier(cat):
         if tok.stem in _ADV_SPECIAL and final.kind == "e":
             w, extra = _ADV_SPECIAL[tok.stem]
+            tok.mask |= RT_EVENT_ATTRIB
+            if tok.stem in ADV_LOCATION:
+                tok.mask |= RT_LOCATION   # parity: __adv table
             tok.conds.append(Rel(w, [final]))
             tok.conds.append(Rel(extra, [final]))
         elif tok.pos in ("IN", "TO", "POS") and len(refs) > 1:
             # noun/VP-attached preposition: pred(head, obj)
+            tok.mask |= RT_PP
             tok.conds.append(Rel(tok.stem, [refs[0], refs[-1]]))
         elif tok.pos == "CD":
+            tok.mask |= RT_NUMBER
             tok.conds.append(Rel(tok.stem, [refs[0]]))
             tok.conds.append(Rel("_NUM", [refs[0]]))
         else:
+            # adjective on a noun head vs adverb on an event (parity:
+            # lexeme.py:799-804 RT_ATTRIBUTE, :666 RT_EVENT_ATTRIB)
+            tok.mask |= (RT_EVENT_ATTRIB if final.find().kind == "e"
+                         else RT_ATTRIBUTE)
             tok.conds.append(Rel(tok.stem, [refs[0]]))
         return Sem(cat, tree)
 
     # PP-returning preposition: ref shared with NP (golden: to(X2))
     if final_atom == Category.parse("PP"):
+        tok.mask |= RT_PP
         tok.conds.append(Rel(tok.stem, [final]))
         return Sem(cat, tree)
 
@@ -468,12 +492,14 @@ def build_leaf_sem(tok: Token) -> Sem:
         return Sem(cat, tree)
 
     if tok.pos == "CD":
+        tok.mask |= RT_NUMBER
         tok.conds.append(Rel(tok.stem, [final]))
         tok.conds.append(Rel("_NUM", refs))
         _bind(final, tok)
         return Sem(cat, tree)
 
     if final_atom.isn or final_atom.isnp:
+        tok.mask |= _noun_mask(tok)
         tok.conds.append(Rel(tok.stem, [final]))
         _bind(final, tok)
         return Sem(cat, tree)
@@ -496,7 +522,20 @@ def _returns_modifier(cat: Category) -> bool:
     return False
 
 
+def _noun_mask(tok: Token) -> int:
+    """Noun classification bits (parity: _set_noun_mask,
+    lexeme.py:474-484)."""
+    if tok.pos == "CD":
+        return RT_NUMBER
+    if tok.isproper:
+        return RT_PROPERNAME
+    if tok.pos in ("NNS", "NNPS"):
+        return RT_ENTITY | RT_PLURAL
+    return RT_ENTITY
+
+
 def _pron_conds(tok: Token, final: Ref):
+    tok.mask |= PRONOUN_MASK.get(tok.word.lower(), RT_ANAPHORA)
     pred, reflex, poss = _PRONOUNS[tok.word.lower()]
     if poss:
         owner = Ref("x")
@@ -512,12 +551,15 @@ def _pron_conds(tok: Token, final: Ref):
 
 def _proper_conds(tok: Token, final: Ref):
     if _MONTH_RE.match(tok.stem):
+        tok.mask |= RT_DATE          # parity: lexeme.py:389-390
         tok.conds.append(Rel(_MONTHS.get(tok.stem, tok.stem), [final]))
         tok.conds.append(Rel("_DATE", [final]))
     elif _WEEKDAY_RE.match(tok.stem):
+        tok.mask |= RT_DATE          # parity: lexeme.py:399-400
         tok.conds.append(Rel(_WEEKDAYS.get(tok.stem, tok.stem), [final]))
         tok.conds.append(Rel("_DATE", [final]))
     else:
+        tok.mask |= RT_PROPERNAME
         tok.conds.append(Rel(tok.stem, [final]))
 
 
@@ -530,9 +572,15 @@ def _verb_conds(tok: Token, refs: List[Ref], cat: Category):
     final = refs[0]
     if tok.pos == "MD" or (word_l in _PASS_THROUGH_WORDS and _is_pass_through_cat(cat)):
         if tok.pos == "MD":
+            tok.mask |= RT_EVENT_MODAL   # parity: lexeme.py:684
             tok.conds.append(Rel(tok.stem, [final]))
             tok.conds.append(Rel("_MODAL", [final]))
-        # auxiliaries contribute nothing (event passes through)
+        else:
+            # auxiliaries contribute no conditions (event passes through)
+            # but still classify as modal-ish event tokens so VP phrase
+            # selection spans "would have been" whole (nominal goldens,
+            # number_test.py:43-49)
+            tok.mask |= RT_EVENT_MODAL
         return
     has_verbal_comp = False
     c = cat
@@ -544,6 +592,7 @@ def _verb_conds(tok: Token, refs: List[Ref], cat: Category):
         # do-support (question inversion): no conditions; the event ref was
         # already unified with the verbal complement in _leaf_tree
         return
+    tok.mask |= RT_EVENT             # parity: lexeme.py:656,695
     tok.conds.append(Rel(tok.stem, [final]))
     vn = _verbnet_implication(tok.stem, final)
     if vn is not None:
