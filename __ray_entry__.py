@@ -200,6 +200,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return scored.map_batches(keep, batch_format="pyarrow")
 
+    def doc_repetition(sf_dir):
+        """Gopher-style repetition metrics (dup-word / top-word /
+        dup-2-gram fractions) per doc — vectorized polars kernels,
+        value-exact against REPETITION_SQL."""
+        return _docs(sf_dir).map_batches(textstats.repetition_batch,
+                                         batch_format="pyarrow")
+
+    def repetition_filter_docs(sf_dir):
+        """Keep-list from the repetition metrics (Gopher-rule shape:
+        drop docs dominated by one word or repeated 2-grams)."""
+        scored = _docs(sf_dir).map_batches(textstats.repetition_batch,
+                                           batch_format="pyarrow")
+
+        def keep(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            mask = pc.and_(
+                pc.less_equal(b.column("top_word_frac"), 0.1),
+                pc.less_equal(b.column("dup_word_frac"), 0.65))
+            return pa.table({"doc_id": b.filter(mask).column("doc_id")})
+
+        return scored.map_batches(keep, batch_format="pyarrow")
+
     def simhash_pairs(sf_dir):
         return dedup.simhash_pairs(_docs(sf_dir))
 
@@ -989,6 +1011,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": minhash_dedup_pairs,
         "minhash_dedup_keep": minhash_dedup_keep,
         "quality_filter_docs": quality_filter_docs,
+        "doc_repetition": doc_repetition,
+        "repetition_filter_docs": repetition_filter_docs,
         "simhash_pairs": simhash_pairs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "embedding_dup_pairs": embedding_dup_pairs,
@@ -1059,7 +1083,8 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT 1 FROM reach WHERE reach.x = d.doc_id "
         "AND reach.y < d.doc_id)")
     from ie_ray.stages.decontam import decontam_sql
-    from ie_ray.stages.textstats import FINGERPRINT_SQL, langid_sql
+    from ie_ray.stages.textstats import (FINGERPRINT_SQL, REPETITION_SQL,
+                                         langid_sql)
     return {
         "doc_fingerprints": FINGERPRINT_SQL,
         "langid": langid_sql(),
@@ -1100,6 +1125,10 @@ def oracle_sql() -> dict[str, str]:
             "x -> list_contains(" + _EN_STOPWORDS_SQL + ", translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')))) >= 1",
         "doc_md5":
             "SELECT doc_id, md5(text) AS text_md5 FROM documents",
+        "doc_repetition": REPETITION_SQL,
+        "repetition_filter_docs":
+            "SELECT doc_id FROM (" + REPETITION_SQL + ") "
+            "WHERE top_word_frac <= 0.1 AND dup_word_frac <= 0.65",
         "embedding_sim_pairs":
             "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "

@@ -148,6 +148,71 @@ def fingerprint_batch(batch: pa.Table, w: int = 8) -> pa.Table:
     })
 
 
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021, Table A1 family):
+    duplicate-word fraction, top-word fraction and duplicate-2-gram
+    fraction per document — the standard repetition filters an LLM
+    training pipeline runs before dedup.
+
+    Vectorized end-to-end in polars (explode + per-doc window shift +
+    two group_bys — Rust kernels, no Python row loop).  Every column is
+    an integer ratio computed with the same IEEE double division as
+    REPETITION_SQL, so the DuckDB oracle is value-exact.
+    """
+    import polars as pl
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    e = (df.with_columns(pl.col("text").str.split(" ").alias("w"))
+           .drop("text")
+           .explode("w"))
+    words = e.group_by("doc_id").agg(
+        pl.len().alias("n_words"),
+        pl.col("w").n_unique().alias("n_uniq"))
+    top = (e.group_by(["doc_id", "w"]).len()
+            .group_by("doc_id").agg(pl.col("len").max().alias("top_count")))
+    grams = (e.with_columns(pl.col("w").shift(-1).over("doc_id")
+                            .alias("nxt"))
+              .drop_nulls("nxt")
+              .with_columns((pl.col("w") + " " + pl.col("nxt")).alias("g"))
+              .group_by("doc_id").agg(
+                  pl.len().alias("n2"),
+                  pl.col("g").n_unique().alias("nu2")))
+    out = (words.join(top, on="doc_id")
+                .join(grams, on="doc_id", how="left")
+                .with_columns(pl.col("n2").fill_null(0),
+                              pl.col("nu2").fill_null(0))
+                .with_columns(
+        pl.col("n_words").cast(pl.Int64),
+        ((pl.col("n_words") - pl.col("n_uniq")).cast(pl.Float64)
+         / pl.col("n_words")).alias("dup_word_frac"),
+        (pl.col("top_count").cast(pl.Float64)
+         / pl.col("n_words")).alias("top_word_frac"),
+        pl.when(pl.col("n2") == 0).then(0.0)
+          .otherwise((pl.col("n2") - pl.col("nu2")).cast(pl.Float64)
+                     / pl.col("n2")).alias("dup_2gram_frac"))
+        .select(["doc_id", "n_words", "dup_word_frac", "top_word_frac",
+                 "dup_2gram_frac"]))
+    return out.to_arrow()
+
+
+# Exact SQL mirror of repetition_batch.  `list_aggregate(l, 'mode')` is
+# tie-arbitrary, but the *count* of the mode value is tie-invariant, which
+# is all top_word_frac uses.  range(1, len(l)) is end-exclusive and lists
+# are 1-indexed, so the transform emits exactly len(l)-1 2-grams.
+REPETITION_SQL = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS l "
+    "FROM documents), "
+    "g AS (SELECT doc_id, l, CASE WHEN len(l) < 2 THEN [] ELSE "
+    "list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i+1]) END "
+    "AS gs FROM t) "
+    "SELECT doc_id, len(l)::BIGINT AS n_words, "
+    "(len(l) - len(list_distinct(l)))::DOUBLE / len(l) AS dup_word_frac, "
+    "len(list_filter(l, x -> x = list_aggregate(l, 'mode')))::DOUBLE "
+    "/ len(l) AS top_word_frac, "
+    "CASE WHEN len(gs) = 0 THEN 0.0 ELSE "
+    "(len(gs) - len(list_distinct(gs)))::DOUBLE / len(gs) END "
+    "AS dup_2gram_frac FROM g")
+
+
 FINGERPRINT_SQL = (
     "WITH w AS (SELECT doc_id, text, regexp_split_to_array(trim(lower(text)),"
     " '\\s+') AS words FROM documents), "

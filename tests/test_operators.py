@@ -288,3 +288,35 @@ def test_media_plumbing(ray_session):
     f0 = {r["media_id"]: tuple(r["features"]) for r in rows}
     f1 = {r["media_id"]: tuple(r["features"]) for r in again}
     assert f0 == f1
+
+
+def test_repetition_metrics_exact_vs_duckdb():
+    """Gopher repetition signals are value-exact against the SQL oracle,
+    including a planted pathological doc (one word repeated)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from ie_ray.stages.textstats import REPETITION_SQL, repetition_batch
+
+    base = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    planted = pa.table({
+        "doc_id": pa.array([900001, 900002], type=pa.int64()),
+        "text": pa.array(["spam " * 49 + "spam", "one two three four"],
+                         type=pa.string()),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["t", "t"]),
+        "n_chars": pa.array([250, 18], type=pa.int64()),
+    })
+    t = pa.concat_tables([base, planted.cast(base.schema)])
+    mine = (repetition_batch(t).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", t)
+    orc = (con.execute(REPETITION_SQL).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert mine[sorted(mine.columns)].equals(orc[sorted(orc.columns)])
+    spam = mine[mine.doc_id == 900001].iloc[0]
+    assert spam.dup_word_frac == 0.98 and spam.top_word_frac == 1.0
+    assert spam.dup_2gram_frac == 48 / 49
+    clean = mine[mine.doc_id == 900002].iloc[0]
+    assert clean.dup_word_frac == 0.0 and clean.dup_2gram_frac == 0.0
