@@ -39,33 +39,39 @@ def token_count_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+_UPPER = list("ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+_LOWER = list("abcdefghijklmnopqrstuvwxyz")
+
+
 def quality_batch(batch: pa.Table) -> pa.Table:
     """Quality signals: char/punct/stopword/upper counts.
 
     Every column is reproducible in ANSI SQL (length/regexp) so the oracle
-    check is exact."""
-    texts = batch.column("text").to_pylist()
-    n_chars, n_punct, n_tokens, n_stop, n_upper = [], [], [], [], []
-    for t in texts:
-        n_chars.append(len(t))
-        n_punct.append(len(_PUNCT_RE.findall(t)))
-        toks = t.split()
-        n_tokens.append(len(toks))
-        # ASCII-only case folding: the SQL oracle counts [A-Z] and compares
-        # against ASCII stopwords, so Unicode isupper()/str.lower() (which
-        # match 'É', 'ß', KELVIN SIGN, …) would break exact parity on
-        # non-ASCII corpora.
-        n_stop.append(sum(1 for w in toks
-                          if w.translate(_ASCII_LOWER) in _STOPWORDS_EN))
-        n_upper.append(sum(1 for ch in t if "A" <= ch <= "Z"))
-    return pa.table({
-        "doc_id": batch.column("doc_id"),
-        "n_chars": pa.array(n_chars, type=pa.int64()),
-        "n_punct": pa.array(n_punct, type=pa.int64()),
-        "n_tokens": pa.array(n_tokens, type=pa.int64()),
-        "n_stopwords": pa.array(n_stop, type=pa.int64()),
-        "n_upper": pa.array(n_upper, type=pa.int64()),
-    })
+    check is exact.  Vectorized in polars; case folding is ASCII-only
+    (replace_many A-Z→a-z, count_matches [A-Z]) because the SQL oracle
+    counts [A-Z] and compares ASCII stopwords — Unicode isupper()/lower()
+    (which match 'É', 'ß', KELVIN SIGN, …) would break parity on
+    non-ASCII corpora."""
+    import polars as pl
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    # tokens = \S+ runs, matching Python str.split() ('' → 0 tokens)
+    out = df.select(
+        pl.col("doc_id"),
+        pl.col("text").str.len_chars().cast(pl.Int64).alias("n_chars"),
+        pl.col("text").str.count_matches(r"[.,;:!?]")
+          .cast(pl.Int64).alias("n_punct"),
+        pl.col("text").str.extract_all(r"\S+").alias("toks"),
+        pl.col("text").str.count_matches("[A-Z]")
+          .cast(pl.Int64).alias("n_upper"),
+    ).with_columns(
+        pl.col("toks").list.len().cast(pl.Int64).alias("n_tokens"),
+        pl.col("toks").list.eval(
+            pl.element().str.replace_many(_UPPER, _LOWER)
+              .is_in(sorted(_STOPWORDS_EN))).list.sum()
+          .fill_null(0).cast(pl.Int64).alias("n_stopwords"),
+    ).select(["doc_id", "n_chars", "n_punct", "n_tokens",
+              "n_stopwords", "n_upper"])
+    return out.to_arrow()
 
 
 def _sql_list(words) -> str:
