@@ -759,6 +759,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             batch_format="pyarrow"))
         return agg.sort(["n", "word"], descending=[True, False]).limit(20)
 
+    def doc_tfidf_top3(sf_dir):
+        """Per-doc top-3 TF-IDF terms — the canonical two-exchange
+        corpus-statistics shape: (1) per-block polars explode computes
+        exact per-doc term frequencies WITHOUT a shuffle (a doc's text is
+        one row, so its words never span blocks), (2) one vocab-sized
+        exchange on `word` builds document frequency, (3) a hash join
+        ships idf back to the tf rows, (4) one exchange on `doc_id` takes
+        per-doc top-3 (groups are O(words-per-doc), so map_groups is
+        safe).  Vocabulary stays distributed end-to-end — no driver-side
+        vocab map, which is what survives a 100 TB corpus."""
+        docs = _docs(sf_dir)
+        n_docs = docs.count()
+
+        def tf_batch(b: pa.Table) -> pa.Table:
+            import polars as pl
+            df = pl.from_arrow(b.select(["doc_id", "text"]))
+            e = (df.with_columns(pl.col("text").str.split(" ").alias("w"))
+                   .drop("text").explode("w"))
+            tf = e.group_by(["doc_id", "w"]).agg(pl.len().alias("c"))
+            n = e.group_by("doc_id").agg(pl.len().alias("n_words"))
+            out = (tf.join(n, on="doc_id").rename({"w": "word"})
+                     .with_columns(pl.col("c").cast(pl.Int64),
+                                   pl.col("n_words").cast(pl.Int64))
+                     .to_arrow())
+            # polars emits large_string; Ray's hash join needs both sides
+            # to agree on plain string
+            return out.cast(pa.schema([
+                pa.field(f.name, pa.string() if f.type == pa.large_string()
+                         else f.type) for f in out.schema]))
+
+        tf = docs.map_batches(tf_batch, batch_format="pyarrow")
+        # tf is unique per (doc_id, word) → row count per word == df(word)
+        dfreq = (tf.select_columns(["word"]).groupby("word").count()
+                 .map_batches(lambda t: t.rename_columns(["word", "dfreq"]),
+                              batch_format="pyarrow"))
+        joined = tf.join(dfreq, "inner",
+                         num_partitions=dedup._join_partitions(),
+                         on=("word",))
+
+        def score(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            s = pc.multiply(
+                pc.divide(pc.cast(b.column("c"), pa.float64()),
+                          pc.cast(b.column("n_words"), pa.float64())),
+                pc.ln(pc.divide(float(n_docs),
+                                pc.cast(b.column("dfreq"), pa.float64()))))
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "word": b.column("word"),
+                             "score": s})
+
+        def top3(g: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            idx = pc.sort_indices(g, sort_keys=[("score", "descending"),
+                                                ("word", "ascending")])
+            t = g.take(idx[:3])
+            return t.append_column(
+                "rk", pa.array(range(1, t.num_rows + 1), type=pa.int64()))
+
+        return (joined.map_batches(score, batch_format="pyarrow")
+                .groupby("doc_id").map_groups(top3, batch_format="pyarrow"))
+
     def lexicon_extract(sf_dir):
         """A4: stem → distinct category signatures over the derivation
         corpus (flat_map tokens → groupby(stem) distinct-count)."""
@@ -1038,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stratified_sample": events_stratified_sample,
         "q3_shipping": q3_shipping,
         "top_words": top_words,
+        "doc_tfidf_top3": doc_tfidf_top3,
         "lexicon_extract": lexicon_extract,
         "nation_region": nation_region,
         "order_status_counts": order_status_counts,
@@ -1126,6 +1188,23 @@ def oracle_sql() -> dict[str, str]:
         "doc_md5":
             "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "doc_repetition": REPETITION_SQL,
+        "doc_tfidf_top3":
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS word FROM documents), "
+            "n AS (SELECT doc_id, count(*) AS n_words FROM tok "
+            "GROUP BY doc_id), "
+            "tf AS (SELECT doc_id, word, count(*) AS c FROM tok "
+            "GROUP BY doc_id, word), "
+            "df AS (SELECT word, count(*) AS dfreq FROM "
+            "(SELECT DISTINCT doc_id, word FROM tok) GROUP BY word), "
+            "nd AS (SELECT count(*) AS n_docs FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.word, "
+            "(tf.c::DOUBLE / n.n_words) * ln(nd.n_docs::DOUBLE / df.dfreq) "
+            "AS score FROM tf JOIN n USING (doc_id) "
+            "JOIN df USING (word) CROSS JOIN nd), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, word) AS rk FROM s) "
+            "SELECT doc_id, word, score, rk FROM r WHERE rk <= 3",
         "repetition_filter_docs":
             "SELECT doc_id FROM (" + REPETITION_SQL + ") "
             "WHERE top_word_frac <= 0.1 AND dup_word_frac <= 0.65",

@@ -290,6 +290,27 @@ def test_media_plumbing(ray_session):
     assert f0 == f1
 
 
+def test_tfidf_top3_vs_duckdb(ray_session):
+    """doc_tfidf_top3 (distributed two-exchange TF-IDF) matches the SQL
+    oracle row-for-row on sf0.001 — exact ids/ranks, fp-tolerant scores."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+
+    res = (entrymod.queries()["doc_tfidf_top3"]("/root/testdata/sf0.001")
+           .to_pandas().sort_values(["doc_id", "rk"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents",
+                 pq.read_table("/root/testdata/sf0.001/documents.parquet"))
+    orc = (con.execute(entrymod.oracle_sql()["doc_tfidf_top3"]).df()
+           .sort_values(["doc_id", "rk"]).reset_index(drop=True))
+    assert len(res) == len(orc) and len(res) > 0
+    assert (res.doc_id == orc.doc_id).all()
+    assert (res.word == orc.word).all()
+    assert (res.rk == orc.rk).all()
+    assert np.allclose(res.score, orc.score)
+
+
 def test_repetition_metrics_exact_vs_duckdb():
     """Gopher repetition signals are value-exact against the SQL oracle,
     including a planted pathological doc (one word repeated)."""
