@@ -820,6 +820,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return (joined.map_batches(score, batch_format="pyarrow")
                 .groupby("doc_id").map_groups(top3, batch_format="pyarrow"))
 
+    def inverted_index(sf_dir):
+        """Sharded inverted index: word × doc-range shard → sorted posting
+        list.  The shard key (doc_id // 128) is the load-bearing scale
+        decision: a posting list for a common term is O(corpus) and would
+        otherwise concentrate an entire hub group in one task — sharding
+        bounds every group at 128 doc ids (this is how real IR systems
+        split postings too).  Per-block distinct (doc_id, word) needs no
+        shuffle (a doc's text is one row), so the whole op is one bounded
+        exchange on (word, shard)."""
+        docs = _docs(sf_dir)
+
+        def tok_batch(b: pa.Table) -> pa.Table:
+            import polars as pl
+            df = pl.from_arrow(b.select(["doc_id", "text"]))
+            e = (df.with_columns(pl.col("text").str.split(" ").alias("w"))
+                   .drop("text").explode("w").unique()
+                   .rename({"w": "word"})
+                   .with_columns((pl.col("doc_id") // 128).alias("shard")))
+            out = e.to_arrow()
+            return out.cast(pa.schema([
+                pa.field(f.name, pa.string() if f.type == pa.large_string()
+                         else f.type) for f in out.schema]))
+
+        def postings(g: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            ids = pc.sort_indices(g.column("doc_id"))
+            sorted_ids = g.column("doc_id").take(ids).to_pylist()
+            return pa.table({
+                "word": [g.column("word")[0].as_py()],
+                "shard": pa.array([g.column("shard")[0].as_py()],
+                                  type=pa.int64()),
+                "n_docs": pa.array([g.num_rows], type=pa.int64()),
+                "postings": [",".join(str(i) for i in sorted_ids)]})
+
+        return (docs.map_batches(tok_batch, batch_format="pyarrow")
+                .groupby(["word", "shard"])
+                .map_groups(postings, batch_format="pyarrow"))
+
     def lexicon_extract(sf_dir):
         """A4: stem → distinct category signatures over the derivation
         corpus (flat_map tokens → groupby(stem) distinct-count)."""
@@ -1100,6 +1138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": q3_shipping,
         "top_words": top_words,
         "doc_tfidf_top3": doc_tfidf_top3,
+        "inverted_index": inverted_index,
         "lexicon_extract": lexicon_extract,
         "nation_region": nation_region,
         "order_status_counts": order_status_counts,
@@ -1205,6 +1244,13 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
             "ORDER BY score DESC, word) AS rk FROM s) "
             "SELECT doc_id, word, score, rk FROM r WHERE rk <= 3",
+        "inverted_index":
+            "WITH tok AS (SELECT DISTINCT doc_id, "
+            "unnest(string_split(text, ' ')) AS word FROM documents) "
+            "SELECT word, doc_id // 128 AS shard, "
+            "count(*) AS n_docs, "
+            "string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings "
+            "FROM tok GROUP BY word, shard",
         "repetition_filter_docs":
             "SELECT doc_id FROM (" + REPETITION_SQL + ") "
             "WHERE top_word_frac <= 0.1 AND dup_word_frac <= 0.65",

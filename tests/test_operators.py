@@ -311,6 +311,29 @@ def test_tfidf_top3_vs_duckdb(ray_session):
     assert np.allclose(res.score, orc.score)
 
 
+def test_inverted_index_vs_duckdb(ray_session):
+    """Sharded posting lists match the SQL oracle exactly — same shards,
+    same sorted comma-joined postings, same per-shard doc counts."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+
+    res = (entrymod.queries()["inverted_index"]("/root/testdata/sf0.001")
+           .to_pandas().sort_values(["word", "shard"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents",
+                 pq.read_table("/root/testdata/sf0.001/documents.parquet"))
+    orc = (con.execute(entrymod.oracle_sql()["inverted_index"]).df()
+           .sort_values(["word", "shard"]).reset_index(drop=True))
+    assert len(res) == len(orc) and len(res) > 30
+    assert (res.word == orc.word).all()
+    assert (res.shard.astype("int64") == orc.shard.astype("int64")).all()
+    assert (res.n_docs.astype("int64") == orc.n_docs.astype("int64")).all()
+    assert (res.postings == orc.postings).all()
+    # every group the exchange produced is bounded by the shard width
+    assert res.n_docs.max() <= 128
+
+
 def test_repetition_metrics_exact_vs_duckdb():
     """Gopher repetition signals are value-exact against the SQL oracle,
     including a planted pathological doc (one word repeated)."""
