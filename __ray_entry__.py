@@ -858,6 +858,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .groupby(["word", "shard"])
                 .map_groups(postings, batch_format="pyarrow"))
 
+    def embedding_kmeans(sf_dir):
+        """Distributed Lloyd's k-means (k=8, 5 rounds) over the embedding
+        table: per-round centroid broadcast + per-batch partial sums (at
+        most k rows per block reach the driver), then one streaming
+        assignment pass.  Not SQL-expressible (iterative) — verified
+        exactly against a single-process NumPy twin in
+        tests/test_clustering.py."""
+        from ie_ray.stages import clustering
+        emb = _tbl(sf_dir, "embeddings", blocks=8)
+        centroids = clustering.kmeans_fit(emb, k=8, iters=5)
+        return clustering.kmeans_assign(emb, centroids)
+
     def lexicon_extract(sf_dir):
         """A4: stem → distinct category signatures over the derivation
         corpus (flat_map tokens → groupby(stem) distinct-count)."""
@@ -1139,6 +1151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words": top_words,
         "doc_tfidf_top3": doc_tfidf_top3,
         "inverted_index": inverted_index,
+        "embedding_kmeans": embedding_kmeans,
         "lexicon_extract": lexicon_extract,
         "nation_region": nation_region,
         "order_status_counts": order_status_counts,
