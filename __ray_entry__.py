@@ -858,6 +858,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .groupby(["word", "shard"])
                 .map_groups(postings, batch_format="pyarrow"))
 
+    def label_centroids(sf_dir):
+        """Per-label mean embedding as (label, dim, mean_v) rows — the
+        vector-aggregate shape: each block emits one partial
+        (label, dim, sum, count) row per label×dim (bounded by label
+        cardinality × dim, independent of corpus size), then a single
+        associative groupby finishes the mean.  Row-per-dim output keeps
+        the oracle comparison exact (no list-column hashing)."""
+        import numpy as np
+
+        emb = _tbl(sf_dir, "embeddings", blocks=8)
+
+        def partials(b: pa.Table) -> pa.Table:
+            m = np.asarray(b.column("embedding").to_pylist(),
+                           dtype=np.float64)
+            labels = np.asarray(b.column("label").to_pylist())
+            out_l, out_d, out_s, out_n = [], [], [], []
+            for lab in np.unique(labels):
+                rows = m[labels == lab]
+                s = rows.sum(axis=0)
+                for d in range(m.shape[1]):
+                    out_l.append(int(lab))
+                    out_d.append(d + 1)
+                    out_s.append(float(s[d]))
+                    out_n.append(rows.shape[0])
+            # label stays int32 to mirror the source column (and the
+            # oracle's GROUP BY output) exactly
+            return pa.table({
+                "label": pa.array(out_l, type=pa.int32()),
+                "dim": pa.array(out_d, type=pa.int64()),
+                "s": pa.array(out_s, type=pa.float64()),
+                "n": pa.array(out_n, type=pa.int64())})
+
+        def finish(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "label": b.column("label"),
+                "dim": b.column("dim"),
+                "mean_v": pc.divide(b.column("sum(s)"),
+                                    pc.cast(b.column("sum(n)"),
+                                            pa.float64()))})
+
+        return (emb.map_batches(partials, batch_format="pyarrow")
+                .groupby(["label", "dim"]).sum(["s", "n"])
+                .map_batches(finish, batch_format="pyarrow"))
+
     def embedding_kmeans(sf_dir):
         """Distributed Lloyd's k-means (k=8, 5 rounds) over the embedding
         table: per-round centroid broadcast + per-batch partial sums (at
@@ -1151,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words": top_words,
         "doc_tfidf_top3": doc_tfidf_top3,
         "inverted_index": inverted_index,
+        "label_centroids": label_centroids,
         "embedding_kmeans": embedding_kmeans,
         "lexicon_extract": lexicon_extract,
         "nation_region": nation_region,
@@ -1264,6 +1310,12 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_docs, "
             "string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS postings "
             "FROM tok GROUP BY word, shard",
+        "label_centroids":
+            "WITH expl AS (SELECT label, "
+            "unnest(range(1, len(embedding)+1)) AS dim, "
+            "unnest(embedding) AS v FROM embeddings) "
+            "SELECT label, dim, avg(v) AS mean_v FROM expl "
+            "GROUP BY label, dim",
         "repetition_filter_docs":
             "SELECT doc_id FROM (" + REPETITION_SQL + ") "
             "WHERE top_word_frac <= 0.1 AND dup_word_frac <= 0.65",

@@ -40,6 +40,24 @@ def test_kmeans_matches_numpy_reference(ray_session, emb_table):
     assert (got.cluster.to_numpy() == want_by_vecid).all()
 
 
+def test_label_centroids_vs_duckdb(ray_session, emb_table):
+    """Per-label vector means (block partial sums + associative groupby)
+    match DuckDB's unnest-and-avg oracle to fp tolerance."""
+    import duckdb
+    import __ray_entry__ as entrymod
+
+    res = (entrymod.queries()["label_centroids"](SF)
+           .to_pandas().sort_values(["label", "dim"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("embeddings", emb_table)
+    orc = (con.execute(entrymod.oracle_sql()["label_centroids"]).df()
+           .sort_values(["label", "dim"]).reset_index(drop=True))
+    assert len(res) == len(orc) and len(res) > 0
+    assert (res.label.to_numpy() == orc.label.to_numpy()).all()
+    assert (res.dim.to_numpy() == orc.dim.to_numpy()).all()
+    assert np.allclose(res.mean_v, orc.mean_v)
+
+
 def test_kmeans_clusters_are_nontrivial(ray_session):
     import ray.data
     from ie_ray.stages import clustering
