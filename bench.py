@@ -115,7 +115,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "langid", "q1_pricing", "orders_per_segment",
                  "events_by_type", "events_asof_purchase_click",
                  "events_top3_per_user", "boilerplate_ngrams",
-                 "normalize_docs", "decontaminate_docs", "doc_repetition"):
+                 "normalize_docs", "decontaminate_docs", "doc_repetition",
+                 "doc_tfidf_top3", "inverted_index", "embedding_kmeans"):
         consume(name)
 
     total = round(time.time() - t0, 3)
