@@ -984,6 +984,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         good = canon.filter(expr="kind != 'quarantine' and kind != 'empty'")
         return build_edges(good)
 
+    def kg_pagerank(sf_dir):
+        """PageRank over the canonical KG edge set: 5 rounds of
+        hash-join + groupby with the rank table materialized in the
+        object store between rounds (never on the driver).  Iterative —
+        no SQL oracle; verified against a NumPy twin in
+        tests/test_pagerank.py."""
+        from ie_ray.stages.pagerank import pagerank
+
+        def rnd(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({"node": t.column("node"),
+                             "rank": pc.round(t.column("rank"), ndigits=8)})
+
+        return (pagerank(kg_edges(sf_dir), iters=5)
+                .map_batches(rnd, batch_format="pyarrow"))
+
     def extraction_identity(sf_dir):
         from ie_ray.stages.extract import verify_extraction_batch
         fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
@@ -1204,6 +1220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": kg_triples_q,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
+        "kg_pagerank": kg_pagerank,
         "kg_canonical_edges": kg_canonical_edges,
         "extraction_identity": extraction_identity,
         "clause_extract": clause_extract,
