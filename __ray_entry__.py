@@ -625,6 +625,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
 
+    def docs_weighted_mix(sf_dir):
+        """Per-source weighted corpus mixing — the data-mixing step of
+        training-corpus assembly: each source gets a deterministic keep
+        rate (here 25/50/75/100 % cycling by source index) and rows are
+        kept by content hash, so the mix is reproducible with no RNG
+        state, no coordination, and no shuffle (a pure map over blocks)."""
+        import hashlib
+
+        def keep(b: pa.Table) -> pa.Table:
+            ids, srcs = [], []
+            for d, t, s in zip(b.column("doc_id").to_pylist(),
+                               b.column("text").to_pylist(),
+                               b.column("source").to_pylist()):
+                rate_pct = 25 * (int(s[3:]) % 4 + 1)
+                h = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:4], "big")
+                if h % 100 < rate_pct:
+                    ids.append(d)
+                    srcs.append(s)
+            return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "source": pa.array(srcs, type=pa.string())})
+
+        return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
+
     def events_stratified_sample(sf_dir):
         """Stratified sample: 5 events per type, ranked by md5(event_id) —
         deterministic, shuffle-light (top-k-per-group over a hash)."""
@@ -1207,6 +1231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": normalize_docs,
         "knn_top1_ivf": knn_top1_ivf,
         "docs_sample_10pct": docs_sample_10pct,
+        "docs_weighted_mix": docs_weighted_mix,
         "events_stratified_sample": events_stratified_sample,
         "q3_shipping": q3_shipping,
         "top_words": top_words,
@@ -1415,6 +1440,10 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample_10pct":
             "SELECT doc_id FROM documents WHERE "
             "('0x' || substr(md5(text), 1, 8))::BIGINT % 10 = 0",
+        "docs_weighted_mix":
+            "SELECT doc_id, source FROM documents WHERE "
+            "('0x' || substr(md5(text), 1, 8))::BIGINT % 100 "
+            "< 25 * (substr(source, 4)::BIGINT % 4 + 1)",
         "events_stratified_sample":
             "WITH r AS (SELECT event_type, event_id, row_number() OVER ("
             "PARTITION BY event_type ORDER BY md5(event_id::VARCHAR), "

@@ -311,6 +311,27 @@ def test_tfidf_top3_vs_duckdb(ray_session):
     assert np.allclose(res.score, orc.score)
 
 
+def test_weighted_mix_vs_duckdb(ray_session):
+    """Per-source weighted mixing matches the SQL oracle exactly, and the
+    realized keep rates actually differ across the four weight tiers."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+
+    res = (entrymod.queries()["docs_weighted_mix"]("/root/testdata/sf0.001")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents",
+                 pq.read_table("/root/testdata/sf0.001/documents.parquet"))
+    orc = (con.execute(entrymod.oracle_sql()["docs_weighted_mix"]).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(res) == len(orc) > 0
+    assert (res.doc_id == orc.doc_id).all()
+    assert (res.source == orc.source).all()
+    tiers = res.source.str[3:].astype(int) % 4
+    assert tiers.nunique() > 1
+
+
 def test_inverted_index_vs_duckdb(ray_session):
     """Sharded posting lists match the SQL oracle exactly — same shards,
     same sorted comma-joined postings, same per-shard doc counts."""
