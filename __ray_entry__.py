@@ -590,6 +590,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         return filt.sort(["df", "gram"], descending=[True, False]).limit(20)
 
+    def doc_dup_ngram_frac(sf_dir):
+        """Cross-document duplication signal (the Dolma/Gopher dup-span
+        filter): per doc, the fraction of its distinct 3-grams that occur
+        in at least one OTHER doc.  Complements doc_repetition
+        (within-doc) and boilerplate_ngrams (corpus-level list): the
+        corpus gram frequencies are joined BACK to the per-doc gram rows.
+        Two combiner-safe exchanges (gram dfreq, per-doc fraction) plus
+        one hash join — no doc's gram set ever leaves its block twice."""
+        from ie_ray.stages import dedup
+        from ie_ray.stages.dedup import _words
+        docs = _docs(sf_dir)
+
+        def gram_rows(b: pa.Table) -> pa.Table:
+            ids, grams = [], []
+            for d, txt in zip(b.column("doc_id").to_pylist(),
+                              b.column("text").to_pylist()):
+                w = _words(txt)
+                for g in {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}:
+                    ids.append(d)
+                    grams.append(g)
+            return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                             "gram": pa.array(grams, type=pa.string())})
+
+        e = docs.map_batches(gram_rows, batch_format="pyarrow")
+        dfreq = (e.select_columns(["gram"]).groupby("gram").count()
+                 .map_batches(lambda t: t.rename_columns(["gram", "df"]),
+                              batch_format="pyarrow"))
+        joined = e.join(dfreq, "inner",
+                        num_partitions=dedup._join_partitions(),
+                        on=("gram",))
+
+        def flag(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            dup = pc.cast(pc.greater_equal(t.column("df"), 2), pa.int64())
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "dup": dup,
+                "one": pa.array([1] * t.num_rows, type=pa.int64())})
+
+        def finish(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            frac = pc.divide(pc.cast(t.column("sum(dup)"), pa.float64()),
+                             pc.cast(t.column("sum(one)"), pa.float64()))
+            return pa.table({"doc_id": t.column("doc_id"),
+                             "dup_gram_frac": frac})
+
+        return (joined.map_batches(flag, batch_format="pyarrow")
+                .groupby("doc_id").sum(["dup", "one"])
+                .map_batches(finish, batch_format="pyarrow"))
+
     def normalize_docs(sf_dir):
         """Stopword-stripped normalization fingerprint per doc — the
         text-normalization map every training pipeline runs before
@@ -1228,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_quantiles": events_value_quantiles,
         "events_sliding_3h": events_sliding_3h,
         "boilerplate_ngrams": boilerplate_ngrams,
+        "doc_dup_ngram_frac": doc_dup_ngram_frac,
         "normalize_docs": normalize_docs,
         "knn_top1_ivf": knn_top1_ivf,
         "docs_sample_10pct": docs_sample_10pct,
@@ -1437,6 +1488,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, unnest(grams) AS gram FROM g) "
             "GROUP BY gram HAVING count(*) >= 5 "
             "ORDER BY df DESC, gram ASC LIMIT 20",
+        "doc_dup_ngram_frac":
+            _NGRAM_SQL_GRAMS +
+            ", e AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            "df AS (SELECT gram, count(*) AS df FROM e GROUP BY gram) "
+            "SELECT e.doc_id, "
+            "sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END)::DOUBLE "
+            "/ count(*) AS dup_gram_frac "
+            "FROM e JOIN df USING (gram) GROUP BY e.doc_id",
         "docs_sample_10pct":
             "SELECT doc_id FROM documents WHERE "
             "('0x' || substr(md5(text), 1, 8))::BIGINT % 10 = 0",

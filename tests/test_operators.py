@@ -311,6 +311,27 @@ def test_tfidf_top3_vs_duckdb(ray_session):
     assert np.allclose(res.score, orc.score)
 
 
+def test_dup_ngram_frac_vs_duckdb(ray_session):
+    """Cross-doc duplicated-3-gram fraction matches the SQL oracle and is
+    discriminating (neither all-0 nor all-1 on the fixture corpus)."""
+    import duckdb
+    import pyarrow.parquet as pq
+    import __ray_entry__ as entrymod
+
+    res = (entrymod.queries()["doc_dup_ngram_frac"]("/root/testdata/sf0.001")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents",
+                 pq.read_table("/root/testdata/sf0.001/documents.parquet"))
+    orc = (con.execute(entrymod.oracle_sql()["doc_dup_ngram_frac"]).df()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(res) == len(orc) > 0
+    assert (res.doc_id == orc.doc_id).all()
+    assert np.allclose(res.dup_gram_frac, orc.dup_gram_frac)
+    assert res.dup_gram_frac.min() < 1.0 or res.dup_gram_frac.max() > 0.0
+    assert res.dup_gram_frac.nunique() > 1
+
+
 def test_weighted_mix_vs_duckdb(ray_session):
     """Per-source weighted mixing matches the SQL oracle exactly, and the
     realized keep rates actually differ across the four weight tiers."""
