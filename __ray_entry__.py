@@ -977,6 +977,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .groupby(["label", "dim"]).sum(["s", "n"])
                 .map_batches(finish, batch_format="pyarrow"))
 
+    def embedding_outliers(sf_dir):
+        """Embedding QC: vectors farther than τ=1.0 from their label's
+        centroid.  The centroid table is O(labels × dim) — small by
+        construction — so it is collected once and broadcast (`ray.put`),
+        and the scan is a pure streaming map_batches filter; no per-row
+        state, no second exchange."""
+        import numpy as np
+        import ray
+
+        cent = label_centroids(sf_dir).to_pandas()
+        labels = sorted(cent.label.unique())
+        lidx = {l: i for i, l in enumerate(labels)}
+        dim = int(cent.dim.max())
+        mat = np.zeros((len(labels), dim), dtype=np.float64)
+        for _, r in cent.iterrows():
+            mat[lidx[int(r.label)], int(r.dim) - 1] = r.mean_v
+        mref = ray.put((lidx, mat))
+
+        class Score:
+            def __init__(self, ref):
+                self.lidx, self.mat = ray.get(ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                m = np.asarray(b.column("embedding").to_pylist(),
+                               dtype=np.float64)
+                labs = b.column("label").to_pylist()
+                rows = np.array([self.lidx[int(l)] for l in labs])
+                d = np.linalg.norm(m - self.mat[rows], axis=1)
+                keep = d > 1.0
+                return pa.table({
+                    "vec_id": pa.array(
+                        np.asarray(b.column("vec_id"))[keep],
+                        type=pa.int64()),
+                    "label": pa.array(np.asarray(labs)[keep],
+                                      type=pa.int32()),
+                    "dist": pa.array(d[keep], type=pa.float64())})
+
+        return _tbl(sf_dir, "embeddings", blocks=8).map_batches(
+            Score(mref), batch_format="pyarrow")
+
     def embedding_kmeans(sf_dir):
         """Distributed Lloyd's k-means (k=8, 5 rounds) over the embedding
         table: per-round centroid broadcast + per-batch partial sums (at
@@ -1289,6 +1329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_top3": doc_tfidf_top3,
         "inverted_index": inverted_index,
         "label_centroids": label_centroids,
+        "embedding_outliers": embedding_outliers,
         "embedding_kmeans": embedding_kmeans,
         "lexicon_extract": lexicon_extract,
         "nation_region": nation_region,
@@ -1409,6 +1450,20 @@ def oracle_sql() -> dict[str, str]:
             "unnest(embedding) AS v FROM embeddings) "
             "SELECT label, dim, avg(v) AS mean_v FROM expl "
             "GROUP BY label, dim",
+        "embedding_outliers":
+            "WITH expl AS (SELECT label, "
+            "unnest(range(1, len(embedding)+1)) AS dim, "
+            "unnest(embedding) AS v FROM embeddings), "
+            "cent AS (SELECT label, dim, avg(v) AS mean_v FROM expl "
+            "GROUP BY label, dim), "
+            "pt AS (SELECT vec_id, label, "
+            "unnest(range(1, len(embedding)+1)) AS dim, "
+            "unnest(embedding) AS v FROM embeddings), "
+            "d AS (SELECT pt.vec_id, pt.label, "
+            "sqrt(sum((pt.v - cent.mean_v)^2)) AS dist "
+            "FROM pt JOIN cent USING (label, dim) "
+            "GROUP BY pt.vec_id, pt.label) "
+            "SELECT vec_id, label, dist FROM d WHERE dist > 1.0",
         "repetition_filter_docs":
             "SELECT doc_id FROM (" + REPETITION_SQL + ") "
             "WHERE top_word_frac <= 0.1 AND dup_word_frac <= 0.65",

@@ -58,6 +58,26 @@ def test_label_centroids_vs_duckdb(ray_session, emb_table):
     assert np.allclose(res.mean_v, orc.mean_v)
 
 
+def test_embedding_outliers_vs_duckdb(ray_session, emb_table):
+    """Distance-to-centroid outlier filter matches the SQL oracle: same
+    vec_ids kept, fp-tolerant distances, and the filter is
+    discriminating (neither empty nor everything)."""
+    import duckdb
+    import __ray_entry__ as entrymod
+
+    res = (entrymod.queries()["embedding_outliers"](SF)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("embeddings", emb_table)
+    orc = (con.execute(entrymod.oracle_sql()["embedding_outliers"]).df()
+           .sort_values("vec_id").reset_index(drop=True))
+    assert 0 < len(res) < emb_table.num_rows
+    assert len(res) == len(orc)
+    assert (res.vec_id == orc.vec_id).all()
+    assert (res.label.to_numpy() == orc.label.to_numpy()).all()
+    assert np.allclose(res.dist, orc.dist)
+
+
 def test_kmeans_clusters_are_nontrivial(ray_session):
     import ray.data
     from ie_ray.stages import clustering
