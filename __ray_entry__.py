@@ -459,6 +459,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return asof_join_prior(typed("purchase"), typed("click"),
                                by="user_id", on="ts", id_col="event_id")
 
+    def events_range_click_purchase(sf_dir):
+        """Range join: every (click, purchase) pair by the same user
+        where the purchase lands within 6 hours after the click —
+        forward-window complement of the as-of join (see
+        ie_ray/stages/temporal.py::range_join_forward for the
+        slim-exchange + searchsorted-expand contract)."""
+        from ie_ray.stages.temporal import range_join_forward
+        ev = _tbl(sf_dir, "events",
+                  columns=["event_id", "user_id", "ts", "event_type"])
+
+        def typed(name):
+            import pyarrow.compute as pc
+            return ev.map_batches(
+                lambda t, _n=name: t.filter(
+                    pc.equal(t.column("event_type"), _n)),
+                batch_format="pyarrow")
+
+        return range_join_forward(
+            typed("click"), typed("purchase"), by="user_id", on="ts",
+            id_col="event_id", window_us=6 * 3_600_000_000)
+
     def events_top3_per_user(sf_dir):
         """Windowed row_number() ≤ 3 per user by value (top-k-per-group
         operator with block-level partial top-k before the shuffle)."""
@@ -1312,6 +1333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_stats": events_user_stats,
         "events_sessions": events_sessions,
         "events_asof_purchase_click": events_asof_purchase_click,
+        "events_range_click_purchase": events_range_click_purchase,
         "events_top3_per_user": events_top3_per_user,
         "decontaminate_docs": decontaminate_docs,
         "events_props_stats": events_props_stats,
@@ -1516,6 +1538,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts",
+        "events_range_click_purchase":
+            "SELECT c.event_id, p.event_id AS right_event_id, "
+            "c.user_id, epoch_us(c.ts) AS on_us, "
+            "epoch_us(p.ts) AS right_on_us "
+            "FROM (SELECT * FROM events WHERE event_type = 'click') c "
+            "JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ON c.user_id = p.user_id AND p.ts > c.ts "
+            "AND epoch_us(p.ts) <= epoch_us(c.ts) + 21600000000",
         "events_top3_per_user":
             "WITH ranked AS (SELECT user_id, event_id, value, "
             "row_number() OVER (PARTITION BY user_id "

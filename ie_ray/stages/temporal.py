@@ -3,6 +3,8 @@
 * ``asof_join_prior`` — classic AS-OF join: each left row picks the
   greatest right-side timestamp ≤ its own within the same key group
   (DuckDB ``ASOF JOIN`` semantics, inner form).
+* ``range_join_forward`` — keyed range join: all right rows in the
+  (left.on, left.on + window] forward interval per key.
 * ``top_k_per_group`` — windowed ``row_number() ≤ k`` per key.
 
 Both are expressed as compositions the streaming executor can pipeline
@@ -77,6 +79,67 @@ def asof_join_prior(left_ds, right_ds, by: str = "user_id",
             by: pa.array(np.full(nk, grp, dtype=np.int64)),
             "on_us": pa.array(lt[keep], type=pa.int64()),
             "prior_on_us": pa.array(rt[idx[keep]], type=pa.int64()),
+        })
+
+    return tagged.groupby("grp").map_groups(merge, batch_format="pyarrow")
+
+
+def range_join_forward(left_ds, right_ds, by: str = "user_id",
+                       on: str = "ts", id_col: str = "event_id",
+                       window_us: int = 3_600_000_000):
+    """Range join: every (left, right) pair in the same ``by`` group with
+    ``left.on < right.on ≤ left.on + window_us`` (forward window, strict
+    lower bound — the complement of :func:`asof_join_prior`).
+
+    Returns Dataset (id_col, right_<id_col>, by, on_us, right_on_us).
+
+    Same slim-exchange contract as the as-of join: both sides project to
+    4 int64 columns + a side tag before the shuffle.  Per group the right
+    times are sorted once; each left row finds its (lo, hi] slice with
+    two ``searchsorted`` calls and pairs expand via ``repeat``/``arange``
+    — no per-row Python, no nested loop.  Output size is the true join
+    cardinality, so a pathological window (≫ median inter-event gap ×
+    group size) is the caller's cost knob, not an implementation blowup.
+    Hot-key note: one group = one key (see module docstring); salt by
+    time range when a key's rows exceed a block.
+    """
+
+    def prep(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "grp": t.column(by).cast(pa.int64()),
+                "on_us": _ts_us(t.column(on)),
+                "row_id": t.column(id_col).cast(pa.int64()),
+                "side": pa.array(np.full(n, side, dtype=np.int8)),
+            })
+        return fn
+
+    tagged = left_ds.map_batches(prep(0), batch_format="pyarrow").union(
+        right_ds.map_batches(prep(1), batch_format="pyarrow"))
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = np.asarray(g.column("side"))
+        t = np.asarray(g.column("on_us"))
+        ids = np.asarray(g.column("row_id"))
+        lmask = side == 0
+        lt, lid = t[lmask], ids[lmask]
+        rorder = np.argsort(t[~lmask], kind="stable")
+        rt, rid = t[~lmask][rorder], ids[~lmask][rorder]
+        lo = np.searchsorted(rt, lt, side="right")
+        hi = np.searchsorted(rt, lt + window_us, side="right")
+        cnt = hi - lo
+        lrep = np.repeat(np.arange(len(lt)), cnt)
+        # for left row i, right slice positions lo[i] .. hi[i]-1
+        rpos = np.arange(len(lrep)) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt) + np.repeat(lo, cnt)
+        grp = g.column("grp")[0].as_py()
+        return pa.table({
+            id_col: pa.array(lid[lrep], type=pa.int64()),
+            "right_" + id_col: pa.array(rid[rpos], type=pa.int64()),
+            by: pa.array(np.full(len(lrep), grp, dtype=np.int64)),
+            "on_us": pa.array(lt[lrep], type=pa.int64()),
+            "right_on_us": pa.array(rt[rpos], type=pa.int64()),
         })
 
     return tagged.groupby("grp").map_groups(merge, batch_format="pyarrow")

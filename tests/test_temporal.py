@@ -56,6 +56,54 @@ def test_asof_join_matches_duckdb(ray_session):
     assert got == want
 
 
+def test_range_join_forward_basic(ray_session):
+    from ie_ray.stages.temporal import range_join_forward
+    left = pa.table({
+        "event_id": pa.array([1, 2, 3], type=pa.int64()),
+        "user_id": pa.array([7, 7, 9], type=pa.int64()),
+        "ts": pa.array([100, 300, 100], type=pa.int64()),
+    })
+    right = pa.table({
+        "event_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "user_id": pa.array([7, 7, 7, 8], type=pa.int64()),
+        "ts": pa.array([100, 150, 350, 120], type=pa.int64()),
+    })
+    out = range_join_forward(_ds(left), _ds(right), window_us=100).take_all()
+    got = {(r["event_id"], r["right_event_id"]) for r in out}
+    # left 1 (t=100): right (100] excluded (strict >), 150 in (100,200] -> 11
+    # left 2 (t=300): 350 in (300,400] -> 12
+    # left 3: user 9 has no right rows
+    assert got == {(1, 11), (2, 12)}
+
+
+def test_range_join_forward_matches_duckdb(ray_session):
+    import duckdb
+    import pyarrow.compute as pc
+    from ie_ray.stages.temporal import range_join_forward
+    rng = np.random.RandomState(11)
+    n = 600
+    ev = pa.table({
+        "event_id": pa.array(range(n), type=pa.int64()),
+        "user_id": pa.array(rng.randint(0, 10, n), type=pa.int64()),
+        "ts": pa.array(rng.randint(0, 5_000, n), type=pa.int64()),
+        "kind": pa.array(["l" if x else "r" for x in rng.randint(0, 2, n)]),
+    })
+    left = ev.filter(pc.equal(ev.column("kind"), "l"))
+    right = ev.filter(pc.equal(ev.column("kind"), "r"))
+    got = {(r["event_id"], r["right_event_id"])
+           for r in range_join_forward(
+               _ds(left).repartition(4), _ds(right).repartition(4),
+               window_us=200).take_all()}
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    want = set(con.execute(
+        "SELECT l.event_id, r.event_id FROM l JOIN r "
+        "ON l.user_id = r.user_id AND r.ts > l.ts "
+        "AND r.ts <= l.ts + 200").fetchall())
+    assert got == want and len(want) > 50
+
+
 def test_top_k_per_group_multiblock(ray_session):
     from ie_ray.stages.temporal import top_k_per_group
     rng = np.random.RandomState(5)
