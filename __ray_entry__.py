@@ -480,6 +480,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             typed("click"), typed("purchase"), by="user_id", on="ts",
             id_col="event_id", window_us=6 * 3_600_000_000)
 
+    def customers_without_events(sf_dir):
+        """Anti-join: customers with no event activity (NOT EXISTS).
+        Membership decided by a hash exchange with per-block key dedup on
+        the probe side — no broadcast, both sides may be arbitrarily
+        large (ie_ray/stages/relational.py scale contract)."""
+        from ie_ray.stages.relational import anti_join
+        cust = _tbl(sf_dir, "customer",
+                    columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+        ev = _tbl(sf_dir, "events", columns=["user_id"])
+        return anti_join(cust, ev, "c_custkey", "user_id")
+
+    def events_distinct_users(sf_dir):
+        """Exact count(DISTINCT user_id) per event type via two-level
+        dedup (block-local unique pairs → one exchange → per-group
+        unique)."""
+        from ie_ray.stages.relational import distinct_count
+        ev = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+        return distinct_count(ev, "event_type", "user_id",
+                              out="n_users")
+
     def events_top3_per_user(sf_dir):
         """Windowed row_number() ≤ 3 per user by value (top-k-per-group
         operator with block-level partial top-k before the shuffle)."""
@@ -1334,6 +1354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": events_sessions,
         "events_asof_purchase_click": events_asof_purchase_click,
         "events_range_click_purchase": events_range_click_purchase,
+        "customers_without_events": customers_without_events,
+        "events_distinct_users": events_distinct_users,
         "events_top3_per_user": events_top3_per_user,
         "decontaminate_docs": decontaminate_docs,
         "events_props_stats": events_props_stats,
@@ -1546,6 +1568,13 @@ def oracle_sql() -> dict[str, str]:
             "JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
             "ON c.user_id = p.user_id AND p.ts > c.ts "
             "AND epoch_us(p.ts) <= epoch_us(c.ts) + 21600000000",
+        "customers_without_events":
+            "SELECT c_custkey, c_mktsegment, c_acctbal FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM events e "
+            "WHERE e.user_id = c.c_custkey)",
+        "events_distinct_users":
+            "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
+            "FROM events GROUP BY event_type",
         "events_top3_per_user":
             "WITH ranked AS (SELECT user_id, event_id, value, "
             "row_number() OVER (PARTITION BY user_id "

@@ -1,0 +1,108 @@
+"""Generic relational operators Ray Data lacks natively.
+
+* ``semi_join`` / ``anti_join`` — EXISTS / NOT EXISTS against a key set
+  (reference analogue: the unread-filter / dedup-probe membership shapes,
+  ``ie/newsfeed/scraper.py`` hash-listing check, re-expressed as a
+  distributed exchange instead of a per-row index probe).
+* ``distinct_count`` — exact count(DISTINCT x) per group.
+
+Scale contract (SURVEY §2 custom-operator rule (a) — compositions the
+streaming executor pipelines, no driver state):
+
+- Both join sides may be arbitrarily large: membership is decided by a
+  hash exchange on the key, NOT a broadcast.  The probe side ships only
+  its distinct keys per block (block-level pre-dedup), so a key repeated
+  10^6 times in one block crosses the wire once.
+- ``distinct_count`` pre-dedups (group, x) pairs inside every block,
+  exchanges the surviving pairs once, dedups again per partition, and
+  only then counts — the wide step moves O(distinct pairs), not O(rows).
+- Hot keys: one group = one key's rows (same caveat as temporal.py);
+  a pathological key that exceeds a block should be salted by the
+  caller.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _exists_join(left_ds, right_ds, left_key: str, right_key: str,
+                 keep_if_exists: bool):
+    """Shared semi/anti kernel.  Left rows keep ALL their columns.
+    Keys must be integer-castable; hash string keys to int64 upstream
+    (the md5-prefix idiom used by the dedup stages)."""
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        # column order must match tag_right's exactly: union-ed blocks
+        # flow into one groupby.
+        cols = {"__k": t.column(left_key).cast(pa.int64()),
+                "__probe": pa.array(np.zeros(t.num_rows, dtype=np.int8))}
+        for name in t.schema.names:
+            cols[name] = t.column(name)
+        return pa.table(cols)
+
+    left_schema = {}
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        # distinct keys only: the probe side contributes membership, not
+        # payload, so per-block dedup collapses it before the exchange.
+        keys = pc.unique(t.column(right_key).cast(pa.int64()))
+        cols = {"__k": keys,
+                "__probe": pa.array(np.ones(len(keys), dtype=np.int8))}
+        for name, typ in left_schema.items():
+            cols[name] = pa.nulls(len(keys), typ)
+        return pa.table(cols)
+
+    lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    # Right blocks must union with the left schema: null-pad left columns.
+    sch = lt.schema()
+    for name, typ in zip(sch.names, sch.types):
+        if name not in ("__k", "__probe"):
+            left_schema[name] = typ
+    rt = right_ds.map_batches(tag_right, batch_format="pyarrow")
+
+    def decide(g: pa.Table) -> pa.Table:
+        probe = np.asarray(g.column("__probe"))
+        exists = bool((probe == 1).any())
+        keep = g.filter(pa.array(probe == 0)) if exists == keep_if_exists \
+            else g.slice(0, 0)
+        return keep.drop_columns(["__k", "__probe"])
+
+    return lt.union(rt).groupby("__k").map_groups(
+        decide, batch_format="pyarrow")
+
+
+def semi_join(left_ds, right_ds, left_key: str, right_key: str):
+    """Left rows whose key appears at least once on the right (EXISTS)."""
+    return _exists_join(left_ds, right_ds, left_key, right_key, True)
+
+
+def anti_join(left_ds, right_ds, left_key: str, right_key: str):
+    """Left rows whose key never appears on the right (NOT EXISTS)."""
+    return _exists_join(left_ds, right_ds, left_key, right_key, False)
+
+
+def distinct_count(ds, group: str, value: str, out: str = "n_distinct"):
+    """Exact ``count(DISTINCT value) AS out GROUP BY group``.
+
+    Two-level dedup: per-block unique (group, value) pairs → one
+    exchange → per-group unique again → length.  The groupby moves one
+    row per distinct pair per block, so heavy repetition inside blocks
+    never reaches the wire.
+    """
+
+    def block_pairs(t: pa.Table) -> pa.Table:
+        pairs = t.select([group, value]).group_by(
+            [group, value]).aggregate([])
+        return pairs
+
+    def count(g: pa.Table) -> pa.Table:
+        k = g.column(group)[0]
+        n = len(pc.unique(g.column(value)))
+        return pa.table({group: pa.array([k.as_py()], type=g.column(group).type),
+                         out: pa.array([n], type=pa.int64())})
+
+    return (ds.map_batches(block_pairs, batch_format="pyarrow")
+            .groupby(group).map_groups(count, batch_format="pyarrow"))
