@@ -828,6 +828,106 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .sort(["revenue", "l_orderkey"], descending=[True, False])
                 .limit(10))
 
+    def q5_local_supplier(sf_dir):
+        """TPC-H Q5 shape (6 tables): region→nation→supplier/customer
+        are dimension lookups broadcast as dense int arrays; the two
+        unbounded tables (orders, lineitem) meet in a real hash join
+        (`Dataset.join`, fan-out via `_join_partitions`), with lineitem
+        revenue pre-combined per (l_orderkey, s_nationkey) inside every
+        block before the exchange.  At 100 TB the dims stay broadcast
+        (TPC-H dims are ~1% of data); if customer ever outgrows an
+        actor, swap its lookup for a second hash join."""
+        import datetime
+
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from ie_ray.stages.dedup import _join_partitions
+
+        reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+        asia = reg.filter(pc.equal(reg.column("r_name"), "ASIA")) \
+                  .column("r_regionkey").combine_chunks()
+        nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        nat = nat.filter(pc.is_in(nat.column("n_regionkey"),
+                                  value_set=asia))
+        nkeys = nat.column("n_nationkey").combine_chunks().cast(pa.int64())
+        nname = dict(zip(nat.column("n_nationkey").to_pylist(),
+                         nat.column("n_name").to_pylist()))
+
+        def dense_lookup(path, key, val):
+            t = pq.read_table(os.path.join(sf_dir, path),
+                              columns=[key, val])
+            t = t.filter(pc.is_in(t.column(val).cast(pa.int64()),
+                                  value_set=nkeys))
+            k = np.asarray(t.column(key).cast(pa.int64()))
+            v = np.asarray(t.column(val).cast(pa.int64()))
+            arr = np.full(int(k.max()) + 2 if len(k) else 1, -1,
+                          dtype=np.int64)
+            arr[k] = v
+            return arr
+
+        s_nat = dense_lookup("supplier.parquet", "s_suppkey", "s_nationkey")
+        c_nat = dense_lookup("customer.parquet", "c_custkey", "c_nationkey")
+        lo = pa.scalar(datetime.datetime(1996, 1, 1))
+        hi = pa.scalar(datetime.datetime(1997, 1, 1))
+
+        def ord_prep(t: pa.Table, _c=c_nat) -> pa.Table:
+            t = t.filter(pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), lo),
+                pc.less(t.column("o_orderdate"), hi)))
+            ck = np.asarray(t.column("o_custkey").cast(pa.int64()))
+            cn = np.where(ck < len(_c), _c[np.minimum(ck, len(_c) - 1)], -1)
+            keep = cn >= 0
+            return pa.table({
+                "o_orderkey": pa.array(
+                    np.asarray(t.column("o_orderkey"))[keep],
+                    type=pa.int64()),
+                "c_nat": pa.array(cn[keep], type=pa.int64())})
+
+        def li_prep(t: pa.Table, _s=s_nat) -> pa.Table:
+            sk = np.asarray(t.column("l_suppkey").cast(pa.int64()))
+            sn = np.where(sk < len(_s), _s[np.minimum(sk, len(_s) - 1)], -1)
+            keep = sn >= 0
+            rev = np.asarray(t.column("l_extendedprice")) * \
+                (1.0 - np.asarray(t.column("l_discount")))
+            part = pa.table({
+                "l_orderkey": pa.array(
+                    np.asarray(t.column("l_orderkey"))[keep],
+                    type=pa.int64()),
+                "s_nat": pa.array(sn[keep], type=pa.int64()),
+                "rev": pa.array(rev[keep], type=pa.float64())})
+            return part.group_by(["l_orderkey", "s_nat"]).aggregate(
+                [("rev", "sum")]).rename_columns(
+                ["l_orderkey", "s_nat", "rev"])
+
+        orders = _tbl(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(ord_prep, batch_format="pyarrow")
+        li = _tbl(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                           "l_discount"]) \
+            .map_batches(li_prep, batch_format="pyarrow")
+        joined = li.join(orders, "inner",
+                         num_partitions=_join_partitions(),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def local_only(t: pa.Table, _n=nname) -> pa.Table:
+            t = t.filter(pc.equal(t.column("s_nat"), t.column("c_nat")))
+            names = [_n[k] for k in t.column("s_nat").to_pylist()]
+            return pa.table({"n_name": pa.array(names, type=pa.string()),
+                             "rev": t.column("rev")})
+
+        agg = (joined.map_batches(local_only, batch_format="pyarrow")
+               .groupby("n_name").sum("rev"))
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "n_name": t.column("n_name"),
+                "revenue": pc.round(t.column("sum(rev)"), 2)})
+
+        return (agg.map_batches(finish, batch_format="pyarrow")
+                .sort("revenue", descending=True))
+
     def knn_top1_ivf(sf_dir):
         """IVF-flat ANN variant of knn_top1 (rows-only driver check; the
         recall ≥0.9 gate vs brute force lives in tests/test_operators.py)."""
@@ -1369,6 +1469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_weighted_mix": docs_weighted_mix,
         "events_stratified_sample": events_stratified_sample,
         "q3_shipping": q3_shipping,
+        "q5_local_supplier": q5_local_supplier,
         "top_words": top_words,
         "doc_tfidf_top3": doc_tfidf_top3,
         "inverted_index": inverted_index,
@@ -1632,6 +1733,17 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1995-03-15' "
             "GROUP BY l_orderkey, o_orderdate "
             "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+        "q5_local_supplier":
+            "SELECT n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY n_name ORDER BY revenue DESC",
         "normalize_docs":
             "SELECT doc_id, md5(array_to_string(list_filter("
             "regexp_extract_all(translate(text, "
