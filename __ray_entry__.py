@@ -500,6 +500,170 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return distinct_count(ev, "event_type", "user_id",
                               out="n_users")
 
+    _LANGS = ("de", "en", "es", "fr", "zh")
+
+    def docs_lang_pivot(sf_dir):
+        """Pivot/crosstab: doc counts per source spread across one column
+        per language.  The lang domain is fixed and small, so each block
+        emits ONE row per source with 5 partial-count columns
+        (combiner-friendly) and the exchange is O(sources)."""
+        import pyarrow.compute as pc
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.select(["source", "lang"]).group_by(
+                ["source", "lang"]).aggregate([([], "count_all")])
+            src = sorted(set(g.column("source").to_pylist()))
+            sidx = {s: i for i, s in enumerate(src)}
+            import numpy as np
+            counts = np.zeros((len(src), len(_LANGS)), dtype=np.int64)
+            for s, l, n in zip(g.column("source").to_pylist(),
+                               g.column("lang").to_pylist(),
+                               g.column("count_all").to_pylist()):
+                if l in _LANGS:
+                    counts[sidx[s], _LANGS.index(l)] += n
+            cols = {"source": pa.array(src, type=pa.string())}
+            for j, l in enumerate(_LANGS):
+                cols["n_" + l] = pa.array(counts[:, j], type=pa.int64())
+            return pa.table(cols)
+
+        agg = (_tbl(sf_dir, "documents", columns=["source", "lang"])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("source").sum(["n_" + l for l in _LANGS]))
+
+        def finish(t: pa.Table) -> pa.Table:
+            cols = {"source": t.column("source")}
+            for l in _LANGS:
+                cols["n_" + l] = t.column("sum(n_%s)" % l).cast(pa.int64())
+            return pa.table(cols)
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    def docs_longest100(sf_dir):
+        """Global top-100 documents by length: distributed `Dataset.sort`
+        on (n_chars DESC, doc_id ASC) + limit — the streaming executor's
+        range-partitioned sort, not a driver-side collect.  (doc_id
+        breaks ties so the cut at rank 100 is deterministic.)"""
+        return (_tbl(sf_dir, "documents",
+                     columns=["doc_id", "n_chars", "source"])
+                .sort(["n_chars", "doc_id"], descending=[True, False])
+                .limit(100))
+
+    def events_value_histogram(sf_dir):
+        """Fixed-width histogram of event values (bin = floor(v/50)):
+        per-block (bin, count, sum) partials, one tiny exchange."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        def partial(t: pa.Table) -> pa.Table:
+            v = np.asarray(t.column("value"))
+            b = np.floor(v / 50.0).astype(np.int64)
+            part = pa.table({"bin": pa.array(b, type=pa.int64()),
+                             "v": pa.array(v, type=pa.float64())})
+            g = part.group_by("bin").aggregate(
+                [("v", "sum"), ([], "count_all")])
+            return g.rename_columns(["bin", "s", "n"])
+
+        agg = (_tbl(sf_dir, "events", columns=["value"])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("bin").sum(["s", "n"]))
+
+        def finish(t: pa.Table) -> pa.Table:
+            n = t.column("sum(n)").cast(pa.int64())
+            return pa.table({
+                "bin": t.column("bin"),
+                "n": n,
+                "avg_value": pc.round(pc.divide(
+                    t.column("sum(s)"), n.cast(pa.float64())), 4)})
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    def events_corr_value_time(sf_dir):
+        """Pearson corr(value, event time) per event type via sufficient
+        statistics: each block contributes (n, Σx, Σy, Σx², Σy², Σxy) —
+        six doubles per (block × type) through the exchange.  Time is
+        shifted to seconds-since-2024 before squaring so the sums stay
+        inside double precision at any corpus size (corr is invariant
+        under affine shifts)."""
+        import numpy as np
+        import pyarrow.compute as pc
+        SHIFT = 1_704_067_200.0  # 2024-01-01 UTC, seconds
+
+        def partial(t: pa.Table) -> pa.Table:
+            y = np.asarray(t.column("value"), dtype=np.float64)
+            x = np.asarray(
+                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                dtype=np.float64) / 1e6 - SHIFT
+            et = t.column("event_type")
+            part = pa.table({
+                "event_type": et,
+                "n": pa.array(np.ones(len(y)), type=pa.float64()),
+                "sx": pa.array(x), "sy": pa.array(y),
+                "sxx": pa.array(x * x), "syy": pa.array(y * y),
+                "sxy": pa.array(x * y)})
+            return part.group_by("event_type").aggregate(
+                [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy",
+                                      "sxy")]).rename_columns(
+                ["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+        agg = (_tbl(sf_dir, "events", columns=["event_type", "ts",
+                                               "value"])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("event_type")
+               .sum(["n", "sx", "sy", "sxx", "syy", "sxy"]))
+
+        def finish(t: pa.Table) -> pa.Table:
+            import numpy as np
+            g = {c: np.asarray(t.column("sum(%s)" % c))
+                 for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
+            n = g["n"]
+            cov = n * g["sxy"] - g["sx"] * g["sy"]
+            vx = n * g["sxx"] - g["sx"] ** 2
+            vy = n * g["syy"] - g["sy"] ** 2
+            r = cov / np.sqrt(vx * vy)
+            return pa.table({
+                "event_type": t.column("event_type"),
+                "corr_vt": pa.array(np.round(r, 4), type=pa.float64())})
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    def events_rollup(sf_dir):
+        """ROLLUP-style hierarchical aggregate: event counts at three
+        levels — (type, hour-of-day), (type), grand total — computed in
+        ONE pass: each block emits tagged partials for every level, one
+        groupby sums them (sentinels: type='ALL', hr=-1)."""
+        import numpy as np
+
+        def partial(t: pa.Table) -> pa.Table:
+            hr = pa.compute.hour(
+                t.column("ts").cast(pa.timestamp("us"))).cast(pa.int64())
+            base = pa.table({"event_type": t.column("event_type"),
+                             "hr": hr})
+            l0 = base.group_by(["event_type", "hr"]).aggregate(
+                [([], "count_all")]).rename_columns(
+                ["event_type", "hr", "n"])
+            l1 = base.group_by("event_type").aggregate(
+                [([], "count_all")]).rename_columns(["event_type", "n"])
+            l1 = pa.table({
+                "event_type": l1.column("event_type"),
+                "hr": pa.array(np.full(l1.num_rows, -1), type=pa.int64()),
+                "n": l1.column("n")})
+            l2 = pa.table({
+                "event_type": pa.array(["ALL"]),
+                "hr": pa.array([-1], type=pa.int64()),
+                "n": pa.array([t.num_rows], type=pa.int64())})
+            return pa.concat_tables([l0, l1, l2])
+
+        agg = (_tbl(sf_dir, "events", columns=["event_type", "ts"])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby(["event_type", "hr"]).sum("n"))
+
+        def finish(t: pa.Table) -> pa.Table:
+            return pa.table({"event_type": t.column("event_type"),
+                             "hr": t.column("hr"),
+                             "n": t.column("sum(n)").cast(pa.int64())})
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
     def events_top3_per_user(sf_dir):
         """Windowed row_number() ≤ 3 per user by value (top-k-per-group
         operator with block-level partial top-k before the shuffle)."""
@@ -1456,6 +1620,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_click_purchase": events_range_click_purchase,
         "customers_without_events": customers_without_events,
         "events_distinct_users": events_distinct_users,
+        "docs_lang_pivot": docs_lang_pivot,
+        "docs_longest100": docs_longest100,
+        "events_value_histogram": events_value_histogram,
+        "events_corr_value_time": events_corr_value_time,
+        "events_rollup": events_rollup,
         "events_top3_per_user": events_top3_per_user,
         "decontaminate_docs": decontaminate_docs,
         "events_props_stats": events_props_stats,
@@ -1676,6 +1845,26 @@ def oracle_sql() -> dict[str, str]:
         "events_distinct_users":
             "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users "
             "FROM events GROUP BY event_type",
+        "docs_lang_pivot":
+            "SELECT source, "
+            + ", ".join(
+                "count(CASE WHEN lang = '%s' THEN 1 END)::BIGINT AS n_%s"
+                % (l, l) for l in ("de", "en", "es", "fr", "zh")) +
+            " FROM documents GROUP BY source",
+        "docs_longest100":
+            "SELECT doc_id, n_chars, source FROM documents "
+            "ORDER BY n_chars DESC, doc_id ASC LIMIT 100",
+        "events_value_histogram":
+            "SELECT floor(value / 50.0)::BIGINT AS bin, "
+            "count(*)::BIGINT AS n, round(avg(value), 4) AS avg_value "
+            "FROM events GROUP BY 1",
+        "events_corr_value_time":
+            "SELECT event_type, round(corr(value, epoch(ts)), 4) "
+            "AS corr_vt FROM events GROUP BY event_type",
+        "events_rollup":
+            "SELECT coalesce(event_type, 'ALL') AS event_type, "
+            "coalesce(hour(ts), -1)::BIGINT AS hr, count(*)::BIGINT AS n "
+            "FROM events GROUP BY ROLLUP (event_type, hour(ts))",
         "events_top3_per_user":
             "WITH ranked AS (SELECT user_id, event_id, value, "
             "row_number() OVER (PARTITION BY user_id "
