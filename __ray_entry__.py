@@ -664,6 +664,122 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(finish, batch_format="pyarrow")
 
+    def doc_char_entropy(sf_dir):
+        """Per-document Shannon entropy (bits) over unicode codepoints —
+        a cheap gibberish/boilerplate QC signal.  Fully vectorized: one
+        UTF-32 decode per batch, one np.unique over (doc, codepoint)
+        pairs, two bincounts — no per-character Python.  Empty docs drop
+        (no codepoints → no row), matching the unnest-based oracle."""
+        import numpy as np
+
+        def entropy_batch(t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            ids = np.asarray(t.column("doc_id"), dtype=np.int64)
+            lens = np.fromiter((len(s) for s in texts), dtype=np.int64,
+                               count=len(texts))
+            codes = np.frombuffer(
+                "".join(texts).encode("utf-32-le"), dtype=np.uint32)
+            owner = np.repeat(np.arange(len(texts)), lens)
+            # codepoints < 2^21, so (doc, char) packs into one int64
+            pairs = owner.astype(np.int64) * (1 << 21) + codes
+            uniq, counts = np.unique(pairs, return_counts=True)
+            uowner = (uniq >> 21).astype(np.int64)
+            n = np.bincount(uowner, weights=counts,
+                            minlength=len(texts))
+            s = np.bincount(uowner, weights=counts * np.log2(counts),
+                            minlength=len(texts))
+            keep = n > 0
+            ent = np.log2(n[keep]) - s[keep] / n[keep]
+            return pa.table({
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "char_entropy": pa.array(np.round(ent, 4),
+                                         type=pa.float64())})
+
+        return _tbl(sf_dir, "documents",
+                    columns=["doc_id", "text"]).map_batches(
+            entropy_batch, batch_format="pyarrow")
+
+    def customer_event_counts(sf_dir):
+        """LEFT OUTER join + aggregate: every customer with their event
+        count, zero for the inactive majority.  Events pre-count per
+        block (the exchange moves (user, partial_n), not rows); the
+        outer join is the tagged-union groupby from relational.py's
+        contract — no broadcast, no driver map."""
+        import numpy as np
+
+        def ev_partial(t: pa.Table) -> pa.Table:
+            g = t.group_by("user_id").aggregate([([], "count_all")])
+            return pa.table({
+                "__k": g.column("user_id").cast(pa.int64()),
+                "c_mktsegment": pa.nulls(g.num_rows, pa.string()),
+                "n_events": g.column("count_all").cast(pa.int64())})
+
+        def cust_tag(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "__k": t.column("c_custkey").cast(pa.int64()),
+                "c_mktsegment": t.column("c_mktsegment"),
+                "n_events": pa.nulls(t.num_rows, pa.int64())})
+
+        ev = _tbl(sf_dir, "events", columns=["user_id"]).map_batches(
+            ev_partial, batch_format="pyarrow")
+        cust = _tbl(sf_dir, "customer",
+                    columns=["c_custkey", "c_mktsegment"]).map_batches(
+            cust_tag, batch_format="pyarrow")
+
+        def merge(g: pa.Table) -> pa.Table:
+            seg = g.column("c_mktsegment").drop_null()
+            if len(seg) == 0:      # events from a non-customer key
+                return pa.table({"c_custkey": pa.array([], pa.int64()),
+                                 "c_mktsegment": pa.array([], pa.string()),
+                                 "n_events": pa.array([], pa.int64())})
+            n = int(sum(x.as_py() or 0
+                        for x in g.column("n_events")))
+            return pa.table({
+                "c_custkey": pa.array([g.column("__k")[0].as_py()],
+                                      type=pa.int64()),
+                "c_mktsegment": pa.array([seg[0].as_py()]),
+                "n_events": pa.array([n], type=pa.int64())})
+
+        return cust.union(ev).groupby("__k").map_groups(
+            merge, batch_format="pyarrow")
+
+    def q6_forecast_revenue(sf_dir):
+        """TPC-H Q6 shape: pure filter + global sum — pruned 4-column
+        read, vectorized mask, one-row block partials."""
+        import datetime
+
+        import numpy as np
+        import pyarrow.compute as pc
+        lo = pa.scalar(datetime.datetime(1996, 1, 1))
+        hi = pa.scalar(datetime.datetime(1997, 1, 1))
+
+        def partial(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.and_(
+                pc.greater_equal(t.column("l_shipdate"), lo),
+                pc.less(t.column("l_shipdate"), hi)),
+                pc.and_(pc.and_(
+                    pc.greater_equal(t.column("l_discount"), 0.05),
+                    pc.less_equal(t.column("l_discount"), 0.07)),
+                    pc.less(t.column("l_quantity"), 24.0)))
+            t = t.filter(m)
+            rev = float(np.sum(np.asarray(t.column("l_extendedprice")) *
+                               np.asarray(t.column("l_discount"))))
+            return pa.table({"one": pa.array([1], type=pa.int64()),
+                             "rev": pa.array([rev], type=pa.float64())})
+
+        agg = (_tbl(sf_dir, "lineitem",
+                    columns=["l_shipdate", "l_discount", "l_quantity",
+                             "l_extendedprice"])
+               .map_batches(partial, batch_format="pyarrow")
+               .groupby("one").sum("rev"))
+
+        def finish(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc2
+            return pa.table({
+                "revenue": pc2.round(t.column("sum(rev)"), 2)})
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
     def events_top3_per_user(sf_dir):
         """Windowed row_number() ≤ 3 per user by value (top-k-per-group
         operator with block-level partial top-k before the shuffle)."""
@@ -1625,6 +1741,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": events_value_histogram,
         "events_corr_value_time": events_corr_value_time,
         "events_rollup": events_rollup,
+        "doc_char_entropy": doc_char_entropy,
+        "customer_event_counts": customer_event_counts,
+        "q6_forecast_revenue": q6_forecast_revenue,
         "events_top3_per_user": events_top3_per_user,
         "decontaminate_docs": decontaminate_docs,
         "events_props_stats": events_props_stats,
@@ -1865,6 +1984,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT coalesce(event_type, 'ALL') AS event_type, "
             "coalesce(hour(ts), -1)::BIGINT AS hr, count(*)::BIGINT AS n "
             "FROM events GROUP BY ROLLUP (event_type, hour(ts))",
+        "doc_char_entropy":
+            "SELECT doc_id, round(entropy(c), 4) AS char_entropy "
+            "FROM (SELECT doc_id, unnest(split(text, '')) AS c "
+            "FROM documents) GROUP BY doc_id",
+        "customer_event_counts":
+            "SELECT c.c_custkey, c.c_mktsegment, "
+            "count(e.user_id)::BIGINT AS n_events "
+            "FROM customer c LEFT JOIN events e ON e.user_id = c.c_custkey "
+            "GROUP BY c.c_custkey, c.c_mktsegment",
+        "q6_forecast_revenue":
+            "SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue "
+            "FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
         "events_top3_per_user":
             "WITH ranked AS (SELECT user_id, event_id, value, "
             "row_number() OVER (PARTITION BY user_id "
