@@ -780,6 +780,170 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(finish, batch_format="pyarrow")
 
+    def events_funnel(sf_dir):
+        """Ordered view→click→purchase funnel per user: the earliest
+        view, the earliest click AFTER it, the earliest purchase after
+        THAT; only users completing all three stages emit.  One key
+        exchange; the per-group kernel is three sorted-array probes."""
+        import numpy as np
+
+        def stages(g: pa.Table) -> pa.Table:
+            et = np.asarray(g.column("event_type").cast(pa.string())
+                            .to_pylist())
+            t = np.asarray(g.column("ts").cast(pa.timestamp("us"))
+                           .cast(pa.int64()))
+            empty = pa.table({"user_id": pa.array([], pa.int64()),
+                              "view_us": pa.array([], pa.int64()),
+                              "click_us": pa.array([], pa.int64()),
+                              "purchase_us": pa.array([], pa.int64())})
+            vt = t[et == "view"]
+            if not len(vt):
+                return empty
+            t1 = vt.min()
+            ct = t[(et == "click") & (t > t1)]
+            if not len(ct):
+                return empty
+            t2 = ct.min()
+            pt = t[(et == "purchase") & (t > t2)]
+            if not len(pt):
+                return empty
+            return pa.table({
+                "user_id": pa.array([g.column("user_id")[0].as_py()],
+                                    type=pa.int64()),
+                "view_us": pa.array([int(t1)], type=pa.int64()),
+                "click_us": pa.array([int(t2)], type=pa.int64()),
+                "purchase_us": pa.array([int(pt.min())],
+                                        type=pa.int64())})
+
+        return (_tbl(sf_dir, "events",
+                     columns=["user_id", "event_type", "ts"])
+                .groupby("user_id")
+                .map_groups(stages, batch_format="pyarrow"))
+
+    def events_cohort_retention(sf_dir):
+        """Cohort retention matrix: users grouped by first-activity day,
+        counted per day-offset they return.  Two exchanges: (1) per-user
+        first day (block partial mins → groupby min), joined back by a
+        hash join; (2) distinct (cohort, offset, user) → counts via the
+        block-dedup trick."""
+        import numpy as np
+        from ie_ray.stages.dedup import _join_partitions
+
+        ev = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+
+        def day_partial(t: pa.Table) -> pa.Table:
+            d = pa.compute.floor(pa.compute.divide(
+                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+                 .cast(pa.float64()),
+                86_400_000_000.0)).cast(pa.int64())
+            part = pa.table({"user_id": t.column("user_id"), "day": d})
+            return part.group_by("user_id").aggregate(
+                [("day", "min")]).rename_columns(["user_id", "day"])
+
+        first = (ev.map_batches(day_partial, batch_format="pyarrow")
+                 .groupby("user_id").min("day")
+                 .map_batches(lambda t: t.rename_columns(
+                     ["user_id", "cohort_day"]), batch_format="pyarrow"))
+
+        days = ev.map_batches(
+            lambda t: pa.table({
+                "user_id": t.column("user_id"),
+                "day": pa.compute.floor(pa.compute.divide(
+                    t.column("ts").cast(pa.timestamp("us"))
+                     .cast(pa.int64()).cast(pa.float64()),
+                    86_400_000_000.0)).cast(pa.int64()),
+            }).group_by(["user_id", "day"]).aggregate([]),
+            batch_format="pyarrow")
+
+        joined = days.join(first, "inner",
+                           num_partitions=_join_partitions(),
+                           on=("user_id",), right_on=("user_id",))
+
+        def offs(t: pa.Table) -> pa.Table:
+            off = pa.compute.subtract(t.column("day"),
+                                      t.column("cohort_day"))
+            part = pa.table({"cohort_day": t.column("cohort_day"),
+                             "day_offset": off,
+                             "user_id": t.column("user_id")})
+            return part.group_by(
+                ["cohort_day", "day_offset", "user_id"]).aggregate([])
+
+        def cnt(g: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            u = len(pc.unique(g.column("user_id")))
+            return pa.table({
+                "cohort_day": pa.array([g.column("cohort_day")[0].as_py()],
+                                       type=pa.int64()),
+                "day_offset": pa.array([g.column("day_offset")[0].as_py()],
+                                       type=pa.int64()),
+                "n_users": pa.array([u], type=pa.int64())})
+
+        return (joined.map_batches(offs, batch_format="pyarrow")
+                .groupby(["cohort_day", "day_offset"])
+                .map_groups(cnt, batch_format="pyarrow"))
+
+    _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount",
+                     "l_tax")
+
+    def lineitem_profile(sf_dir):
+        """Column-profile / summary-statistics operator: count, nulls,
+        min, max, mean for every numeric column in ONE pass — each block
+        contributes one 6-field partial row per column."""
+        import numpy as np
+
+        def partial(t: pa.Table) -> pa.Table:
+            rows = {"col": [], "n": [], "n_null": [], "mn": [], "mx": [],
+                    "s": []}
+            for c in _PROFILE_COLS:
+                # to_numpy(zero_copy_only=False) maps nulls to NaN
+                v = t.column(c).cast(pa.float64()).combine_chunks() \
+                    .to_numpy(zero_copy_only=False)
+                nn = int(np.isnan(v).sum())
+                vv = v[~np.isnan(v)]
+                rows["col"].append(c)
+                rows["n"].append(len(vv))
+                rows["n_null"].append(nn)
+                rows["mn"].append(float(vv.min()) if len(vv) else np.inf)
+                rows["mx"].append(float(vv.max()) if len(vv) else -np.inf)
+                # values sit on a 4-decimal grid: sum exactly in scaled
+                # int64 so the mean is the same rational number the SQL
+                # oracle computes, immune to block-order fp drift
+                rows["s"].append(int(np.round(vv * 10000.0)
+                                     .astype(np.int64).sum()))
+            return pa.table({
+                "col": pa.array(rows["col"], type=pa.string()),
+                "n": pa.array(rows["n"], type=pa.int64()),
+                "n_null": pa.array(rows["n_null"], type=pa.int64()),
+                "mn": pa.array(rows["mn"], type=pa.float64()),
+                "mx": pa.array(rows["mx"], type=pa.float64()),
+                "s": pa.array(rows["s"], type=pa.int64())})
+
+        # sum/min/max reduce together in one map_groups (4 groups total,
+        # each holding one partial row per block)
+        def finish(g: pa.Table) -> pa.Table:
+            import numpy as np
+            n = int(np.sum(np.asarray(g.column("n"))))
+            return pa.table({
+                "col": pa.array([g.column("col")[0].as_py()]),
+                "n": pa.array([n], type=pa.int64()),
+                "n_null": pa.array(
+                    [int(np.sum(np.asarray(g.column("n_null"))))],
+                    type=pa.int64()),
+                "min_v": pa.array(
+                    [round(float(np.min(np.asarray(g.column("mn")))), 4)],
+                    type=pa.float64()),
+                "max_v": pa.array(
+                    [round(float(np.max(np.asarray(g.column("mx")))), 4)],
+                    type=pa.float64()),
+                "mean_v": pa.array(
+                    [int(np.sum(np.asarray(g.column("s")))) /
+                     (10000.0 * n)], type=pa.float64())})
+
+        return (_tbl(sf_dir, "lineitem", columns=list(_PROFILE_COLS))
+                .map_batches(partial, batch_format="pyarrow")
+                .groupby("col")
+                .map_groups(finish, batch_format="pyarrow"))
+
     def events_top3_per_user(sf_dir):
         """Windowed row_number() ≤ 3 per user by value (top-k-per-group
         operator with block-level partial top-k before the shuffle)."""
@@ -1744,6 +1908,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_char_entropy": doc_char_entropy,
         "customer_event_counts": customer_event_counts,
         "q6_forecast_revenue": q6_forecast_revenue,
+        "events_funnel": events_funnel,
+        "events_cohort_retention": events_cohort_retention,
+        "lineitem_profile": lineitem_profile,
         "events_top3_per_user": events_top3_per_user,
         "decontaminate_docs": decontaminate_docs,
         "events_props_stats": events_props_stats,
@@ -1999,6 +2166,38 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
             "AND l_shipdate < TIMESTAMP '1997-01-01' "
             "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+        "events_funnel":
+            "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e "
+            "JOIN v ON e.user_id = v.user_id AND e.ts > v.t1 "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e "
+            "JOIN c ON e.user_id = c.user_id AND e.ts > c.t2 "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT v.user_id, epoch_us(v.t1) AS view_us, "
+            "epoch_us(c.t2) AS click_us, epoch_us(p.t3) AS purchase_us "
+            "FROM v JOIN c ON v.user_id = c.user_id "
+            "JOIN p ON v.user_id = p.user_id",
+        "events_cohort_retention":
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "floor(epoch(ts) / 86400)::BIGINT AS day FROM events), "
+            "f AS (SELECT user_id, min(day) AS cohort_day FROM d "
+            "GROUP BY user_id) "
+            "SELECT f.cohort_day, d.day - f.cohort_day AS day_offset, "
+            "count(DISTINCT d.user_id)::BIGINT AS n_users "
+            "FROM d JOIN f ON d.user_id = f.user_id "
+            "GROUP BY f.cohort_day, d.day - f.cohort_day",
+        "lineitem_profile":
+            " UNION ALL ".join(
+                "SELECT '%s' AS col, count(%s)::BIGINT AS n, "
+                "(count(*) - count(%s))::BIGINT AS n_null, "
+                "round(min(%s), 4) AS min_v, round(max(%s), 4) AS max_v, "
+                "sum(CAST(round(%s * 10000, 0) AS BIGINT)) "
+                "/ (10000.0 * count(%s)) AS mean_v FROM lineitem"
+                % (c, c, c, c, c, c, c)
+                for c in ("l_quantity", "l_extendedprice", "l_discount",
+                          "l_tax")),
         "events_top3_per_user":
             "WITH ranked AS (SELECT user_id, event_id, value, "
             "row_number() OVER (PARTITION BY user_id "
