@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from ie_ray.pipelines.kg import default_fixture_dir, kg_triples
     from ie_ray.stages import dedup, similarity, textstats
     from ie_ray.stages.graph import build_edges, build_nodes
+    from ie_ray.stages.relational import lowcard_combine
 
     # -- documents table -------------------------------------------------
 
@@ -102,9 +103,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                          batch_format="pyarrow")
 
     def lang_counts(sf_dir):
-        ds = _docs(sf_dir).groupby("lang").count()
-        return ds.map_batches(lambda t: t.rename_columns(["lang", "n"]),
-                              batch_format="pyarrow")
+        def partial(t: pa.Table) -> pa.Table:
+            return t.select(["lang"]).group_by("lang").aggregate(
+                [([], "count_all")]).rename_columns(["lang", "n"])
+
+        def final(t: pa.Table) -> pa.Table:
+            g = t.group_by("lang").aggregate([("n", "sum")])
+            return pa.table({"lang": g.column("lang"),
+                             "n": g.column("n_sum").cast(pa.int64())})
+
+        return lowcard_combine(_docs(sf_dir), partial, final)
 
     def paragraph_counts(sf_dir):
         def count(b: pa.Table) -> pa.Table:
@@ -283,41 +291,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                            "l_extendedprice"])
 
         def partial(t: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
             g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
                 [("l_quantity", "sum"), ("l_extendedprice", "sum"),
                  ("l_quantity", "count")])
-            g = g.rename_columns(
+            return g.rename_columns(
                 ["l_returnflag", "l_linestatus", "sum_qty",
                  "sum_base_price", "count_order"])
-            # fuse the composite key into one column for the exchange —
-            # single-key groupby takes ray.data's fast sort path
-            k = pc.binary_join_element_wise(
-                g.column("l_returnflag"), g.column("l_linestatus"), "|")
-            return pa.table({
-                "k": k, "sum_qty": g.column("sum_qty"),
-                "sum_base_price": g.column("sum_base_price"),
-                "count_order": g.column("count_order")})
 
-        agg = (ds.map_batches(partial, batch_format="pyarrow")
-               .groupby("k").aggregate(
-                   ray.data.aggregate.Sum("sum_qty", alias_name="sum_qty"),
-                   ray.data.aggregate.Sum("sum_base_price",
-                                          alias_name="sum_base_price"),
-                   ray.data.aggregate.Sum("count_order",
-                                          alias_name="count_order")))
-
-        def finish(t: pa.Table) -> pa.Table:
+        def final(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
-            parts = pc.split_pattern(t.column("k"), "|")
+            g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+                [("sum_qty", "sum"), ("sum_base_price", "sum"),
+                 ("count_order", "sum")])
             return pa.table({
-                "l_returnflag": pc.list_element(parts, 0),
-                "l_linestatus": pc.list_element(parts, 1),
-                "sum_qty": pc.round(t.column("sum_qty"), 2),
-                "sum_base_price": pc.round(t.column("sum_base_price"), 2),
-                "count_order": t.column("count_order").cast(pa.int64()),
-            })
-        return agg.map_batches(finish, batch_format="pyarrow")
+                "l_returnflag": g.column("l_returnflag"),
+                "l_linestatus": g.column("l_linestatus"),
+                "sum_qty": pc.round(g.column("sum_qty_sum"), 2),
+                "sum_base_price": pc.round(
+                    g.column("sum_base_price_sum"), 2),
+                "count_order": g.column("count_order_sum")
+                               .cast(pa.int64())})
+
+        return lowcard_combine(ds, partial, final)
 
     def orders_per_segment(sf_dir):
         # broadcast hash join: customer (small side) shipped once via ray.put
@@ -337,9 +332,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         ds = _tbl(sf_dir, "orders", columns=["o_custkey"])
         joined = ds.map_batches(join, batch_format="pyarrow")
-        return (joined.groupby("c_mktsegment").count()
-                .map_batches(lambda t: t.rename_columns(
-                    ["c_mktsegment", "n_orders"]), batch_format="pyarrow"))
+
+        def partial(t: pa.Table) -> pa.Table:
+            return t.group_by("c_mktsegment").aggregate(
+                [([], "count_all")]).rename_columns(
+                ["c_mktsegment", "n_orders"])
+
+        def final(t: pa.Table) -> pa.Table:
+            g = t.group_by("c_mktsegment").aggregate(
+                [("n_orders", "sum")])
+            return pa.table({
+                "c_mktsegment": g.column("c_mktsegment"),
+                "n_orders": g.column("n_orders_sum").cast(pa.int64())})
+
+        return lowcard_combine(joined, partial, final)
 
     def top10_parts(sf_dir):
         ds = _tbl(sf_dir, "part",
@@ -348,18 +354,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        descending=[True, False]).limit(10)
 
     def events_by_type(sf_dir):
+        # bounded key domain (5 event types) → block partials + single
+        # reducer (lowcard_combine) instead of a sort-based shuffle
         ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
-        agg = ds.groupby("event_type").aggregate(
-            ray.data.aggregate.Count(alias_name="n"),
-            ray.data.aggregate.Sum("value", alias_name="total_value"))
 
-        def finish(t: pa.Table) -> pa.Table:
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by("event_type").aggregate(
+                [([], "count_all"), ("value", "sum")])
+            return g.rename_columns(["event_type", "n", "total_value"])
+
+        def final(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
+            g = t.group_by("event_type").aggregate(
+                [("n", "sum"), ("total_value", "sum")])
             return pa.table({
-                "event_type": t.column("event_type"),
-                "n": t.column("n"),
-                "total_value": pc.round(t.column("total_value"), 2)})
-        return agg.map_batches(finish, batch_format="pyarrow")
+                "event_type": g.column("event_type"),
+                "n": g.column("n_sum").cast(pa.int64()),
+                "total_value": pc.round(g.column("total_value_sum"), 2)})
+
+        return lowcard_combine(ds, partial, final)
 
     def nation_region(sf_dir):
         import ray as _ray
@@ -393,19 +406,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "value": b.column("value"),
             })
 
-        agg = (ds.map_batches(wnd, batch_format="pyarrow")
-               .groupby(["window_start", "event_type"]).aggregate(
-                   ray.data.aggregate.Count(alias_name="n"),
-                   ray.data.aggregate.Sum("value", alias_name="total_value")))
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(["window_start", "event_type"]).aggregate(
+                [([], "count_all"), ("value", "sum")])
+            return g.rename_columns(
+                ["window_start", "event_type", "n", "total_value"])
 
-        def finish(t: pa.Table) -> pa.Table:
+        def final(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
+            g = t.group_by(["window_start", "event_type"]).aggregate(
+                [("n", "sum"), ("total_value", "sum")])
             return pa.table({
-                "window_start": t.column("window_start"),
-                "event_type": t.column("event_type"),
-                "n": t.column("n"),
-                "total_value": pc.round(t.column("total_value"), 2)})
-        return agg.map_batches(finish, batch_format="pyarrow")
+                "window_start": g.column("window_start"),
+                "event_type": g.column("event_type"),
+                "n": g.column("n_sum").cast(pa.int64()),
+                "total_value": pc.round(g.column("total_value_sum"), 2)})
+
+        # windows × types is bounded by the time range (a decade of
+        # hours ≈ 90k keys) — within the single-reducer contract
+        return lowcard_combine(
+            ds.map_batches(wnd, batch_format="pyarrow"), partial, final)
 
     def events_user_stats(sf_dir):
         ds = _tbl(sf_dir, "events", columns=["user_id", "value"])
@@ -526,17 +546,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 cols["n_" + l] = pa.array(counts[:, j], type=pa.int64())
             return pa.table(cols)
 
-        agg = (_tbl(sf_dir, "documents", columns=["source", "lang"])
-               .map_batches(partial, batch_format="pyarrow")
-               .groupby("source").sum(["n_" + l for l in _LANGS]))
-
         def finish(t: pa.Table) -> pa.Table:
-            cols = {"source": t.column("source")}
+            g = t.group_by("source").aggregate(
+                [("n_" + l, "sum") for l in _LANGS])
+            cols = {"source": g.column("source")}
             for l in _LANGS:
-                cols["n_" + l] = t.column("sum(n_%s)" % l).cast(pa.int64())
+                cols["n_" + l] = g.column("n_%s_sum" % l).cast(pa.int64())
             return pa.table(cols)
 
-        return agg.map_batches(finish, batch_format="pyarrow")
+        return lowcard_combine(
+            _tbl(sf_dir, "documents", columns=["source", "lang"]),
+            partial, finish)
 
     def docs_longest100(sf_dir):
         """Global top-100 documents by length: distributed `Dataset.sort`
@@ -563,19 +583,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 [("v", "sum"), ([], "count_all")])
             return g.rename_columns(["bin", "s", "n"])
 
-        agg = (_tbl(sf_dir, "events", columns=["value"])
-               .map_batches(partial, batch_format="pyarrow")
-               .groupby("bin").sum(["s", "n"]))
-
         def finish(t: pa.Table) -> pa.Table:
-            n = t.column("sum(n)").cast(pa.int64())
+            g = t.group_by("bin").aggregate(
+                [("s", "sum"), ("n", "sum")])
+            n = g.column("n_sum").cast(pa.int64())
             return pa.table({
-                "bin": t.column("bin"),
+                "bin": g.column("bin"),
                 "n": n,
                 "avg_value": pc.round(pc.divide(
-                    t.column("sum(s)"), n.cast(pa.float64())), 4)})
+                    g.column("s_sum"), n.cast(pa.float64())), 4)})
 
-        return agg.map_batches(finish, batch_format="pyarrow")
+        return lowcard_combine(_tbl(sf_dir, "events", columns=["value"]),
+                               partial, finish)
 
     def events_corr_value_time(sf_dir):
         """Pearson corr(value, event time) per event type via sufficient
@@ -605,15 +624,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       "sxy")]).rename_columns(
                 ["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"])
 
-        agg = (_tbl(sf_dir, "events", columns=["event_type", "ts",
-                                               "value"])
-               .map_batches(partial, batch_format="pyarrow")
-               .groupby("event_type")
-               .sum(["n", "sx", "sy", "sxx", "syy", "sxy"]))
-
         def finish(t: pa.Table) -> pa.Table:
             import numpy as np
-            g = {c: np.asarray(t.column("sum(%s)" % c))
+            t = t.group_by("event_type").aggregate(
+                [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy",
+                                      "sxy")])
+            g = {c: np.asarray(t.column("%s_sum" % c))
                  for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
             n = g["n"]
             cov = n * g["sxy"] - g["sx"] * g["sy"]
@@ -624,7 +640,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "event_type": t.column("event_type"),
                 "corr_vt": pa.array(np.round(r, 4), type=pa.float64())})
 
-        return agg.map_batches(finish, batch_format="pyarrow")
+        return lowcard_combine(
+            _tbl(sf_dir, "events", columns=["event_type", "ts", "value"]),
+            partial, finish)
 
     def events_rollup(sf_dir):
         """ROLLUP-style hierarchical aggregate: event counts at three
@@ -653,16 +671,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "n": pa.array([t.num_rows], type=pa.int64())})
             return pa.concat_tables([l0, l1, l2])
 
-        agg = (_tbl(sf_dir, "events", columns=["event_type", "ts"])
-               .map_batches(partial, batch_format="pyarrow")
-               .groupby(["event_type", "hr"]).sum("n"))
-
         def finish(t: pa.Table) -> pa.Table:
-            return pa.table({"event_type": t.column("event_type"),
-                             "hr": t.column("hr"),
-                             "n": t.column("sum(n)").cast(pa.int64())})
+            g = t.group_by(["event_type", "hr"]).aggregate(
+                [("n", "sum")])
+            return pa.table({"event_type": g.column("event_type"),
+                             "hr": g.column("hr"),
+                             "n": g.column("n_sum").cast(pa.int64())})
 
-        return agg.map_batches(finish, batch_format="pyarrow")
+        return lowcard_combine(
+            _tbl(sf_dir, "events", columns=["event_type", "ts"]),
+            partial, finish)
 
     def doc_char_entropy(sf_dir):
         """Per-document Shannon entropy (bits) over unicode codepoints —
@@ -767,18 +785,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pa.table({"one": pa.array([1], type=pa.int64()),
                              "rev": pa.array([rev], type=pa.float64())})
 
-        agg = (_tbl(sf_dir, "lineitem",
-                    columns=["l_shipdate", "l_discount", "l_quantity",
-                             "l_extendedprice"])
-               .map_batches(partial, batch_format="pyarrow")
-               .groupby("one").sum("rev"))
-
         def finish(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc2
             return pa.table({
-                "revenue": pc2.round(t.column("sum(rev)"), 2)})
+                "revenue": pc2.round(
+                    pa.chunked_array([pa.array(
+                        [pc2.sum(t.column("rev")).as_py() or 0.0],
+                        type=pa.float64())]), 2)})
 
-        return agg.map_batches(finish, batch_format="pyarrow")
+        return lowcard_combine(
+            _tbl(sf_dir, "lineitem",
+                 columns=["l_shipdate", "l_discount", "l_quantity",
+                          "l_extendedprice"]),
+            partial, finish)
 
     def events_funnel(sf_dir):
         """Ordered view→click→purchase funnel per user: the earliest
@@ -918,31 +937,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "mx": pa.array(rows["mx"], type=pa.float64()),
                 "s": pa.array(rows["s"], type=pa.int64())})
 
-        # sum/min/max reduce together in one map_groups (4 groups total,
-        # each holding one partial row per block)
-        def finish(g: pa.Table) -> pa.Table:
-            import numpy as np
-            n = int(np.sum(np.asarray(g.column("n"))))
+        # sum/min/max reduce together in one single-task final (4 keys,
+        # one partial row per block per key)
+        def finish(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            g = t.group_by("col").aggregate(
+                [("n", "sum"), ("n_null", "sum"), ("mn", "min"),
+                 ("mx", "max"), ("s", "sum")])
+            n = g.column("n_sum").cast(pa.int64())
             return pa.table({
-                "col": pa.array([g.column("col")[0].as_py()]),
-                "n": pa.array([n], type=pa.int64()),
-                "n_null": pa.array(
-                    [int(np.sum(np.asarray(g.column("n_null"))))],
-                    type=pa.int64()),
-                "min_v": pa.array(
-                    [round(float(np.min(np.asarray(g.column("mn")))), 4)],
-                    type=pa.float64()),
-                "max_v": pa.array(
-                    [round(float(np.max(np.asarray(g.column("mx")))), 4)],
-                    type=pa.float64()),
-                "mean_v": pa.array(
-                    [int(np.sum(np.asarray(g.column("s")))) /
-                     (10000.0 * n)], type=pa.float64())})
+                "col": g.column("col"),
+                "n": n,
+                "n_null": g.column("n_null_sum").cast(pa.int64()),
+                "min_v": pc.round(g.column("mn_min"), 4),
+                "max_v": pc.round(g.column("mx_max"), 4),
+                "mean_v": pc.divide(
+                    g.column("s_sum").cast(pa.float64()),
+                    pc.multiply(pa.scalar(10000.0),
+                                n.cast(pa.float64())))})
 
-        return (_tbl(sf_dir, "lineitem", columns=list(_PROFILE_COLS))
-                .map_batches(partial, batch_format="pyarrow")
-                .groupby("col")
-                .map_groups(finish, batch_format="pyarrow"))
+        return lowcard_combine(
+            _tbl(sf_dir, "lineitem", columns=list(_PROFILE_COLS)),
+            partial, finish)
 
     def events_top3_per_user(sf_dir):
         """Windowed row_number() ≤ 3 per user by value (top-k-per-group
@@ -984,21 +1000,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 [("k", "sum"), ("k", "count")])
             return g.rename_columns(["event_type", "k_sum", "n"])
 
-        agg = (ds.map_batches(partial, batch_format="pyarrow")
-               .groupby("event_type").aggregate(
-                   ray.data.aggregate.Sum("k_sum", alias_name="k_sum"),
-                   ray.data.aggregate.Sum("n", alias_name="n")))
-
-        def finish(t: pa.Table) -> pa.Table:
-            ks = t.column("k_sum").to_pylist()
-            ns = t.column("n").to_pylist()
+        def final(t: pa.Table) -> pa.Table:
+            g = t.group_by("event_type").aggregate(
+                [("k_sum", "sum"), ("n", "sum")])
+            ks = g.column("k_sum_sum").to_pylist()
+            ns = g.column("n_sum").to_pylist()
             return pa.table({
-                "event_type": t.column("event_type"),
+                "event_type": g.column("event_type"),
                 "n": pa.array(ns, type=pa.int64()),
                 "avg_k": pa.array([round(a / b, 4)
                                    for a, b in zip(ks, ns)],
                                   type=pa.float64())})
-        return agg.map_batches(finish, batch_format="pyarrow")
+
+        return lowcard_combine(ds, partial, final)
 
     def events_value_quantiles(sf_dir):
         """Exact per-group quantiles (linear interpolation — DuckDB
@@ -1551,16 +1565,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def finish(b: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
+            g = b.group_by(["label", "dim"]).aggregate(
+                [("s", "sum"), ("n", "sum")])
             return pa.table({
-                "label": b.column("label"),
-                "dim": b.column("dim"),
-                "mean_v": pc.divide(b.column("sum(s)"),
-                                    pc.cast(b.column("sum(n)"),
+                "label": g.column("label"),
+                "dim": g.column("dim"),
+                "mean_v": pc.divide(g.column("s_sum"),
+                                    pc.cast(g.column("n_sum"),
                                             pa.float64()))})
 
-        return (emb.map_batches(partials, batch_format="pyarrow")
-                .groupby(["label", "dim"]).sum(["s", "n"])
-                .map_batches(finish, batch_format="pyarrow"))
+        # label × dim keys are bounded by construction → single reducer
+        return lowcard_combine(emb, partials, finish)
 
     def embedding_outliers(sf_dir):
         """Embedding QC: vectors farther than τ=1.0 from their label's
@@ -1645,10 +1660,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pairs.groupby("stem").map_groups(agg, batch_format="pyarrow")
 
     def order_status_counts(sf_dir):
-        return (_tbl(sf_dir, "orders", columns=["o_orderstatus"])
-                .groupby("o_orderstatus").count()
-                .map_batches(lambda t: t.rename_columns(
-                    ["o_orderstatus", "n"]), batch_format="pyarrow"))
+        def partial(t: pa.Table) -> pa.Table:
+            return t.group_by("o_orderstatus").aggregate(
+                [([], "count_all")]).rename_columns(["o_orderstatus", "n"])
+
+        def final(t: pa.Table) -> pa.Table:
+            g = t.group_by("o_orderstatus").aggregate([("n", "sum")])
+            return pa.table({"o_orderstatus": g.column("o_orderstatus"),
+                             "n": g.column("n_sum").cast(pa.int64())})
+
+        return lowcard_combine(
+            _tbl(sf_dir, "orders", columns=["o_orderstatus"]),
+            partial, final)
 
     # -- KG pipeline (synthetic pages; rows-only checks) ----------------
 

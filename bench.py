@@ -116,7 +116,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_by_type", "events_asof_purchase_click",
                  "events_top3_per_user", "boilerplate_ngrams",
                  "normalize_docs", "decontaminate_docs", "doc_repetition",
-                 "doc_tfidf_top3", "inverted_index", "embedding_kmeans"):
+                 "doc_tfidf_top3", "inverted_index", "embedding_kmeans",
+                 "q5_local_supplier", "events_range_click_purchase",
+                 "customers_without_events", "doc_char_entropy",
+                 "events_cohort_retention"):
         consume(name)
 
     total = round(time.time() - t0, 3)
