@@ -51,8 +51,16 @@ def _docs(sf_dir):
 
 def _tbl(sf_dir, name, columns=None, blocks=None):
     import ray.data
-    return ray.data.read_parquet(os.path.join(sf_dir, name + ".parquet"),
-                                 columns=columns,
+    path = os.path.join(sf_dir, name + ".parquet")
+    if blocks is None:
+        # size-aware block count (~1 MiB of parquet per block, floor 8,
+        # cap 64): Ray's default 2×CPU split turns a 2 MB table into 64
+        # tiny blocks and every downstream sort/aggregate into 128 tiny
+        # exchange tasks whose scheduling cost dwarfs the compute.  Real
+        # corpora arrive as many files and block naturally by file, so
+        # the cap only ever binds at gate scale.
+        blocks = max(8, min(64, os.path.getsize(path) >> 20))
+    return ray.data.read_parquet(path, columns=columns,
                                  override_num_blocks=blocks).map_batches(
         _strip_meta, batch_format="pyarrow")
 
