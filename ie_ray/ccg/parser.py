@@ -50,17 +50,29 @@ _NORMALIZE = str.maketrans({"’": "'", "‘": "'", "“": '"', "”": '"',
                             "—": ",", "–": "-", "…": ","})
 
 
+_CONTRACTIONS = ("'s", "'re", "'ve", "'ll", "'m", "'d")
+
+
 def tokenize(sentence: str) -> List[str]:
     out = []
     for t in _TOKEN_RE.findall(sentence.strip().translate(_NORMALIZE)):
-        if len(t) > 2 and t.lower().endswith("'s"):
-            out.append(t[:-2])
-            out.append("'s")
-        elif len(t) > 3 and t.lower().endswith("n't"):
+        lower = t.lower()
+        if len(t) > 3 and lower.endswith("n't"):
             out.append(t[:-3])
             out.append("n't")
+            continue
+        for c in _CONTRACTIONS:
+            if len(t) > len(c) and lower.endswith(c):
+                out.append(t[:-len(c)])
+                out.append(c)
+                break
         else:
-            out.append(t)
+            if len(t) > 2 and t.endswith("'") and lower.endswith("s'"):
+                # bare plural possessive: "Evans'" → Evans + '
+                out.append(t[:-1])
+                out.append("'")
+            else:
+                out.append(t)
     return out
 
 
@@ -106,7 +118,8 @@ _CLOSED_CATS: Dict[str, list] = {
     "and": [("conj", "CC", 0.0)], "or": [("conj", "CC", 0.0)],
     "but": [("conj", "CC", 0.0)], "nor": [("conj", "CC", 0.0)],
     "&": [("conj", "CC", 0.0)],
-    "not": [(r"(S\NP)\(S\NP)", "RB", 0.0)],
+    "not": [(r"(S\NP)\(S\NP)", "RB", 0.0),
+            (r"(S\NP)/(S\NP)", "RB", -0.2)],   # "tries not to feel …"
     "n't": [(r"(S\NP)\(S\NP)", "RB", 0.0)],
     "there": [(r"NP", "EX", -0.1)],
     "because": [(r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.2),
@@ -114,7 +127,13 @@ _CLOSED_CATS: Dict[str, list] = {
     "while": [(r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.2),
               (r"(S/S)/S[dcl]", "IN", -0.25)],
     "if": [(r"(S/S)/S[dcl]", "IN", -0.2),
-           (r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.25)],
+           (r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.25),
+           (r"S[em]/S[dcl]", "IN", -0.3)],
+    "whether": [(r"S[em]/S[dcl]", "IN", -0.1),
+                (r"(S[em]/S[dcl])/(S[em]/S[dcl])", "IN", -0.4)],
+    "rather": [(r"(NP\NP)/(NP\NP)", "RB", -0.25),
+               (r"((S\NP)\(S\NP))/((S\NP)\(S\NP))", "RB", -0.3),
+               (r"(S\NP)\(S\NP)", "RB", -0.4)],
     "when": [(r"((S\NP)\(S\NP))/S[dcl]", "WRB", -0.2),
              (r"(S/S)/S[dcl]", "WRB", -0.25),
              (r"((S\NP)\(S\NP))/S[q]", "WRB", -0.3)],
@@ -123,16 +142,82 @@ _CLOSED_CATS: Dict[str, list] = {
     # crossed composition
     "how": [(r"(S[wq]/(S[q]/NP))/N", "WRB", -0.25),
             (r"S[wq]/(S[q]/NP)", "WRB", -0.35),
-            (r"(S/S)/S[dcl]", "WRB", -0.3)],
+            (r"(S/S)/S[dcl]", "WRB", -0.3),
+            # "on how to use art", "knows how it happened"
+            (r"NP/(S[to]\NP)", "WRB", -0.3),
+            (r"NP/S[dcl]", "WRB", -0.4)],
     "much": [(r"N", "JJ", -0.3), (r"(S\NP)\(S\NP)", "RB", -0.2),
              (r"(S[adj]\NP)/(S[adj]\NP)", "RB", -0.25)],
+    # ", so [clause]" coordination + degree-adverb + "do so" readings
+    "so": [("conj", "CC", -0.05),
+           (r"(S[adj]\NP)/(S[adj]\NP)", "RB", -0.2),
+           (r"(S\NP)/(S\NP)", "RB", -0.3), (r"S/S", "RB", -0.35),
+           (r"(S\NP)\(S\NP)", "RB", -0.35)],
+    # "as" subordinator ("As the year comes to an end, …") on top of the
+    # ordinary prepositional readings
+    "as": [(c, "IN", w - 0.05) for c, _p, w in _PREP_CATS] + [
+        (r"(S/S)/S[dcl]", "IN", -0.2),
+        (r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.22)],
+    # free relatives: "what happened …" (subject gap), "what he deserves"
+    # (object gap via type-raise + composition)
+    "what": [(r"NP/(S[dcl]\NP)", "WP", -0.15),
+             (r"NP/(S[dcl]/NP)", "WP", -0.2),
+             (r"NP", "WP", -0.45)],
+    "more": [(r"(S[adj]\NP)/(S[adj]\NP)", "RBR", -0.1),
+             (r"N/N", "JJR", -0.15), (r"(S\NP)\(S\NP)", "RBR", -0.25),
+             (r"NP", "JJR", -0.55)],
+    # "her" is the one English word ambiguous between object pronoun and
+    # possessive determiner — the tagger alone cannot decide
+    "her": [(r"NP/N", "PRP$", 0.0), (r"NP", "PRP", -0.05)],
+    "most": [(r"(S[adj]\NP)/(S[adj]\NP)", "RBS", -0.1),
+             (r"N/N", "JJS", -0.15), (r"NP", "JJS", -0.55)],
 }
+
+# subordinating conjunctions that double as prepositions: keep the
+# prepositional readings and add clause-adjunct categories
+for _w in ("until", "after", "before", "since", "once", "unless",
+           "whenever", "wherever", "although", "though"):
+    base = list(_CLOSED_CATS.get(_w, []))
+    if not base and _w not in ("although", "though", "unless", "whenever",
+                               "wherever", "once"):
+        base = [(c, "IN", w) for c, _p, w in _PREP_CATS]
+    _CLOSED_CATS[_w] = base + [
+        (r"(S/S)/S[dcl]", "IN", -0.18),
+        (r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.2)]
+
+# "once"/"before"/"after" as plain adverbs: "Once again, …", "seen before";
+# intransitive-preposition adverbs: "I turn around", "she walks over"
+for _w in ("once", "before", "after"):
+    _CLOSED_CATS[_w] = _CLOSED_CATS[_w] + [
+        (r"S/S", "RB", -0.3), (r"(S\NP)\(S\NP)", "RB", -0.3)]
+for _w in ("around", "over", "inside", "outside", "along", "behind",
+           "ahead", "nearby", "upstairs", "downstairs", "home",
+           "across"):
+    _CLOSED_CATS[_w] = _CLOSED_CATS.get(
+        _w, [(c, "IN", w) for c, _p, w in _PREP_CATS]) + [
+        (r"(S\NP)\(S\NP)", "RB", -0.25),
+        # compound spatial PP: "sit across from her", "walk over to him"
+        (r"((S\NP)\(S\NP))/PP", "RB", -0.3)]
+
+# contracted auxiliaries (tokenizer splits them off)
+_CLOSED_CATS["'re"] = _be_cats("are")
+_CLOSED_CATS["'m"] = _be_cats("am")
+_CLOSED_CATS["'ve"] = [(r"(S[dcl]\NP)/(S[pt]\NP)", "VBP", 0.0)]
+_CLOSED_CATS["'ll"] = [(r"(S[dcl]\NP)/(S[b]\NP)", "MD", 0.0)]
+_CLOSED_CATS["'d"] = [(r"(S[dcl]\NP)/(S[b]\NP)", "MD", 0.0),
+                      (r"(S[dcl]\NP)/(S[pt]\NP)", "VBD", -0.05)]
+# "'s": possessive clitic first, contracted "is" as the marked reading
+_CLOSED_CATS["'s"] = [(r"(NP/N)\NP", "POS", 0.0)] + \
+    [(c, p, w - 0.15) for c, p, w in _be_cats("is")]
 for _w in ("has", "have", "had"):
     _CLOSED_CATS[_w] = [
         (r"(S[dcl]\NP)/(S[pt]\NP)", {"has": "VBZ", "have": "VBP",
                                      "had": "VBD"}[_w], 0.0),
         (r"(S[dcl]\NP)/NP", {"has": "VBZ", "have": "VBP",
-                             "had": "VBD"}[_w], -0.3)]
+                             "had": "VBD"}[_w], -0.3),
+        # obligation: "had to do so", "has to leave"
+        (r"(S[dcl]\NP)/(S[to]\NP)", {"has": "VBZ", "have": "VBP",
+                                     "had": "VBD"}[_w], -0.35)]
 for _w, _f in _BE_FEAT.items():
     _CLOSED_CATS[_w] = _be_cats(_w)
 for _w, _p in (("do", "VBP"), ("does", "VBZ"), ("did", "VBD")):
@@ -160,7 +245,12 @@ def _verb_cats(feat: str, p: str):
             (r"((S[%s]\NP)/NP)/NP" % feat, p, -0.5),
             (r"((S[%s]\NP)/PP)/NP" % feat, p, -0.45),
             (r"((S[%s]\NP)/(S[to]\NP))/NP" % feat, p, -0.5),
-            (r"((S[%s]\NP)/(S[adj]\NP))/NP" % feat, p, -0.6)]
+            (r"((S[%s]\NP)/(S[adj]\NP))/NP" % feat, p, -0.6),
+            # object + bare/ng small clauses ("make her relive …",
+            # "sees her doing …") and get-passive ("gets caught")
+            (r"((S[%s]\NP)/(S[b]\NP))/NP" % feat, p, -0.55),
+            (r"((S[%s]\NP)/(S[ng]\NP))/NP" % feat, p, -0.6),
+            (r"(S[%s]\NP)/(S[pss]\NP)" % feat, p, -0.55)]
 
 
 _POS_CATS: Dict[str, list] = {
@@ -209,7 +299,13 @@ _POS_CATS: Dict[str, list] = {
             (r"(NP\NP)/(S[dcl]/NP)", "WDT", -0.2)],
     "WP": [(r"(NP\NP)/(S[dcl]\NP)", "WP", 0.0), ("NP", "WP", -0.3)],
     "EX": [("NP", "EX", 0.0)],
-    "WRB": [(r"(S/S)/S[dcl]", "WRB", -0.2)],
+    "WRB": [(r"(S/S)/S[dcl]", "WRB", -0.2),
+            (r"((S\NP)\(S\NP))/S[dcl]", "WRB", -0.22),
+            (r"NP/S[dcl]", "WRB", -0.45)],   # "explain why she left"
+    # verb particles keep a prepositional fallback ("down the hill")
+    "RP": [(r"(S\NP)\(S\NP)", "RP", -0.05),
+           (r"((S\NP)\(S\NP))/PP", "RP", -0.15)] + \
+        [(c, "IN", w - 0.2) for c, _p, w in _PREP_CATS],
     ".": [(".", ".", 0.0)], ",": [(",", ",", 0.0)],
     ";": [(";", ";", 0.0)], ":": [(":", ":", 0.0)],
     "LRB": [("LRB", "LRB", 0.0)], "RRB": [("RRB", "RRB", 0.0)],
@@ -243,15 +339,39 @@ for _w, _p in (("said", "VBD"), ("says", "VBZ"), ("added", "VBD"),
     entry.append((_PAREN_SPEECH[0], _p, -0.35))
     _CLOSED_CATS[_w] = entry
 
-def supertag(words: List[str]) -> List[List[Tuple[str, str, float]]]:
+# the tagger misses verbs whose form equals a noun ("art allow", "and
+# eventually see", "he winks and smiles") — hedge open-class nouns with
+# weak verb readings and let CKY decide; priced so they only win when no
+# noun parse exists.  The hedge roughly triples parse cost, so the parser
+# only turns it on in a second pass for sentences the cheap grid rejects.
+_NOUN_VERB_HEDGE = {
+    "NN": [(r"(S[dcl]\NP)/NP", "VBP", -0.8),
+           (r"S[dcl]\NP", "VBP", -0.85),
+           (r"(S[b]\NP)/NP", "VB", -0.8),
+           (r"S[b]\NP", "VB", -0.85)],
+    "NNS": [(r"(S[dcl]\NP)/NP", "VBZ", -0.8),
+            (r"S[dcl]\NP", "VBZ", -0.85)],
+}
+
+
+_SENT_INITIAL_CC = [(r"S/S", "CC", -0.1)]
+
+
+def supertag(words: List[str],
+             hedge: bool = True) -> List[List[Tuple[str, str, float]]]:
     """Candidate (category, POS, weight) lists per token."""
     tags = pos_tag(words)
     out = []
-    for w, t in zip(words, tags):
+    for i, (w, t) in enumerate(zip(words, tags)):
         lower = w.lower()
         cands = _CLOSED_CATS.get(lower)
         if cands is None:
             cands = _POS_CATS.get(t) or [("N", "NN", -0.2)]
+            if hedge and t in _NOUN_VERB_HEDGE:
+                cands = cands + _NOUN_VERB_HEDGE[t]
+        elif i == 0 and lower in ("and", "or", "but", "nor", "so", "yet"):
+            # sentence-initial discourse connective: "And I don't have …"
+            cands = _SENT_INITIAL_CC + cands
         out.append(cands)
     return out
 
@@ -315,6 +435,12 @@ def _combine(lc: Category, rc: Category, lconj: bool, rconj: bool):
         return out
     if rp:
         out.append((lc, lconj, -0.01, 0))
+        # fronted appositive: "A new girl from out of town, Heather is …"
+        # — the comma-terminated NP modifies the subject from the left.
+        # Priced below the plain comma absorption so it only survives when
+        # absorption cannot complete a parse.
+        if rc.signature == "," and lc.isnp and not lconj:
+            out.append((_CAT_APPOS_F, False, -0.45, 0))
         return out
     if lc.isconj and not rc.isconj and not rconj:
         out.append((rc, True, -0.05, 1))
@@ -351,7 +477,15 @@ _CAT_NP = Category.parse("NP")
 _CAT_TR = Category.parse(r"S/(S\NP)")          # subject type-raise
 _CAT_RELRED = Category.parse(r"NP\NP")         # reduced object relative
 _CAT_APPOS = Category.parse(r"NP\NP")          # appositive ", NP"
+_CAT_APPOS_F = Category.parse(r"NP/NP")        # fronted appositive "NP ,"
 _SIG_NG = r"S[ng]\NP"
+
+
+_SIG_PSS = r"S[pss]\NP"
+_SIG_TO = r"S[to]\NP"
+_SIG_ADJ = r"S[adj]\NP"
+_CAT_VPMOD = Category.parse(r"(S\NP)\(S\NP)")  # trailing participial adjunct
+_CAT_SINIT = Category.parse(r"S/S")            # fronted participial adjunct
 
 
 def _unary_options(cat: Category):
@@ -368,6 +502,24 @@ def _unary_options(cat: Category):
         # the (S\NP)/(S[ng]\NP) complement reading so control wins when a
         # governing verb exists
         out.append((_CAT_NP, -0.45))
+        # participial adjuncts: "a secret weighing on her" (NP\NP),
+        # "…, causing her friends to…" (VP adjunct), "Having finished, …"
+        out.append((_CAT_RELRED, -0.55))
+        out.append((_CAT_VPMOD, -0.6))
+        out.append((_CAT_SINIT, -0.75))
+    elif cat.signature == _SIG_PSS:
+        # reduced passive relative: "teachers rejected by peers"
+        out.append((_CAT_RELRED, -0.6))
+        out.append((_CAT_VPMOD, -0.65))
+    elif cat.signature == _SIG_ADJ:
+        # post-nominal predicative adjective: "a mouth full of braces"
+        out.append((_CAT_RELRED, -0.65))
+    elif cat.signature == _SIG_TO:
+        # purpose infinitives: "a hideout to avoid teachers",
+        # "uses the closet to avoid…", "To avoid X, she …"
+        out.append((_CAT_RELRED, -0.65))
+        out.append((_CAT_VPMOD, -0.7))
+        out.append((_CAT_SINIT, -0.75))
     elif cat.isfunctor and cat.isarg_right and cat.arg.isnp \
             and cat.result.isatom and cat.result.base == "S":
         # object-gap clause as a bare noun postmodifier (reduced relative)
@@ -407,8 +559,17 @@ class CkyParser:
         words = tokenize(sentence)
         if not words or len(words) > self.max_tokens:
             return None
+        # two-pass: the cheap grid parses ~85 % of real sentences at ~3×
+        # the speed; the noun→verb hedge pass only pays for the rest
+        out = self._parse_words(words, hedge=False)
+        if out is None:
+            out = self._parse_words(words, hedge=True)
+        return out
+
+    def _parse_words(self, words: List[str],
+                     hedge: bool) -> Optional[str]:
         try:
-            cands = supertag(words)
+            cands = supertag(words, hedge=hedge)
         except Exception:
             return None
         n = len(words)

@@ -62,8 +62,16 @@ _CLOSED = {
     "still": "RB", "often": "RB", "already": "RB", "again": "RB",
     "then": "RB", "here": "RB", "too": "RB", "very": "RB", "so": "RB",
     "just": "RB", "only": "RB", "however": "RB", "instead": "RB",
+    "even": "RB", "eventually": "RB", "finally": "RB", "once": "IN",
+    "unless": "IN", "whenever": "WRB", "wherever": "WRB",
+    "whoever": "WP", "whatever": "WDT",
     "more": "RBR", "most": "RBS", "much": "RB",
-    "'s": "POS",
+    # verb particles (Penn RP): the supertagger gives these the
+    # VP-postmodifier reading so "ended up", "gave up", "set off" parse
+    "up": "RP", "out": "RP", "off": "RP", "down": "RP", "away": "RP",
+    "back": "RP",
+    "'s": "POS", "'re": "VBP", "'m": "VBP", "'ve": "VBP", "'ll": "MD",
+    "'d": "MD",
 }
 
 _PUNCT = {".": ".", ",": ",", ";": ";", ":": ":", "?": ".", "!": ".",
@@ -181,8 +189,20 @@ def tag(words: List[str]) -> List[str]:
         # plural-noun tag in an obvious verb slot: NP … NNS → VBZ
         if tags[i] == "NNS" and prev_tag in ("NNP", "NN", "NNS", "PRP") \
                 and i + 1 < len(words) and tags[i + 1] in (
-                    "DT", "PRP$", "TO", "IN", "WDT", "NNP", "PRP", "CD"):
+                    "DT", "PRP$", "TO", "IN", "WDT", "NNP", "PRP", "CD",
+                    "RP", "WP", "WRB", "POS"):
             tags[i] = "VBZ"
+        # get-passive: "gets caught", "got hit"
+        if tags[i] == "VBD" and prev in ("get", "gets", "got", "getting",
+                                         "gotten"):
+            tags[i] = "VBN"
+        # noun tag right after a relativizer is the relative clause's verb
+        # ("ways that make …", "the person who speaks …")
+        if prev_tag in ("WDT", "WP"):
+            if tags[i] == "NN":
+                tags[i] = "VBP"
+            elif tags[i] == "NNS":
+                tags[i] = "VBZ"
         # bare-noun tag right after a subject pronoun is a present verb
         # ("we come", "they go", "you swim")
         if tags[i] == "NN" and prev in ("i", "you", "we", "they", "he",

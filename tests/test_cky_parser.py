@@ -142,3 +142,31 @@ def test_object_extraction_and_attribution(parser):
     assert d2 is not None
     c.compose_ccgbank(d2)
     assert not c.missing_rules
+
+
+CLIFFS_PATH = "/root/reference/data/books/Speak-cliffsnotes-summary.txt"
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(CLIFFS_PATH),
+                    reason="reference data absent")
+def test_held_out_prose_coverage(parser):
+    """≥0.9 parse+compose rate on genuinely held-out expository prose
+    (every 6th sentence of the cliffsnotes corpus — none are fixtures)."""
+    from ie_ray.nlp.text import split_sentences
+    sents = []
+    for para in open(CLIFFS_PATH).read().split("\n"):
+        para = para.strip()
+        if para:
+            sents.extend(split_sentences(para))
+    pool = [s for s in sents if 3 <= len(s.split()) <= 40][::6]
+    assert len(pool) > 100
+    c = Composer()
+    ok = 0
+    for s in pool:
+        d = parser.parse(s)
+        if d is None:
+            continue
+        c.compose_ccgbank(d)      # must not raise on a produced parse
+        ok += 1
+    assert not c.missing_rules, c.missing_rules
+    assert ok / len(pool) >= 0.9, (ok, len(pool))
