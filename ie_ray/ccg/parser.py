@@ -417,8 +417,26 @@ def _mk_functor_sig(result: Category, slash: str, arg: Category) -> str:
     return r + slash + a
 
 
+_COMBINE_CACHE: Dict[tuple, list] = {}
+
+
 def _combine(lc: Category, rc: Category, lconj: bool, rconj: bool):
-    """Yield (result Category, conj flag, weight, head child) options."""
+    """(result Category, conj flag, weight, head child) options.
+
+    Results depend only on the two signatures + conj flags, and the same
+    pairs recur millions of times across a corpus — memoized globally
+    (the cache is per-process; actor pools each build their own)."""
+    key = (lc.signature, rc.signature, lconj, rconj)
+    hit = _COMBINE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    out = _combine_raw(lc, rc, lconj, rconj)
+    if len(_COMBINE_CACHE) < 1_000_000:
+        _COMBINE_CACHE[key] = out
+    return out
+
+
+def _combine_raw(lc: Category, rc: Category, lconj: bool, rconj: bool):
     out = []
     lp, rp = lc.ispunct, rc.ispunct
     if lp and rp:
@@ -488,7 +506,19 @@ _CAT_VPMOD = Category.parse(r"(S\NP)\(S\NP)")  # trailing participial adjunct
 _CAT_SINIT = Category.parse(r"S/S")            # fronted participial adjunct
 
 
+_UNARY_CACHE: Dict[str, list] = {}
+
+
 def _unary_options(cat: Category):
+    hit = _UNARY_CACHE.get(cat.signature)
+    if hit is not None:
+        return hit
+    out = _unary_options_raw(cat)
+    _UNARY_CACHE[cat.signature] = out
+    return out
+
+
+def _unary_options_raw(cat: Category):
     out = []
     if cat.isn:
         out.append((_CAT_NP, -0.1))
