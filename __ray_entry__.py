@@ -1182,6 +1182,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
 
+    def docs_pack_sequences(sf_dir):
+        """Sequence packing: each doc's start offset and chunk id in the
+        concatenated 2048-token training stream (distributed prefix sum —
+        one small bucket-totals groupby + bounded per-bucket groups; see
+        ie_ray/stages/packing.py)."""
+        from ie_ray.stages.packing import pack_sequences
+        return pack_sequences(_docs(sf_dir), seq_len=2048)
+
     def docs_weighted_mix(sf_dir):
         """Per-source weighted corpus mixing — the data-mixing step of
         training-corpus assembly: each source gets a deterministic keep
@@ -1952,6 +1960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": normalize_docs,
         "knn_top1_ivf": knn_top1_ivf,
         "docs_sample_10pct": docs_sample_10pct,
+        "docs_pack_sequences": docs_pack_sequences,
         "docs_weighted_mix": docs_weighted_mix,
         "events_stratified_sample": events_stratified_sample,
         "q3_shipping": q3_shipping,
@@ -2271,6 +2280,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM documents WHERE "
             "('0x' || substr(md5(text), 1, 8))::BIGINT % 100 "
             "< 25 * (substr(source, 4)::BIGINT % 4 + 1)",
+        "docs_pack_sequences":
+            "WITH c AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) "
+            "END::BIGINT AS n_tokens FROM documents) "
+            "SELECT doc_id, n_tokens, "
+            "COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), "
+            "0)::BIGINT AS tok_offset, "
+            "(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "// 2048)::BIGINT AS chunk_id FROM c",
         "events_stratified_sample":
             "WITH r AS (SELECT event_type, event_id, row_number() OVER ("
             "PARTITION BY event_type ORDER BY md5(event_id::VARCHAR), "
