@@ -104,6 +104,16 @@ _IRREGULAR_PAST = _irregular_forms() | {"died", "met", "won", "ran", "sat",
                                         "left", "felt"}
 
 
+# irregular participles that are ONLY participles (never finite past):
+# the suffix rules misread most of these as nouns ("stolen" → NN)
+_VBN_ONLY = {"stolen", "seen", "fallen", "eaten", "beaten", "chosen",
+             "frozen", "hidden", "ridden", "risen", "shaken", "woken",
+             "sworn", "torn", "worn", "drawn", "flown", "blown", "shown",
+             "gone", "done", "born", "borne", "lain", "sewn", "gotten",
+             "proven", "driven", "forgotten", "forbidden", "mistaken",
+             "overtaken", "undertaken", "arisen", "awoken", "bitten",
+             "stricken", "swollen", "sunken", "shrunken"}
+
 _MONTH_WORDS = {"may", "march", "august", "january", "february", "april",
                 "june", "july", "september", "october", "november",
                 "december"}
@@ -129,6 +139,8 @@ def _lex_tag(word: str, lower: str, sent_initial: bool) -> str:
         return "CD"
     if word[0].isupper() and not sent_initial:
         return "NNP"
+    if lower in _VBN_ONLY:
+        return "VBN"
     if lower in _IRREGULAR_PAST:
         return "VBD"   # repaired to VBN after have/be
     if lower.endswith("ly") and len(lower) > 4:

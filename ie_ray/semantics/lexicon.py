@@ -81,6 +81,32 @@ _IRREGULAR_VERBS = {
     "shaken": "shake", "struck": "strike", "hid": "hide", "hidden": "hide",
     "forgot": "forget", "forgotten": "forget", "froze": "freeze",
     "frozen": "freeze", "arose": "arise", "arisen": "arise",
+    "stole": "steal", "stolen": "steal", "seen": "see",
+    "beaten": "beat", "bit": "bite", "bitten": "bite",
+    "woke": "wake", "woken": "wake", "awoke": "awake", "awoken": "awake",
+    "showed": "show", "shown": "show", "swollen": "swell",
+    "tore": "tear", "torn": "tear", "sworn": "swear",
+    "bore": "bear", "borne": "bear", "proven": "prove",
+    "mistook": "mistake", "mistaken": "mistake",
+    "overtook": "overtake", "overtaken": "overtake",
+    "undertook": "undertake", "undertaken": "undertake",
+    "rode": "ride", "ridden": "ride", "rang": "ring", "rung": "ring",
+    "sprang": "spring", "sprung": "spring",
+    "drank": "drink", "drunk": "drink",
+    "blew": "blow", "blown": "blow",
+    "sank": "sink", "sunk": "sink", "sunken": "sink",
+    "shrank": "shrink", "shrunk": "shrink", "shrunken": "shrink",
+    "swam": "swim", "swum": "swim", "spun": "spin", "stuck": "stick",
+    "stung": "sting", "strode": "stride", "wove": "weave",
+    "woven": "weave", "slew": "slay", "slain": "slay",
+    "forbade": "forbid", "forbidden": "forbid",
+    "crept": "creep", "swept": "sweep", "wept": "weep",
+    "slept": "sleep", "fled": "flee", "fought": "fight", "dug": "dig",
+    "hung": "hang", "shone": "shine", "bled": "bleed", "bred": "breed",
+    "fed": "feed", "sped": "speed", "wound": "wind", "ground": "grind",
+    "strung": "string", "swung": "swing", "clung": "cling",
+    "flung": "fling", "stank": "stink", "stunk": "stink",
+    "sewn": "sew", "mown": "mow", "lain": "lie",
 }
 
 _VOWELS = set("aeiou")
