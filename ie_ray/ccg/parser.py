@@ -125,7 +125,9 @@ _CLOSED_CATS: Dict[str, list] = {
     "because": [(r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.2),
                 (r"(S/S)/S[dcl]", "IN", -0.25)],
     "while": [(r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.2),
-              (r"(S/S)/S[dcl]", "IN", -0.25)],
+              (r"(S/S)/S[dcl]", "IN", -0.25),
+              (r"((S\NP)\(S\NP))/(S[ng]\NP)", "IN", -0.3),
+              (r"(S/S)/(S[ng]\NP)", "IN", -0.32)],
     "if": [(r"(S/S)/S[dcl]", "IN", -0.2),
            (r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.25),
            (r"S[em]/S[dcl]", "IN", -0.3)],
@@ -136,7 +138,9 @@ _CLOSED_CATS: Dict[str, list] = {
                (r"(S\NP)\(S\NP)", "RB", -0.4)],
     "when": [(r"((S\NP)\(S\NP))/S[dcl]", "WRB", -0.2),
              (r"(S/S)/S[dcl]", "WRB", -0.25),
-             (r"((S\NP)\(S\NP))/S[q]", "WRB", -0.3)],
+             (r"((S\NP)\(S\NP))/S[q]", "WRB", -0.3),
+             (r"((S\NP)\(S\NP))/(S[ng]\NP)", "WRB", -0.3),
+             (r"(S/S)/(S[ng]\NP)", "WRB", -0.32)],
     # wh-degree question: "How much does it cost …" — the wh-phrase
     # consumes an object-gap question clause built by do-support +
     # crossed composition
@@ -154,10 +158,12 @@ _CLOSED_CATS: Dict[str, list] = {
            (r"(S\NP)/(S\NP)", "RB", -0.3), (r"S/S", "RB", -0.35),
            (r"(S\NP)\(S\NP)", "RB", -0.35)],
     # "as" subordinator ("As the year comes to an end, …") on top of the
-    # ordinary prepositional readings
+    # ordinary prepositional readings; S[em] argument covers "as if …" /
+    # "as though …" (the if/though token supplies S[em]/S[dcl])
     "as": [(c, "IN", w - 0.05) for c, _p, w in _PREP_CATS] + [
         (r"(S/S)/S[dcl]", "IN", -0.2),
-        (r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.22)],
+        (r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.22),
+        (r"((S\NP)\(S\NP))/S[em]", "IN", -0.3)],
     # free relatives: "what happened …" (subject gap), "what he deserves"
     # (object gap via type-raise + composition)
     "what": [(r"NP/(S[dcl]\NP)", "WP", -0.15),
@@ -183,7 +189,15 @@ for _w in ("until", "after", "before", "since", "once", "unless",
         base = [(c, "IN", w) for c, _p, w in _PREP_CATS]
     _CLOSED_CATS[_w] = base + [
         (r"(S/S)/S[dcl]", "IN", -0.18),
-        (r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.2)]
+        (r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.2),
+        # gerund complement: "when interacting with others",
+        # "after leaving the party"
+        (r"((S\NP)\(S\NP))/(S[ng]\NP)", "IN", -0.3),
+        (r"(S/S)/(S[ng]\NP)", "IN", -0.32)]
+
+# "as though she knew" parallels "as if": though supplies the S[em]
+_CLOSED_CATS["though"] = _CLOSED_CATS["though"] + [
+    (r"S[em]/S[dcl]", "IN", -0.3)]
 
 # "once"/"before"/"after" as plain adverbs: "Once again, …", "seen before";
 # intransitive-preposition adverbs: "I turn around", "she walks over"
@@ -356,6 +370,12 @@ _NOUN_VERB_HEDGE = {
 
 _SENT_INITIAL_CC = [(r"S/S", "CC", -0.1)]
 
+# imperative hedge for the first token ("Shut your trap", "Pay close
+# attention to …"): the tagger reads sentence-initial verbs as NNP/NN
+_IMPERATIVE_HEDGE = [(r"(S[b]\NP)/NP", "VB", -0.65),
+                     (r"S[b]\NP", "VB", -0.7),
+                     (r"((S[b]\NP)/PP)/NP", "VB", -0.7)]
+
 
 def supertag(words: List[str],
              hedge: bool = True) -> List[List[Tuple[str, str, float]]]:
@@ -369,6 +389,8 @@ def supertag(words: List[str],
             cands = _POS_CATS.get(t) or [("N", "NN", -0.2)]
             if hedge and t in _NOUN_VERB_HEDGE:
                 cands = cands + _NOUN_VERB_HEDGE[t]
+            if hedge and i == 0 and t in ("NNP", "NN"):
+                cands = cands + _IMPERATIVE_HEDGE
         elif i == 0 and lower in ("and", "or", "but", "nor", "so", "yet"):
             # sentence-initial discourse connective: "And I don't have …"
             cands = _SENT_INITIAL_CC + cands
@@ -550,10 +572,16 @@ def _unary_options_raw(cat: Category):
         out.append((_CAT_RELRED, -0.65))
         out.append((_CAT_VPMOD, -0.7))
         out.append((_CAT_SINIT, -0.75))
-    elif cat.isfunctor and cat.isarg_right and cat.arg.isnp \
-            and cat.result.isatom and cat.result.base == "S":
-        # object-gap clause as a bare noun postmodifier (reduced relative)
-        out.append((_CAT_RELRED, -0.6))
+    elif cat.isfunctor and cat.isarg_right and cat.arg.isnp:
+        res = cat.result
+        if res.isatom and res.base == "S":
+            # object-gap clause as a noun postmodifier (reduced relative)
+            out.append((_CAT_RELRED, -0.6))
+        elif res.isfunctor and res.isarg_left and res.arg.isnp \
+                and res.result.isatom and res.result.base == "S":
+            # object-gap VP, incl. stranded prepositions:
+            # "anyone to sit with" — (S[to]\NP)/NP → NP\NP
+            out.append((_CAT_RELRED, -0.65))
     return out
 
 
@@ -655,7 +683,7 @@ class CkyParser:
             c = it.cat
             pri = 3 if c.signature == "S[dcl]" else \
                 2 if (c.isatom and c.base == "S") else \
-                1 if c.isnp else 0
+                1 if (c.isnp or c.signature == "S[b]\\NP") else 0
             if pri == 0:
                 continue
             key = (pri, it.score)

@@ -30,7 +30,13 @@ _CLOSED = {
     "he": "PRP", "she": "PRP", "it": "PRP", "they": "PRP", "we": "PRP",
     "i": "PRP", "you": "PRP", "him": "PRP", "them": "PRP", "us": "PRP",
     "me": "PRP", "himself": "PRP", "herself": "PRP", "itself": "PRP",
-    "themselves": "PRP", "who": "WP", "whom": "WP", "whose": "WP$",
+    "themselves": "PRP", "myself": "PRP", "yourself": "PRP",
+    "ourselves": "PRP",
+    # indefinite pronouns (the -ing/-s suffix rules misread these)
+    "something": "NN", "anything": "NN", "nothing": "NN",
+    "everything": "NN", "someone": "NN", "anyone": "NN", "everyone": "NN",
+    "somebody": "NN", "anybody": "NN", "nobody": "NN", "everybody": "NN",
+    "who": "WP", "whom": "WP", "whose": "WP$",
     "which": "WDT", "what": "WP", "there": "EX",
     # conjunctions
     "and": "CC", "or": "CC", "but": "CC", "nor": "CC", "&": "CC",
@@ -208,6 +214,20 @@ def tag(words: List[str]) -> List[str]:
         if tags[i] == "VBD" and prev in ("get", "gets", "got", "getting",
                                          "gotten"):
             tags[i] = "VBN"
+        # modal homograph as head noun: "a trash can", "his will" — only
+        # when nothing verb-like follows ("The committee will review …"
+        # must stay MD)
+        if tags[i] == "MD" and prev_tag in ("DT", "JJ", "NN", "PRP$",
+                                            "POS") \
+                and (i + 1 == len(words) or tags[i + 1] in (
+                    ".", ",", ";", ":", "RRB", "RQU", "IN", "CC")):
+            tags[i] = "NN"
+        # participle between a determiner and a nominal is attributive:
+        # "my left ear", "the stolen passes", "a broken arm"
+        if tags[i] in ("VBD", "VBN") and prev_tag in ("DT", "PRP$", "POS") \
+                and i + 1 < len(words) and tags[i + 1] in (
+                    "NN", "NNS", "NNP", "NNPS"):
+            tags[i] = "JJ"
         # noun tag right after a relativizer is the relative clause's verb
         # ("ways that make …", "the person who speaks …")
         if prev_tag in ("WDT", "WP"):
