@@ -1707,6 +1707,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             expr="kind != 'quarantine' and kind != 'empty'")
         return build_edges(good)
 
+    def kg_incremental(sf_dir):
+        """Incremental graph maintenance: the fixture corpus arrives as
+        two deltas merged into versioned mergeable state (label counts +
+        additive edge counts); returns the final edges table — identical
+        to a one-shot build (pinned by tests/test_graph_update.py)."""
+        import tempfile
+        from ie_ray.stages.graph_update import read_graph, update_graph
+        fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
+        good = kg_triples(fd).filter(
+            expr="kind != 'quarantine' and kind != 'empty'").materialize()
+
+        def half(parity):
+            def fn(b: pa.Table) -> pa.Table:
+                mask = [len(u) % 2 == parity
+                        for u in b.column("url").to_pylist()]
+                return b.filter(pa.array(mask))
+            return fn
+
+        out = tempfile.mkdtemp(prefix="kg_inc_", dir="/tmp")
+        update_graph(out, good.map_batches(half(0), batch_format="pyarrow"))
+        update_graph(out, good.map_batches(half(1), batch_format="pyarrow"))
+        return read_graph(out, "edges")
+
     def kg_canonical_edges(sf_dir):
         """Full canonicalization path: triples → _AKA alias edges →
         distributed connected components (join-based label propagation) →
@@ -1979,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": kg_edges,
         "kg_pagerank": kg_pagerank,
         "kg_canonical_edges": kg_canonical_edges,
+        "kg_incremental": kg_incremental,
         "extraction_identity": extraction_identity,
         "clause_extract": clause_extract,
         "cky_parse_triples": cky_parse_triples,
