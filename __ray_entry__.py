@@ -1190,6 +1190,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ie_ray.stages.packing import pack_sequences
         return pack_sequences(_docs(sf_dir), seq_len=2048)
 
+    def docs_new_vs_seen(sf_dir):
+        """Continuous-crawl membership: which probe docs are NEW vs a
+        seen corpus (doc_id % 3 == 0), exactly — a broadcast Bloom
+        prefilter drops definite-new rows locally and only bloom-positive
+        rows enter the exact anti-join exchange (see stages/bloom.py)."""
+        import hashlib
+        from ie_ray.stages.bloom import bloom_new_rows
+
+        def keyed(b: pa.Table) -> pa.Table:
+            ks = [int.from_bytes(
+                hashlib.md5(t.encode("utf-8")).digest()[:4], "big")
+                for t in b.column("text").to_pylist()]
+            return pa.table({"doc_id": b.column("doc_id"),
+                             "k": pa.array(ks, type=pa.int64())})
+
+        def third(want: bool):
+            def fn(b: pa.Table) -> pa.Table:
+                import numpy as np
+                m = b.column("doc_id").to_numpy() % 3 == 0
+                return b.filter(pa.array(m if want else ~m))
+            return fn
+
+        docs = _docs(sf_dir).map_batches(keyed, batch_format="pyarrow")
+        seen = docs.map_batches(third(True), batch_format="pyarrow")
+        probe = docs.map_batches(third(False), batch_format="pyarrow")
+        new = bloom_new_rows(probe, seen, "k")
+        return new.select_columns(["doc_id"])
+
     def docs_weighted_mix(sf_dir):
         """Per-source weighted corpus mixing — the data-mixing step of
         training-corpus assembly: each source gets a deterministic keep
@@ -1984,6 +2012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top1_ivf": knn_top1_ivf,
         "docs_sample_10pct": docs_sample_10pct,
         "docs_pack_sequences": docs_pack_sequences,
+        "docs_new_vs_seen": docs_new_vs_seen,
         "docs_weighted_mix": docs_weighted_mix,
         "events_stratified_sample": events_stratified_sample,
         "q3_shipping": q3_shipping,
@@ -2304,6 +2333,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source FROM documents WHERE "
             "('0x' || substr(md5(text), 1, 8))::BIGINT % 100 "
             "< 25 * (substr(source, 4)::BIGINT % 4 + 1)",
+        "docs_new_vs_seen":
+            "WITH keyed AS (SELECT doc_id, "
+            "('0x' || substr(md5(text), 1, 8))::BIGINT AS k "
+            "FROM documents) "
+            "SELECT p.doc_id FROM keyed p WHERE p.doc_id % 3 != 0 "
+            "AND NOT EXISTS (SELECT 1 FROM keyed s "
+            "WHERE s.doc_id % 3 = 0 AND s.k = p.k)",
         "docs_pack_sequences":
             "WITH c AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
             "ELSE len(regexp_split_to_array(trim(text), '\\s+')) "

@@ -57,10 +57,12 @@ def _exists_join(left_ds, right_ds, left_key: str, right_key: str,
 
     lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
     # Right blocks must union with the left schema: null-pad left columns.
-    sch = lt.schema()
+    # The schema comes from left_ds, NOT the tagged dataset — Ray 2.49
+    # cannot infer a post-UDF schema when every sampled block is empty
+    # (e.g. a heavily-filtered left side) and returns None.
+    sch = left_ds.schema(fetch_if_missing=True)
     for name, typ in zip(sch.names, sch.types):
-        if name not in ("__k", "__probe"):
-            left_schema[name] = typ
+        left_schema[name] = typ
     rt = right_ds.map_batches(tag_right, batch_format="pyarrow")
 
     def decide(g: pa.Table) -> pa.Table:
