@@ -528,6 +528,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return distinct_count(ev, "event_type", "user_id",
                               out="n_users")
 
+    def events_users_approx(sf_dir):
+        """HyperLogLog approximate distinct users per event type — the
+        scale path when exact distinct_count's per-pair exchange is the
+        job (constant 16 KiB registers per block×group, merged by max;
+        ±1% at p=14, gate-tested ±3%; see stages/sketches.py).  No SQL
+        oracle: the estimate is sketch-defined (deterministic, pytest
+        pins accuracy vs exact)."""
+        from ie_ray.stages.sketches import hll_distinct
+        ev = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+        return hll_distinct(ev, "user_id", group_col="event_type")
+
     _LANGS = ("de", "en", "es", "fr", "zh")
 
     def docs_lang_pivot(sf_dir):
@@ -1990,6 +2001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_click_purchase": events_range_click_purchase,
         "customers_without_events": customers_without_events,
         "events_distinct_users": events_distinct_users,
+        "events_users_approx": events_users_approx,
         "docs_lang_pivot": docs_lang_pivot,
         "docs_longest100": docs_longest100,
         "events_value_histogram": events_value_histogram,
