@@ -119,7 +119,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "doc_tfidf_top3", "inverted_index", "embedding_kmeans",
                  "q5_local_supplier", "events_range_click_purchase",
                  "customers_without_events", "doc_char_entropy",
-                 "events_cohort_retention"):
+                 "events_cohort_retention", "docs_pack_sequences",
+                 "docs_new_vs_seen", "events_users_approx"):
         consume(name)
 
     total = round(time.time() - t0, 3)
