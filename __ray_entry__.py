@@ -19,6 +19,10 @@ from typing import Any
 
 import pyarrow as pa
 
+# BM25 query: one rare term ('dup', df≈25/500 at sf0.01) + three common
+# ones, so idf and length-normalization both move the ranking
+_BM25_QUERY = ["dup", "join", "stream", "hash"]
+
 _EN_STOPWORDS_SQL = ("['the','a','an','and','or','of','to','in','is','are',"
                      "'was','were','it','that','this','with','for','on','as',"
                      "'at','by','be','has','have','not','but']")
@@ -1487,6 +1491,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             batch_format="pyarrow"))
         return agg.sort(["n", "word"], descending=[True, False]).limit(20)
 
+    def bm25_top10(sf_dir):
+        """Okapi BM25 top-10 docs for a fixed mixed-rarity term query.
+        One combiner pass reduces (n_docs, Σ dl, per-term df) to
+        ≤ |query|+2 rows; scoring is a stateless map with per-block
+        local top-k, so only k×n_blocks rows reach the global sort.
+        See ie_ray/stages/retrieval.py."""
+        from ie_ray.stages.retrieval import bm25_topk
+        return bm25_topk(_docs(sf_dir), _BM25_QUERY, k=10)
+
+    def doc_unigram_logprob(sf_dir):
+        """Per-doc unigram-LM log-probability (perplexity-style quality
+        score): block-local tf → one vocab exchange (stays a Dataset) →
+        hash join → per-doc sum.  No driver-side vocab map."""
+        from ie_ray.stages.retrieval import unigram_logprob
+        return unigram_logprob(_docs(sf_dir))
+
     def doc_tfidf_top3(sf_dir):
         """Per-doc top-3 TF-IDF terms — the canonical two-exchange
         corpus-statistics shape: (1) per-block polars explode computes
@@ -2030,6 +2050,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping": q3_shipping,
         "q5_local_supplier": q5_local_supplier,
         "top_words": top_words,
+        "bm25_top10": bm25_top10,
+        "doc_unigram_logprob": doc_unigram_logprob,
         "doc_tfidf_top3": doc_tfidf_top3,
         "inverted_index": inverted_index,
         "label_centroids": label_centroids,
@@ -2063,6 +2085,8 @@ def oracle_sql() -> dict[str, str]:
     from ie_ray.stages.dedup import (EMBEDDING_DUP_SQL, NGRAM_PAIRS_SQL,
                                      _NGRAM_SQL_GRAMS, minhash_oracle_sql,
                                      simhash_oracle_sql)
+    from ie_ray.stages.retrieval import (UNIGRAM_LOGPROB_SQL as _UNIGRAM_SQL,
+                                         bm25_oracle_sql as _bm25_oracle)
     keep_sql = (
         "WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(translate("
         "text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
@@ -2125,6 +2149,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_md5":
             "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "doc_repetition": REPETITION_SQL,
+        "bm25_top10": _bm25_oracle(_BM25_QUERY, 10),
+        "doc_unigram_logprob": _UNIGRAM_SQL,
         "doc_tfidf_top3":
             "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
             "AS word FROM documents), "

@@ -1,0 +1,200 @@
+"""Full-text retrieval and language-model scoring over the corpus.
+
+* ``bm25_topk``        — Okapi BM25 top-k documents for a term query
+* ``unigram_logprob``  — per-document unigram-LM log-probability
+
+Both follow the corpus-statistics discipline the reference's batch
+aggregators use (marbles ie ``newsfeed/scrape.py`` counters; our
+SURVEY §2.9 scalar-fn family): statistics that are O(|query|) or O(1)
+(document frequency of the query terms, corpus size, average doc
+length, total token count) are reduced with ONE combiner-style
+exchange and broadcast back; anything O(vocabulary) stays a
+distributed Dataset and rejoins by hash — no driver-side vocab map
+at any point, which is what survives a 100 TB corpus.
+
+Tokenization contract: tokens are single-space splits of the raw text
+(``text.split(" ")``), identical to DuckDB ``string_split(text, ' ')``
+so every operator here carries an exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ie_ray.stages.dedup import _join_partitions
+
+
+def _tf_batch(b: pa.Table) -> pa.Table:
+    """Exact per-doc term frequencies, computed block-locally (a doc's
+    text is one row, so its tokens never span blocks — no shuffle)."""
+    import polars as pl
+    df = pl.from_arrow(b.select(["doc_id", "text"]))
+    e = (df.with_columns(pl.col("text").str.split(" ").alias("w"))
+           .drop("text").explode("w"))
+    tf = e.group_by(["doc_id", "w"]).agg(pl.len().alias("c"))
+    out = (tf.rename({"w": "word"})
+             .with_columns(pl.col("c").cast(pl.Int64)).to_arrow())
+    # polars emits large_string; Ray's hash join needs plain string
+    return out.cast(pa.schema([
+        pa.field(f.name, pa.string() if f.type == pa.large_string()
+                 else f.type) for f in out.schema]))
+
+
+def bm25_topk(docs, query: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 top-k ``(rank, doc_id, score)`` for a bag-of-terms
+    query (Robertson/Sparck-Jones idf with the Lucene +1 floor).
+
+    Shape: (1) one combiner pass reduces the corpus stats the formula
+    needs — n_docs, Σ doc-length, and per-query-term document
+    frequency — into ≤ |query|+1 rows (each block emits its partial,
+    one tiny ``groupby.sum`` merges them); (2) the scoring pass is a
+    stateless ``map_batches`` with the |query|-row stats broadcast in
+    the closure, keeping a per-block local top-k so only
+    k × n_blocks candidate rows reach (3) the final global
+    ``sort().limit(k)``.  Nothing O(corpus) ever leaves the executor.
+    """
+    qset = sorted(set(query))
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+        texts = t.column("text")
+        dl = pc.add(pc.count_substring(texts, " "), 1)  # len(split(" "))
+        rows = {"key": ["__n__", "__dl__"],
+                "val": [t.num_rows, int(pc.sum(dl).as_py() or 0)]}
+        e = (pl.from_arrow(t.select(["doc_id", "text"]))
+               .with_columns(pl.col("text").str.split(" ").alias("w"))
+               .drop("text").explode("w")
+               .filter(pl.col("w").is_in(qset))
+               .unique(["doc_id", "w"])
+               .group_by("w").agg(pl.len().alias("d")))
+        for w, d in e.iter_rows():
+            rows["key"].append(w)
+            rows["val"].append(int(d))
+        return pa.table({"key": pa.array(rows["key"], type=pa.string()),
+                         "val": pa.array(rows["val"], type=pa.int64())})
+
+    stats = {r["key"]: r["sum(val)"]
+             for r in (docs.map_batches(stats_partial,
+                                        batch_format="pyarrow")
+                       .groupby("key").sum("val")
+                       .iter_rows())}
+    n_docs = stats["__n__"]
+    avgdl = stats["__dl__"] / n_docs
+    idf = {w: math.log((n_docs - stats.get(w, 0) + 0.5)
+                       / (stats.get(w, 0) + 0.5) + 1.0) for w in qset}
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        import polars as pl
+        dl = pc.add(pc.count_substring(t.column("text"), " "), 1)
+        norm = {i: k1 * (1 - b + b * d / avgdl)
+                for i, d in enumerate(dl.to_pylist())}
+        pos = {int(d): i for i, d in enumerate(t.column("doc_id").to_pylist())}
+        e = (pl.from_arrow(t.select(["doc_id", "text"]))
+               .with_columns(pl.col("text").str.split(" ").alias("w"))
+               .drop("text").explode("w")
+               .filter(pl.col("w").is_in(qset))
+               .group_by(["doc_id", "w"]).agg(pl.len().alias("tf")))
+        score = np.zeros(t.num_rows)
+        for doc_id, w, tf in e.iter_rows():
+            i = pos[int(doc_id)]
+            score[i] += idf[w] * tf * (k1 + 1) / (tf + norm[i])
+        keep = score > 0.0
+        out = pa.table({
+            "doc_id": t.column("doc_id").filter(pa.array(keep)),
+            "score": pa.array(np.round(score[keep], 4),
+                              type=pa.float64())})
+        # local top-k: only k rows per block reach the global sort
+        idx = pc.sort_indices(out, sort_keys=[("score", "descending"),
+                                              ("doc_id", "ascending")])
+        return out.take(idx[:k])
+
+    top = (docs.map_batches(score_batch, batch_format="pyarrow")
+           .sort(["score", "doc_id"], descending=[True, False]).limit(k))
+
+    def rank(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "rank": pa.array(range(1, t.num_rows + 1), type=pa.int64()),
+            "doc_id": t.column("doc_id"),
+            "score": t.column("score")})
+
+    # limit(k) leaves ≤ k rows; repartition(1) makes ranking exact
+    return top.repartition(1).map_batches(rank, batch_format="pyarrow")
+
+
+def bm25_oracle_sql(query: list[str], k: int = 10,
+                    k1: float = 1.2, b: float = 0.75) -> str:
+    """Exact DuckDB equivalent of :func:`bm25_topk` on ``documents``."""
+    qlist = ", ".join("'%s'" % w for w in sorted(set(query)))
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS word FROM documents), "
+        "dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id), "
+        "st AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl), "
+        "qt AS (SELECT unnest([%s]) AS word), "
+        "df AS (SELECT qt.word, count(DISTINCT tok.doc_id) AS df "
+        "FROM qt LEFT JOIN tok USING (word) GROUP BY qt.word), "
+        "tf AS (SELECT doc_id, word, count(*) AS tf FROM tok "
+        "JOIN qt USING (word) GROUP BY doc_id, word), "
+        "s AS (SELECT tf.doc_id, round(sum("
+        "ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) * "
+        "tf.tf * (%s + 1) / "
+        "(tf.tf + %s * (1 - %s + %s * dl.dl / st.avgdl))), 4) AS score "
+        "FROM tf JOIN df USING (word) JOIN dl USING (doc_id) "
+        "CROSS JOIN st GROUP BY tf.doc_id) "
+        "SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank, "
+        "doc_id, score FROM s ORDER BY score DESC, doc_id LIMIT %d"
+        % (qlist, k1, k1, b, b, k))
+
+
+def unigram_logprob(docs):
+    """Per-document unigram-LM log-probability
+    ``Σ_tokens ln(count(w) / total_tokens)`` — the classic
+    perplexity-style quality score a pre-training pipeline runs over
+    every shard.
+
+    Shape: (1) block-local exact tf (no shuffle), (2) ONE vocab-sized
+    exchange builds the global word-count table — which stays a
+    Dataset, (3) the total token count reduces to a single scalar,
+    (4) a hash join ships each word's corpus count back to its tf
+    rows, (5) one exchange on doc_id sums the per-word contributions
+    (associative, pre-combined).  Returns (doc_id, logprob) with
+    logprob rounded to 4 dp.
+    """
+    tf = docs.map_batches(_tf_batch, batch_format="pyarrow")
+    cnt = (tf.groupby("word").sum("c")
+           .map_batches(lambda t: t.rename_columns(["word", "cnt"]),
+                        batch_format="pyarrow"))
+    total = cnt.sum("cnt")
+
+    joined = tf.join(cnt, "inner", num_partitions=_join_partitions(),
+                     on=("word",))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        lp = pc.multiply(
+            pc.cast(t.column("c"), pa.float64()),
+            pc.ln(pc.divide(pc.cast(t.column("cnt"), pa.float64()),
+                            float(total))))
+        return pa.table({"doc_id": t.column("doc_id"), "lp": lp})
+
+    out = (joined.map_batches(contrib, batch_format="pyarrow")
+           .groupby("doc_id").sum("lp")
+           .map_batches(lambda t: pa.table({
+               "doc_id": t.column("doc_id"),
+               "logprob": pc.round(t.column("sum(lp)"), 4)}),
+               batch_format="pyarrow"))
+    return out
+
+
+UNIGRAM_LOGPROB_SQL = (
+    "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+    "AS word FROM documents), "
+    "cnt AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word), "
+    "tot AS (SELECT count(*) AS t FROM tok) "
+    "SELECT doc_id, round(sum(ln(cnt.cnt::DOUBLE / tot.t)), 4) "
+    "AS logprob FROM tok JOIN cnt USING (word) CROSS JOIN tot "
+    "GROUP BY doc_id")
