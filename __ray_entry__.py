@@ -1507,6 +1507,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ie_ray.stages.retrieval import unigram_logprob
         return unigram_logprob(_docs(sf_dir))
 
+    def bpe_top_pairs(sf_dir):
+        """Top-20 BPE merge candidates (adjacent char-pair counts) —
+        the distributed kernel of tokenizer training.  Per-block
+        Counter over DISTINCT words, one bounded-key combiner
+        exchange.  See ie_ray/stages/tokenizer.py."""
+        from ie_ray.stages.tokenizer import bpe_top_pairs as _bpe
+        return _bpe(_docs(sf_dir), k=20)
+
     def doc_tfidf_top3(sf_dir):
         """Per-doc top-3 TF-IDF terms — the canonical two-exchange
         corpus-statistics shape: (1) per-block polars explode computes
@@ -2051,6 +2059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier": q5_local_supplier,
         "top_words": top_words,
         "bm25_top10": bm25_top10,
+        "bpe_top_pairs": bpe_top_pairs,
         "doc_unigram_logprob": doc_unigram_logprob,
         "doc_tfidf_top3": doc_tfidf_top3,
         "inverted_index": inverted_index,
@@ -2087,6 +2096,7 @@ def oracle_sql() -> dict[str, str]:
                                      simhash_oracle_sql)
     from ie_ray.stages.retrieval import (UNIGRAM_LOGPROB_SQL as _UNIGRAM_SQL,
                                          bm25_oracle_sql as _bm25_oracle)
+    from ie_ray.stages.tokenizer import bpe_pairs_oracle_sql as _bpe_oracle
     keep_sql = (
         "WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(translate("
         "text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
@@ -2150,6 +2160,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, md5(text) AS text_md5 FROM documents",
         "doc_repetition": REPETITION_SQL,
         "bm25_top10": _bm25_oracle(_BM25_QUERY, 10),
+        "bpe_top_pairs": _bpe_oracle(20),
         "doc_unigram_logprob": _UNIGRAM_SQL,
         "doc_tfidf_top3":
             "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "

@@ -120,7 +120,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "q5_local_supplier", "events_range_click_purchase",
                  "customers_without_events", "doc_char_entropy",
                  "events_cohort_retention", "docs_pack_sequences",
-                 "docs_new_vs_seen", "events_users_approx"):
+                 "docs_new_vs_seen", "events_users_approx",
+                 "bm25_top10", "doc_unigram_logprob"):
         consume(name)
 
     total = round(time.time() - t0, 3)
