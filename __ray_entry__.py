@@ -1758,6 +1758,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # -- KG pipeline (synthetic pages; rows-only checks) ----------------
 
+    def _pages_ds(sf_dir, columns):
+        import ray.data
+        fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
+        return ray.data.read_parquet(os.path.join(fd, "pages"),
+                                     columns=columns)
+
+    def page_link_graph(sf_dir):
+        """Host-level web link graph from raw page HTML: vectorized
+        href extraction reduced to per-block (src_host, dst_host)
+        partial counts before ONE bounded exchange.  See
+        ie_ray/stages/linkgraph.py (pytest: planted-page golden +
+        NumPy twin)."""
+        from ie_ray.stages.linkgraph import page_link_edges
+        return page_link_edges(_pages_ds(sf_dir, ["url", "html"]))
+
+    def host_pagerank(sf_dir):
+        """Weighted PageRank over the host link graph — mass splits by
+        link count on the COUNT-aggregated edge table (O(|hosts|²) loop
+        input, never per-link rows)."""
+        from ie_ray.stages.linkgraph import host_pagerank as _hpr
+        return _hpr(_pages_ds(sf_dir, ["url", "html"]), iters=5).sort("node")
+
     def kg_triples_q(sf_dir):
         fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
         return kg_triples(fd)
@@ -2069,6 +2091,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexicon_extract": lexicon_extract,
         "nation_region": nation_region,
         "order_status_counts": order_status_counts,
+        "page_link_graph": page_link_graph,
+        "host_pagerank": host_pagerank,
         "kg_triples": kg_triples_q,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,

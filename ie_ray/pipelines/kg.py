@@ -38,8 +38,8 @@ _FIXTURE_CACHE = {}
 
 def default_fixture_dir(n_pages: int = 200, pool_size: int = 1200) -> str:
     """Deterministic fixture tables under /tmp, generated once per size."""
-    # v2: multi-domain page layouts (reuters/nyt/wapo/fox wrappers)
-    d = "/tmp/ie_ray_fixtures/v2_p%d_s%d" % (n_pages, pool_size)
+    # v3: chrome <a href> links for the link-graph operator (v2: multi-domain layouts)
+    d = "/tmp/ie_ray_fixtures/v3_p%d_s%d" % (n_pages, pool_size)
     marker = os.path.join(d, "alias_table.parquet")
     if not os.path.exists(marker):
         write_fixture_tables(d, n_pages=n_pages, pool_size=pool_size)

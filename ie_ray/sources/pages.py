@@ -359,15 +359,26 @@ def sent_key(sentence: str) -> str:
 _BOILERPLATE = ("<nav><ul><li>Home</li><li>World</li><li>Markets</li></ul>"
                 "</nav><div class=\"ad\">Subscribe today!</div>")
 
+# external hosts pages may link to (nav/footer chrome) — the link-graph
+# operator (ie_ray/stages/linkgraph.py) consumes these; they live OUTSIDE
+# every article container so extraction output is unaffected
+_LINK_HOSTS = ["social.example.net", "video.example.org",
+               "archive.example.org", "cdn.example.net"]
+
 
 def _page_html(title: str, paragraphs: List[str],
-               layout: str = "reuters") -> str:
+               layout: str = "reuters", links: List[str] = ()) -> str:
     """Wrap paragraphs in one of the four reference container contracts
     (newsfeed/{reuters,nytimes,washingtonpost,foxnews}.py) so the
     extraction cascade is exercised across heterogeneous layouts.  The
     boilerplate <p> outside the container / without the NYT classes must
-    be dropped by every rule."""
-    noise = _BOILERPLATE + "<p class=\"promo\">Subscribe today!</p>"
+    be dropped by every rule; <a href> chrome links sit outside the
+    containers too (no <p>, no container markers) so both the cascade
+    and the fast path ignore them byte-identically."""
+    nav_links = "".join("<li><a href=\"%s\">more</a></li>" % u
+                        for u in links)
+    noise = (_BOILERPLATE.replace("</ul>", nav_links + "</ul>")
+             + "<p class=\"promo\">Subscribe today!</p>")
     if layout == "nytimes":
         body = "".join(
             "<p class=\"story-body-text story-content\">%s</p>" % p
@@ -423,10 +434,22 @@ def synthesize_pages(n_pages: int, pool: List[dict] = None, seed: int = SEED,
         text = "\n".join(paras)
         url = "https://%s/2017/%02d/%02d/%s" % (
             domain, 1 + (i // 28) % 12, 1 + i % 28, slug)
+        # chrome links: a SEPARATE rng stream so adding them never
+        # perturbs the text/layout draws above (fixture stability)
+        lrng = random.Random((seed << 21) ^ i)
+        links = ["https://%s/2017/%02d/p%d" %
+                 (DOMAINS[lrng.randrange(len(DOMAINS))],
+                  1 + lrng.randrange(12), lrng.randrange(10000))
+                 for _ in range(lrng.randint(1, 3))]
+        links += ["https://%s/x/%d" %
+                  (_LINK_HOSTS[lrng.randrange(len(_LINK_HOSTS))],
+                   lrng.randrange(10000))
+                  for _ in range(lrng.randint(0, 2))]
         rows.append({
             "url": url,
             "warc_ts": 1484000000_000000 + i * 60_000_000,  # epoch-us sequence
-            "html": _page_html(title_src, paras, layout).encode("utf-8"),
+            "html": _page_html(title_src, paras, layout,
+                               links=links).encode("utf-8"),
             "text": text,
             "lang": lang,
             "_dup_of": dup_of,

@@ -111,6 +111,94 @@ def pagerank(edges, iters: int = 10, damping: float = 0.85,
     return ranks
 
 
+def pagerank_weighted(edges, iters: int = 10, damping: float = 0.85,
+                      num_partitions=None):
+    """Weighted PageRank: edges (subj_id, obj_id, w) with one row per
+    aggregated edge; a source's mass splits across targets ∝ w.  Same
+    loop shape as :func:`pagerank` (one join + one groupby per round);
+    the input stays at O(|distinct edges|), never per-link rows."""
+    parts = _join_partitions(num_partitions)
+
+    def side(col):
+        return (edges.select_columns([col])
+                .map_batches(_rename(["node"]), batch_format="pyarrow"))
+
+    nodes = (side("subj_id").union(side("obj_id"))
+             .groupby("node").count()
+             .map_batches(lambda t: t.select(["node"]),
+                          batch_format="pyarrow")).materialize()
+    n = nodes.count()
+
+    outw = (edges.select_columns(["subj_id", "w"]).groupby("subj_id")
+            .sum("w")
+            .map_batches(_rename(["subj_id", "outw"]),
+                         batch_format="pyarrow"))
+    edges_w = (edges.select_columns(["subj_id", "obj_id", "w"])
+               .join(outw, "inner", num_partitions=parts,
+                     on=("subj_id",))).materialize()
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "rank", pa.array([1.0 / n] * t.num_rows, type=pa.float64()))
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        share = pc.divide(pc.cast(t.column("w"), pa.float64()),
+                          pc.cast(t.column("outw"), pa.float64()))
+        return pa.table({
+            "node": t.column("obj_id"),
+            "c": pc.multiply(t.column("rank"), share)})
+
+    def zero(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "c": pa.array([0.0] * t.num_rows, type=pa.float64())})
+
+    zeros = nodes.map_batches(zero, batch_format="pyarrow")
+
+    for _ in range(iters):
+        contribs = (edges_w
+                    .join(ranks.map_batches(_rename(["subj_id", "rank"]),
+                                            batch_format="pyarrow"),
+                          "inner", num_partitions=parts, on=("subj_id",))
+                    .map_batches(contrib,
+                                 batch_format="pyarrow")).materialize()
+        total = ranks.sum("rank")
+        linked = contribs.sum("c") or 0.0
+        dangling = total - linked
+        base = (1.0 - damping) / n + damping * dangling / n
+
+        def finish(t: pa.Table, base=base) -> pa.Table:
+            import pyarrow.compute as pc
+            r = pc.add(pc.multiply(t.column("sum(c)"), damping), base)
+            return pa.table({"node": t.column("node"), "rank": r})
+
+        ranks = (contribs.union(zeros).groupby("node").sum("c")
+                 .map_batches(finish, batch_format="pyarrow")).materialize()
+
+    return ranks
+
+
+def pagerank_weighted_reference(src, dst, w, iters: int = 10,
+                                damping: float = 0.85) -> dict:
+    """Single-process NumPy twin of :func:`pagerank_weighted`."""
+    nodes = sorted(set(src) | set(dst))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    s = np.array([idx[v] for v in src])
+    d = np.array([idx[v] for v in dst])
+    w = np.asarray(w, dtype=np.float64)
+    outw = np.bincount(s, weights=w, minlength=n)
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[outw == 0].sum()
+        inc = np.bincount(d, weights=r[s] * w / outw[s], minlength=n)
+        r = (1.0 - damping) / n + damping * (inc + dangling / n)
+    return {v: r[idx[v]] for v in nodes}
+
+
 def pagerank_reference(src, dst, iters: int = 10,
                        damping: float = 0.85) -> dict:
     """Single-process NumPy twin for verification; returns {node: rank}."""
