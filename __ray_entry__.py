@@ -1054,6 +1054,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.groupby("event_type").map_groups(q, batch_format="pyarrow")
 
+    def events_global_quantiles(sf_dir):
+        """Exact GLOBAL p50/p95/p99 of events.value by histogram-
+        refinement selection (relational.global_quantiles) — the 100 TB
+        path where neither a full sort nor a driver pull is possible.
+        max_pull=512 forces ≥1 refinement round even at sf0.01."""
+        from ie_ray.stages.relational import global_quantiles
+        ds = _tbl(sf_dir, "events", columns=["value"])
+        qv = global_quantiles(ds, "value", [0.5, 0.95, 0.99],
+                              max_pull=512)
+        return pa.table({
+            "p50": pa.array([round(qv[0.5], 4)], type=pa.float64()),
+            "p95": pa.array([round(qv[0.95], 4)], type=pa.float64()),
+            "p99": pa.array([round(qv[0.99], 4)], type=pa.float64())})
+
     def events_sliding_3h(sf_dir):
         """Sliding event-time window (3 h wide, 1 h slide): each event
         fans out to its 3 covering windows, pre-counted per block before
@@ -2067,6 +2081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs": decontaminate_docs,
         "events_props_stats": events_props_stats,
         "events_value_quantiles": events_value_quantiles,
+        "events_global_quantiles": events_global_quantiles,
         "events_sliding_3h": events_sliding_3h,
         "boilerplate_ngrams": boilerplate_ngrams,
         "doc_dup_ngram_frac": doc_dup_ngram_frac,
@@ -2378,6 +2393,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "
             "round(quantile_cont(value, 0.95), 4) AS p95 "
             "FROM events GROUP BY event_type",
+        "events_global_quantiles":
+            "SELECT round(quantile_cont(value, 0.5), 4) AS p50, "
+            "round(quantile_cont(value, 0.95), 4) AS p95, "
+            "round(quantile_cont(value, 0.99), 4) AS p99 FROM events",
         "events_sliding_3h":
             "SELECT CAST(ws AS VARCHAR) AS window_start, "
             "count(*)::BIGINT AS n FROM (SELECT unnest(["

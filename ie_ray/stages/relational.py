@@ -5,6 +5,8 @@
   ``ie/newsfeed/scraper.py`` hash-listing check, re-expressed as a
   distributed exchange instead of a per-row index probe).
 * ``distinct_count`` — exact count(DISTINCT x) per group.
+* ``global_quantiles`` — exact whole-column quantile_cont via
+  iterative histogram-refinement selection (bounded driver memory).
 
 Scale contract (SURVEY §2 custom-operator rule (a) — compositions the
 streaming executor pipelines, no driver state):
@@ -125,3 +127,120 @@ def distinct_count(ds, group: str, value: str, out: str = "n_distinct"):
 
     return (ds.map_batches(block_pairs, batch_format="pyarrow")
             .groupby(group).map_groups(count, batch_format="pyarrow"))
+
+
+def global_quantiles(ds, col: str, qs, bins: int = 1024,
+                     max_pull: int = 65536):
+    """Exact GLOBAL quantiles (``quantile_cont`` linear interpolation)
+    of a numeric column via iterative histogram-refinement selection —
+    the scale path where "sort everything" or "pull the column to the
+    driver" is not an option.
+
+    Each round runs ONE streaming pass: every block histograms its
+    in-interval values into ``bins`` equal-width buckets (a fixed-size
+    numpy array per block), the partials reduce through an associative
+    groupby, and the target ranks narrow to the bucket that contains
+    them — count-below bookkeeping stays exact, so this is selection,
+    not approximation.  An interval is resolved by pulling its values
+    only once its EXACT count is ≤ ``max_pull`` (bounded driver memory,
+    like DuckDB's external quantile).  A 10^12-row column with 1024
+    bins needs ~3 passes before every rank's interval is pullable.
+
+    Returns {q: exact quantile_cont value}.
+    """
+    qs = sorted(qs)
+
+    def stats(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(col), dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table({"k": pa.array([], type=pa.string()),
+                             "v": pa.array([], type=pa.float64())})
+        return pa.table({"k": ["n", "mn", "mx"],
+                         "v": pa.array([float(len(v)), float(v.min()),
+                                        float(v.max())])})
+
+    parts = {}
+    for r in ds.map_batches(stats, batch_format="pyarrow").iter_rows():
+        k, v = r["k"], r["v"]
+        if k == "n":
+            parts["n"] = parts.get("n", 0.0) + v
+        elif k == "mn":
+            parts["mn"] = min(parts.get("mn", v), v)
+        else:
+            parts["mx"] = max(parts.get("mx", v), v)
+    n = int(parts["n"])
+    if n == 0:
+        return {q: float("nan") for q in qs}
+    lo0, hi0 = parts["mn"], parts["mx"]
+
+    # quantile_cont(q) interpolates order stats at floor/ceil of q*(n-1)
+    need = sorted({int(np.floor(q * (n - 1))) for q in qs}
+                  | {int(np.ceil(q * (n - 1))) for q in qs})
+    # active intervals: (lo, hi, below, count, last) — ranks r with
+    # below <= r < below+count live inside; 'last' ⇒ hi is inclusive
+    active = [(lo0, hi0, 0, n, True)]
+    resolved = {}
+
+    while active:
+        nxt = []
+        for lo, hi, below, cnt, last in active:
+            ranks = [r for r in need if below <= r < below + cnt
+                     and r not in resolved]
+            if not ranks:
+                continue
+            # a degenerate-width interval (mass concentrated on one
+            # value, e.g. 10^9 duplicates) resolves without a pull
+            tiny = (hi - lo) <= max(abs(lo), abs(hi), 1.0) * 1e-12
+            if cnt <= max_pull or tiny or not np.isfinite(hi - lo):
+                if tiny:
+                    for r in ranks:
+                        resolved[r] = lo
+                    continue
+
+                def pull(t: pa.Table, lo=lo, hi=hi, last=last) -> pa.Table:
+                    v = np.asarray(t.column(col), dtype=np.float64)
+                    m = ((v >= lo) & (v <= hi)) if last else \
+                        ((v >= lo) & (v < hi))
+                    return pa.table({"v": pa.array(v[m])})
+
+                vals = np.sort(np.concatenate(
+                    [np.asarray(b.column("v"), dtype=np.float64)
+                     for b in ds.map_batches(pull, batch_format="pyarrow")
+                     .iter_batches(batch_format="pyarrow")] or
+                    [np.array([])]))
+                for r in ranks:
+                    resolved[r] = float(vals[r - below])
+                continue
+
+            edges = np.linspace(lo, hi, bins + 1)
+
+            def hist(t: pa.Table, lo=lo, hi=hi, last=last,
+                     edges=edges) -> pa.Table:
+                v = np.asarray(t.column(col), dtype=np.float64)
+                m = ((v >= lo) & (v <= hi)) if last else \
+                    ((v >= lo) & (v < hi))
+                h, _ = np.histogram(v[m], bins=edges)
+                nz = np.nonzero(h)[0]
+                return pa.table({"bin": pa.array(nz, type=pa.int64()),
+                                 "c": pa.array(h[nz], type=pa.int64())})
+
+            h = np.zeros(bins, dtype=np.int64)
+            for r in (ds.map_batches(hist, batch_format="pyarrow")
+                      .groupby("bin").sum("c").iter_rows()):
+                h[r["bin"]] = r["sum(c)"]
+            cum = below + np.concatenate([[0], np.cumsum(h)])
+            for b in range(bins):
+                sub = [r for r in ranks if cum[b] <= r < cum[b + 1]]
+                if sub:
+                    nxt.append((float(edges[b]), float(edges[b + 1]),
+                                int(cum[b]), int(h[b]),
+                                last and b == bins - 1))
+        active = nxt
+
+    out = {}
+    for q in qs:
+        h = q * (n - 1)
+        f, c = int(np.floor(h)), int(np.ceil(h))
+        out[q] = resolved[f] + (h - f) * (resolved[c] - resolved[f])
+    return out
