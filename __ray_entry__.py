@@ -1798,6 +1798,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
         return kg_triples(fd)
 
+    def kg_entity_types(sf_dir):
+        """Majority-vote entity typing (person/org/concept/other) over
+        all triple mentions — block-level vote pre-counts, bounded
+        per-entity groups (stages/graph.py::type_entities)."""
+        from ie_ray.stages.graph import type_entities
+        fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
+        return type_entities(kg_triples(fd))
+
     def kg_nodes(sf_dir):
         fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
         good = kg_triples(fd).filter(
@@ -2109,6 +2117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_link_graph": page_link_graph,
         "host_pagerank": host_pagerank,
         "kg_triples": kg_triples_q,
+        "kg_entity_types": kg_entity_types,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
         "kg_pagerank": kg_pagerank,

@@ -19,6 +19,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 import time
 from typing import List, Optional
 
@@ -103,6 +104,80 @@ def _node_row(group: pa.Table) -> pa.Table:
         "label": pa.array([best], type=pa.string()),
         "mentions": pa.array([sum(counts)], type=pa.int64()),
     })
+
+
+_ORG_SUFFIXES = {"Corp", "Corp.", "Inc", "Inc.", "Ltd", "Ltd.", "Co",
+                 "Co.", "Industries", "Group", "Holdings", "Partners",
+                 "Bank", "Capital"}
+
+
+def _mention_type(label: str) -> str:
+    """Shape-based type vote for ONE mention surface form (public
+    NER-lite heuristics: corporate suffix ⇒ org; capitalized name —
+    the proper-name merge emits them hyphen-joined, e.g.
+    ``Sofia-Marbury`` — ⇒ person; lowercase ⇒ concept)."""
+    toks = [t for t in re.split(r"[-\s]+", label) if t]
+    if not toks:
+        return "other"
+    if toks[-1] in _ORG_SUFFIXES:
+        return "org"
+    if all(t[:1].isupper() for t in toks) and len(toks) <= 3:
+        return "person"
+    if label.islower():
+        return "concept"
+    return "other"
+
+
+def type_entities(triples_ds):
+    """(entity_id, etype, evidence) — majority-vote entity typing over
+    every mention in the triple stream.
+
+    Same skew discipline as :func:`build_nodes`: votes are pre-counted
+    per (entity_id, etype) INSIDE each block, so a hot entity's 10^9
+    mentions reduce to ≤ 4 rows per block, and the final per-entity
+    group is bounded by the number of types, not the mention count.
+    Ties break deterministically (higher count, then type name).
+    """
+
+    def votes(batch: pa.Table) -> pa.Table:
+        counts: dict = {}
+        for sid, s, oid, o, k in zip(batch.column("subj_id").to_pylist(),
+                                     batch.column("subj").to_pylist(),
+                                     batch.column("obj_id").to_pylist(),
+                                     batch.column("obj").to_pylist(),
+                                     batch.column("kind").to_pylist()):
+            if k in ("quarantine", "empty"):
+                continue
+            if sid is not None:
+                key = (sid, _mention_type(s or ""))
+                counts[key] = counts.get(key, 0) + 1
+            if oid is not None:
+                key = (oid, _mention_type(o or ""))
+                counts[key] = counts.get(key, 0) + 1
+        keys = sorted(counts)
+        return pa.table({
+            "entity_id": pa.array([k[0] for k in keys], type=pa.string()),
+            "etype": pa.array([k[1] for k in keys], type=pa.string()),
+            "n": pa.array([counts[k] for k in keys], type=pa.int64()),
+        })
+
+    per_type = (triples_ds.map_batches(votes, batch_format="pyarrow")
+                .groupby(["entity_id", "etype"]).sum("n")
+                .map_batches(lambda t: t.rename_columns(
+                    ["entity_id", "etype", "n"]), batch_format="pyarrow"))
+
+    def decide(group: pa.Table) -> pa.Table:
+        types = group.column("etype").to_pylist()
+        counts = group.column("n").to_pylist()
+        best = max(zip(counts, types))[1]
+        return pa.table({
+            "entity_id": group.slice(0, 1).column("entity_id"),
+            "etype": pa.array([best], type=pa.string()),
+            "evidence": pa.array([sum(counts)], type=pa.int64()),
+        })
+
+    return per_type.groupby("entity_id").map_groups(decide,
+                                                    batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
