@@ -92,6 +92,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     timings = {}
 
+    cores_probe = _effective_cores()
     t0 = time.time()
     # steady-state sizing: the flagship run must be long enough that actor
     # ramp-up (~5-8 s of fixed cost) doesn't dominate the reported docs/s —
@@ -121,7 +122,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "customers_without_events", "doc_char_entropy",
                  "events_cohort_retention", "docs_pack_sequences",
                  "docs_new_vs_seen", "events_users_approx",
-                 "bm25_top10", "doc_unigram_logprob"):
+                 "bm25_top10", "doc_unigram_logprob", "bpe_top_pairs",
+                 "events_global_quantiles", "page_link_graph"):
         consume(name)
 
     total = round(time.time() - t0, 3)
@@ -132,6 +134,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "queries": timings,
         "sf": _sf(sf_dir),
         "num_cpus": num_cpus,
+        # cores the shared host actually delivered just before this run —
+        # read BENCH numbers against this (BASELINE.md contention caveat)
+        "effective_cores_probe": cores_probe,
         "throughput": {
             "docs_per_s": round(fs["docs_per_s"], 2),
             "sentences_per_s": round(fs["sentences_per_s"], 2),
