@@ -1068,6 +1068,124 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "p95": pa.array([round(qv[0.95], 4)], type=pa.float64()),
             "p99": pa.array([round(qv[0.99], 4)], type=pa.float64())})
 
+    def events_latest_per_user(sf_dir):
+        """Keep-latest-per-key (the 'latest crawl of each URL' shape):
+        associative per-block argmax, one bounded exchange
+        (relational.latest_per_group)."""
+        from ie_ray.stages.relational import latest_per_group
+        ds = _tbl(sf_dir, "events",
+                  columns=["user_id", "ts", "event_id", "event_type",
+                           "value"])
+        out = latest_per_group(ds, "user_id", "ts", "event_id")
+
+        def finish(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc_
+            return pa.table({
+                "user_id": t.column("user_id"),
+                "ts_us": t.column("ts").cast(pa.timestamp("us"))
+                          .cast(pa.int64()),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+                "value": t.column("value")})
+
+        return out.map_batches(finish, batch_format="pyarrow")
+
+    def events_dq_report(sf_dir):
+        """One-pass distributed data-quality audit: rule-violation
+        counts reduced as one partial row per block (no exchange wider
+        than |rules|)."""
+        from datetime import datetime, timezone
+        from ie_ray.stages.relational import lowcard_combine
+        ds = _tbl(sf_dir, "events",
+                  columns=["user_id", "ts", "event_type", "value"])
+        allowed = {"view", "click", "purchase", "signup"}
+        lo = datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1e6
+        hi = datetime(2024, 2, 1, tzinfo=timezone.utc).timestamp() * 1e6
+
+        def partial(t: pa.Table) -> pa.Table:
+            import numpy as np
+            import pyarrow.compute as pc_
+            ts = t.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+            tsv = np.asarray(ts, dtype=np.int64)
+            types = t.column("event_type").to_pylist()
+            vals = np.asarray(t.column("value"), dtype=np.float64)
+            return pa.table({
+                "n_rows": pa.array([t.num_rows], type=pa.int64()),
+                "n_null_user": pa.array(
+                    [t.column("user_id").null_count], type=pa.int64()),
+                "n_nonpos_value": pa.array(
+                    [int((vals <= 0).sum())], type=pa.int64()),
+                "n_bad_type": pa.array(
+                    [sum(1 for x in types if x not in allowed)],
+                    type=pa.int64()),
+                "n_ts_out_of_range": pa.array(
+                    [int(((tsv < lo) | (tsv >= hi)).sum())],
+                    type=pa.int64())})
+
+        def final(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc_
+            return pa.table({c: pa.array([pc_.sum(t.column(c)).as_py()],
+                                         type=pa.int64())
+                             for c in t.column_names})
+
+        return lowcard_combine(ds, partial, final)
+
+    def events_value_zscore(sf_dir):
+        """Global z-score normalization: one shift-centered sufficient-
+        statistics pass (n, Σ, Σ²) → broadcast scalars → streaming map.
+        The feature-scaling shape of every training pipeline."""
+        import numpy as np
+        ds = _tbl(sf_dir, "events", columns=["event_id", "value"])
+        shift = 250.0   # mid-range; keeps Σ² well-conditioned
+
+        def stats(t: pa.Table) -> pa.Table:
+            v = np.asarray(t.column("value"), dtype=np.float64) - shift
+            return pa.table({
+                "n": pa.array([len(v)], type=pa.int64()),
+                "s1": pa.array([float(v.sum())]),
+                "s2": pa.array([float((v * v).sum())])})
+
+        n = s1 = s2 = 0.0
+        for r in ds.map_batches(stats, batch_format="pyarrow").iter_rows():
+            n += r["n"]; s1 += r["s1"]; s2 += r["s2"]
+        mean = shift + s1 / n
+        std = float(np.sqrt((s2 - s1 * s1 / n) / n))
+
+        def z(t: pa.Table) -> pa.Table:
+            v = np.asarray(t.column("value"), dtype=np.float64)
+            return pa.table({
+                "event_id": t.column("event_id"),
+                "z": pa.array(np.round((v - mean) / std, 4))})
+
+        return ds.map_batches(z, batch_format="pyarrow")
+
+    def events_interarrival(sf_dir):
+        """Per-user mean inter-event gap (seconds): key-partitioned
+        sorted diff, bounded per-key groups (windowed lag re-expressed
+        for the exchange)."""
+        import numpy as np
+        ds = _tbl(sf_dir, "events",
+                  columns=["user_id", "ts", "event_id"])
+
+        def gaps(g: pa.Table) -> pa.Table:
+            ts = np.asarray(g.column("ts").cast(pa.timestamp("us"))
+                            .cast(pa.int64()), dtype=np.int64)
+            eid = np.asarray(g.column("event_id"), dtype=np.int64)
+            order = np.lexsort((eid, ts))
+            d = np.diff(ts[order]) / 1e6
+            if not len(d):
+                return pa.table({
+                    "user_id": g.slice(0, 1).column("user_id"),
+                    "avg_gap_s": pa.array([None], type=pa.float64()),
+                    "n_gaps": pa.array([0], type=pa.int64())})
+            return pa.table({
+                "user_id": g.slice(0, 1).column("user_id"),
+                "avg_gap_s": pa.array([round(float(d.mean()), 4)]),
+                "n_gaps": pa.array([len(d)], type=pa.int64())})
+
+        return ds.groupby("user_id").map_groups(gaps,
+                                                batch_format="pyarrow")
+
     def events_sliding_3h(sf_dir):
         """Sliding event-time window (3 h wide, 1 h slide): each event
         fans out to its 3 covering windows, pre-counted per block before
@@ -2090,6 +2208,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": events_props_stats,
         "events_value_quantiles": events_value_quantiles,
         "events_global_quantiles": events_global_quantiles,
+        "events_latest_per_user": events_latest_per_user,
+        "events_dq_report": events_dq_report,
+        "events_value_zscore": events_value_zscore,
+        "events_interarrival": events_interarrival,
         "events_sliding_3h": events_sliding_3h,
         "boilerplate_ngrams": boilerplate_ngrams,
         "doc_dup_ngram_frac": doc_dup_ngram_frac,
@@ -2402,6 +2524,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "
             "round(quantile_cont(value, 0.95), 4) AS p95 "
             "FROM events GROUP BY event_type",
+        "events_latest_per_user":
+            "SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, "
+            "value FROM (SELECT *, row_number() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "WHERE rn = 1",
+        "events_dq_report":
+            "SELECT count(*)::BIGINT AS n_rows, "
+            "sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_null_user, "
+            "sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_nonpos_value, "
+            "sum(CASE WHEN event_type NOT IN ('view','click','purchase',"
+            "'signup') THEN 1 ELSE 0 END)::BIGINT AS n_bad_type, "
+            "sum(CASE WHEN ts < TIMESTAMP '2024-01-01' OR "
+            "ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END)::BIGINT "
+            "AS n_ts_out_of_range FROM events",
+        "events_value_zscore":
+            "SELECT event_id, round((value - m) / s, 4) AS z FROM events "
+            "CROSS JOIN (SELECT avg(value) AS m, stddev_pop(value) AS s "
+            "FROM events)",
+        "events_interarrival":
+            "SELECT user_id, round(avg(gap), 4) AS avg_gap_s, "
+            "count(*)::BIGINT AS n_gaps FROM (SELECT user_id, "
+            "(epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id)) / 1e6 AS gap FROM events) "
+            "WHERE gap IS NOT NULL GROUP BY user_id",
         "events_global_quantiles":
             "SELECT round(quantile_cont(value, 0.5), 4) AS p50, "
             "round(quantile_cont(value, 0.95), 4) AS p95, "

@@ -244,3 +244,28 @@ def global_quantiles(ds, col: str, qs, bins: int = 1024,
         f, c = int(np.floor(h)), int(np.ceil(h))
         out[q] = resolved[f] + (h - f) * (resolved[c] - resolved[f])
     return out
+
+
+def latest_per_group(ds, key: str, order_col: str, tiebreak: str):
+    """Keep each key's row with the greatest ``(order_col, tiebreak)``
+    — the "latest crawl of each URL" shape every CC-style corpus needs.
+
+    Associative argmax: every block reduces to ONE candidate row per
+    key it contains (vectorized polars sort+first), so the exchange
+    moves O(keys × blocks) rows and the final per-key group is bounded
+    by the block count, never by the key's row count — a URL recrawled
+    10^6 times still ships one row per block.
+    """
+
+    def pick(t: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(t)
+        out = (df.sort([order_col, tiebreak], descending=[True, True])
+                 .group_by(key, maintain_order=True).first()
+                 .to_arrow())
+        return out.cast(pa.schema([
+            pa.field(f.name, pa.string() if f.type == pa.large_string()
+                     else f.type) for f in out.schema]))
+
+    partial = ds.map_batches(pick, batch_format="pyarrow")
+    return partial.groupby(key).map_groups(pick, batch_format="pyarrow")
