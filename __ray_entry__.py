@@ -1639,6 +1639,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ie_ray.stages.retrieval import unigram_logprob
         return unigram_logprob(_docs(sf_dir))
 
+    def pmi_collocations(sf_dir):
+        """Top-20 adjacent-word collocations by PMI (Church & Hanks):
+        block-local bigram+unigram counts, bounded exchanges, min-count
+        pre-filter BEFORE the two unigram hash joins
+        (stages/retrieval.py::pmi_bigrams)."""
+        from ie_ray.stages.retrieval import pmi_bigrams
+        return pmi_bigrams(_docs(sf_dir), k=20, min_count=20)
+
+    def heavy_hitter_words(sf_dir):
+        """Exact ≥1%-frequency words via mergeable Misra-Gries block
+        summaries + one exact-count verify pass — no vocabulary-wide
+        exchange (stages/sketches.py::heavy_hitters)."""
+        from ie_ray.stages.sketches import heavy_hitters
+        return heavy_hitters(_docs(sf_dir), phi=0.01)
+
     def bpe_top_pairs(sf_dir):
         """Top-20 BPE merge candidates (adjacent char-pair counts) —
         the distributed kernel of tokenizer training.  Per-block
@@ -2227,6 +2242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_words": top_words,
         "bm25_top10": bm25_top10,
         "bpe_top_pairs": bpe_top_pairs,
+        "heavy_hitter_words": heavy_hitter_words,
+        "pmi_collocations": pmi_collocations,
         "doc_unigram_logprob": doc_unigram_logprob,
         "doc_tfidf_top3": doc_tfidf_top3,
         "inverted_index": inverted_index,
@@ -2265,8 +2282,10 @@ def oracle_sql() -> dict[str, str]:
                                      _NGRAM_SQL_GRAMS, minhash_oracle_sql,
                                      simhash_oracle_sql)
     from ie_ray.stages.retrieval import (UNIGRAM_LOGPROB_SQL as _UNIGRAM_SQL,
-                                         bm25_oracle_sql as _bm25_oracle)
+                                         bm25_oracle_sql as _bm25_oracle,
+                                         pmi_oracle_sql as _pmi_oracle)
     from ie_ray.stages.tokenizer import bpe_pairs_oracle_sql as _bpe_oracle
+    from ie_ray.stages.sketches import heavy_hitters_oracle_sql as _hh_oracle
     keep_sql = (
         "WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(translate("
         "text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
@@ -2331,6 +2350,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": REPETITION_SQL,
         "bm25_top10": _bm25_oracle(_BM25_QUERY, 10),
         "bpe_top_pairs": _bpe_oracle(20),
+        "heavy_hitter_words": _hh_oracle(0.01),
+        "pmi_collocations": _pmi_oracle(20, 20),
         "doc_unigram_logprob": _UNIGRAM_SQL,
         "doc_tfidf_top3":
             "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "

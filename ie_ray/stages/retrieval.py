@@ -198,3 +198,115 @@ UNIGRAM_LOGPROB_SQL = (
     "SELECT doc_id, round(sum(ln(cnt.cnt::DOUBLE / tot.t)), 4) "
     "AS logprob FROM tok JOIN cnt USING (word) CROSS JOIN tot "
     "GROUP BY doc_id")
+
+
+def pmi_bigrams(docs, k: int = 20, min_count: int = 50):
+    """Top-k collocations by pointwise mutual information
+    ``ln( (c_ab/B) / ((c_a/T)(c_b/T)) )`` over adjacent word pairs —
+    the classic phrase-mining statistic (Church & Hanks 1990).
+
+    Shape: bigram and unigram counts reduce block-locally (a doc's
+    token stream is one row — adjacent pairs never span blocks), each
+    through ONE bounded exchange; the two totals are scalars; unigram
+    counts hash-join back onto the bigram rows twice (w1, w2).  The
+    min_count filter is applied to the bigram table BEFORE the joins,
+    so only candidate collocations — not the full bigram vocabulary —
+    pay the join.  Returns (gram, n, pmi) sorted by (pmi desc, gram).
+    """
+    from collections import Counter
+
+    def grams(t: pa.Table) -> pa.Table:
+        big = Counter()
+        uni = Counter()
+        for text in t.column("text").to_pylist():
+            w = text.split(" ")
+            uni.update(w)
+            big.update("%s %s" % p for p in zip(w, w[1:]))
+        rows_b = sorted(big)
+        rows_u = sorted(uni)
+        return pa.table({
+            "gram": pa.array(["b:" + g for g in rows_b]
+                             + ["u:" + u for u in rows_u],
+                             type=pa.string()),
+            "n": pa.array([big[g] for g in rows_b]
+                          + [uni[u] for u in rows_u], type=pa.int64())})
+
+    cnt = (docs.map_batches(grams, batch_format="pyarrow")
+           .groupby("gram").sum("n")
+           .map_batches(lambda t: t.rename_columns(["gram", "n"]),
+                        batch_format="pyarrow")).materialize()
+
+    def split_side(prefix, cols):
+        def fn(t: pa.Table) -> pa.Table:
+            mask = pc.starts_with(t.column("gram"), prefix)
+            s = t.filter(mask)
+            names = pc.utf8_slice_codeunits(s.column("gram"), 2,
+                                            2**31 - 1)
+            if len(cols) == 2:
+                import numpy as np
+                parts = [x.split(" ") for x in names.to_pylist()]
+                return pa.table({
+                    cols[0]: pa.array([p[0] for p in parts],
+                                      type=pa.string()),
+                    cols[1]: pa.array([p[1] for p in parts],
+                                      type=pa.string()),
+                    "n": s.column("n")})
+            return pa.table({cols[0]: names, "n": s.column("n")})
+        return fn
+
+    uni = cnt.map_batches(split_side("u:", ["w"]), batch_format="pyarrow")
+    big = cnt.map_batches(split_side("b:", ["w1", "w2"]),
+                          batch_format="pyarrow")
+    t_total = float(uni.sum("n"))
+    b_total = float(big.sum("n"))
+
+    big = big.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"),
+                                            pa.scalar(min_count))),
+        batch_format="pyarrow")
+
+    parts = _join_partitions()
+    u1 = uni.map_batches(lambda t: t.rename_columns(["w1", "c1"]),
+                         batch_format="pyarrow")
+    u2 = uni.map_batches(lambda t: t.rename_columns(["w2", "c2"]),
+                         batch_format="pyarrow")
+    j = (big.join(u1, "inner", num_partitions=parts, on=("w1",))
+         .join(u2, "inner", num_partitions=parts, on=("w2",)))
+
+    def score(t: pa.Table) -> pa.Table:
+        import numpy as np
+        nab = np.asarray(t.column("n"), dtype=np.float64)
+        c1 = np.asarray(t.column("c1"), dtype=np.float64)
+        c2 = np.asarray(t.column("c2"), dtype=np.float64)
+        pmi = np.log((nab / b_total) / ((c1 / t_total) * (c2 / t_total)))
+        gram = [a + " " + b for a, b in zip(t.column("w1").to_pylist(),
+                                            t.column("w2").to_pylist())]
+        return pa.table({
+            "gram": pa.array(gram, type=pa.string()),
+            "n": t.column("n"),
+            "pmi": pa.array(np.round(pmi, 4))})
+
+    return (j.map_batches(score, batch_format="pyarrow")
+            .sort(["pmi", "gram"], descending=[True, False]).limit(k))
+
+
+def pmi_oracle_sql(k: int = 20, min_count: int = 50) -> str:
+    """Exact DuckDB equivalent of :func:`pmi_bigrams` on ``documents``."""
+    return (
+        "WITH tok AS (SELECT string_split(text, ' ') AS l FROM documents),"
+        " uni AS (SELECT unnest(l) AS w FROM tok), "
+        "ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w), "
+        "tt AS (SELECT count(*)::DOUBLE AS t FROM uni), "
+        "bg AS (SELECT unnest(list_transform(range(1, len(l)), "
+        "i -> l[i::INT] || ' ' || l[(i+1)::INT])) AS gram FROM tok "
+        "WHERE len(l) >= 2), "
+        "bcnt AS (SELECT gram, count(*) AS n FROM bg GROUP BY gram "
+        "HAVING count(*) >= %d), "
+        "bt AS (SELECT count(*)::DOUBLE AS b FROM bg), "
+        "s AS (SELECT gram, n, round(ln((n / bt.b) / "
+        "((u1.c / tt.t) * (u2.c / tt.t))), 4) AS pmi "
+        "FROM bcnt JOIN ucnt u1 ON u1.w = split_part(gram, ' ', 1) "
+        "JOIN ucnt u2 ON u2.w = split_part(gram, ' ', 2) "
+        "CROSS JOIN tt CROSS JOIN bt) "
+        "SELECT gram, n, pmi FROM s ORDER BY pmi DESC, gram LIMIT %d"
+        % (min_count, k))

@@ -117,3 +117,88 @@ def hll_distinct(ds, value_col: str, group_col: str = None, p: int = 14):
 
     return (ds.map_batches(partial_grouped, batch_format="pyarrow")
             .groupby(group_col).map_groups(finish, batch_format="pyarrow"))
+
+
+def heavy_hitters(docs, phi: float = 0.01, k: int = 256,
+                  text_col: str = "text"):
+    """EXACT frequent words (count ≥ phi × total tokens) WITHOUT a
+    vocabulary-wide exchange — the Misra-Gries two-pass recipe
+    (Misra & Gries 1982; merge rule from Agarwal et al., "Mergeable
+    Summaries", PODS 2012):
+
+    pass 1: every block reduces its tokens to a k-counter MG summary
+    (k rows max, regardless of vocabulary size); summaries merge by
+    summing counts and subtracting the (k+1)-th largest (the standard
+    mergeable-summary rule), which provably retains every item with
+    true count ≥ N/(k+1) — choose k ≥ 1/phi and no true heavy hitter
+    can be lost.  The merged candidate set is ≤ k items.
+
+    pass 2: one streaming pass counts the candidates EXACTLY (candidate
+    set broadcast in the closure; per-block partial counts, tiny
+    groupby), then filters to count ≥ phi × N.
+
+    The exchange volume is O(k × blocks) + O(k) — a 10^9-word
+    vocabulary never moves.  Output: (word, n) sorted by (n desc, word).
+    Tokenization: single-space split (== string_split oracle contract).
+    """
+    from collections import Counter
+
+    def mg_summary(t: pa.Table) -> pa.Table:
+        counts = Counter()
+        total = 0
+        for text in t.column(text_col).to_pylist():
+            w = text.split(" ")
+            total += len(w)
+            counts.update(w)
+        top = counts.most_common(k + 1)
+        # MG reduction: keep k counters, decrement by the (k+1)-th
+        cut = top[k][1] if len(top) > k else 0
+        rows = [(w, c - cut) for w, c in top[:k] if c - cut > 0]
+        rows.append(("\x00total\x00", total))
+        return pa.table({
+            "word": pa.array([r[0] for r in rows], type=pa.string()),
+            "n": pa.array([r[1] for r in rows], type=pa.int64())})
+
+    merged = {}
+    total = 0
+    for r in (docs.map_batches(mg_summary, batch_format="pyarrow")
+              .groupby("word").sum("n").iter_rows()):
+        if r["word"] == "\x00total\x00":
+            total = r["sum(n)"]
+        else:
+            merged[r["word"]] = r["sum(n)"]
+    # second MG reduction across the merged summaries (≤ k × blocks
+    # candidates reached the driver; keep the k largest)
+    cand = sorted(merged, key=lambda w: (-merged[w], w))[:k]
+    cand_set = set(cand)
+    threshold = phi * total
+
+    def exact_counts(t: pa.Table) -> pa.Table:
+        counts = Counter()
+        for text in t.column(text_col).to_pylist():
+            counts.update(w for w in text.split(" ") if w in cand_set)
+        keys = sorted(counts)
+        return pa.table({
+            "word": pa.array(keys, type=pa.string()),
+            "n": pa.array([counts[x] for x in keys], type=pa.int64())})
+
+    import pyarrow.compute as pc
+    exact = (docs.map_batches(exact_counts, batch_format="pyarrow")
+             .groupby("word").sum("n")
+             .map_batches(lambda t: t.rename_columns(["word", "n"]),
+                          batch_format="pyarrow"))
+    out = exact.map_batches(
+        lambda t: t.filter(pc.greater_equal(t.column("n"),
+                                            pa.scalar(threshold))),
+        batch_format="pyarrow")
+    return out.sort(["n", "word"], descending=[True, False])
+
+
+def heavy_hitters_oracle_sql(phi: float = 0.01) -> str:
+    """Exact DuckDB equivalent on ``documents``."""
+    return (
+        "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word "
+        "FROM documents), tot AS (SELECT count(*) AS t FROM tok) "
+        "SELECT word, count(*) AS n FROM tok CROSS JOIN tot "
+        "GROUP BY word, tot.t HAVING count(*) >= %s * tot.t "
+        "ORDER BY n DESC, word" % phi)
