@@ -1639,6 +1639,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ie_ray.stages.retrieval import unigram_logprob
         return unigram_logprob(_docs(sf_dir))
 
+    def docs_chunk_sliding(sf_dir):
+        """RAG/training-style sliding-window chunking: 32-token windows,
+        stride 24 (8-token overlap), trailing partial kept.  Pure
+        streaming flat-map — a doc's tokens live in one row, so chunking
+        never shuffles; output is (doc_id, chunk_idx, n_tokens, chunk)."""
+        W, S = 32, 24
+        docs = _docs(sf_dir)
+
+        def chunk(t: pa.Table) -> pa.Table:
+            ids, idxs, ns, texts = [], [], [], []
+            for did, text in zip(t.column("doc_id").to_pylist(),
+                                 t.column("text").to_pylist()):
+                w = text.split(" ")
+                n_chunks = (len(w) + S - 1) // S
+                for i in range(n_chunks):
+                    seg = w[i * S:i * S + W]
+                    ids.append(did)
+                    idxs.append(i)
+                    ns.append(len(seg))
+                    texts.append(" ".join(seg))
+            return pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "chunk_idx": pa.array(idxs, type=pa.int64()),
+                "n_tokens": pa.array(ns, type=pa.int64()),
+                "chunk": pa.array(texts, type=pa.string())})
+
+        return docs.map_batches(chunk, batch_format="pyarrow")
+
     def pmi_collocations(sf_dir):
         """Top-20 adjacent-word collocations by PMI (Church & Hanks):
         block-local bigram+unigram counts, bounded exchanges, min-count
@@ -2244,6 +2272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_top_pairs": bpe_top_pairs,
         "heavy_hitter_words": heavy_hitter_words,
         "pmi_collocations": pmi_collocations,
+        "docs_chunk_sliding": docs_chunk_sliding,
         "doc_unigram_logprob": doc_unigram_logprob,
         "doc_tfidf_top3": doc_tfidf_top3,
         "inverted_index": inverted_index,
@@ -2352,6 +2381,14 @@ def oracle_sql() -> dict[str, str]:
         "bpe_top_pairs": _bpe_oracle(20),
         "heavy_hitter_words": _hh_oracle(0.01),
         "pmi_collocations": _pmi_oracle(20, 20),
+        "docs_chunk_sliding":
+            "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM documents) "
+            "SELECT doc_id, i AS chunk_idx, "
+            "LEAST(i*24+32, len(l)) - i*24 AS n_tokens, "
+            "array_to_string(l[(i*24+1)::INT : "
+            "LEAST(i*24+32, len(l))::INT], ' ') AS chunk "
+            "FROM tok, UNNEST(range(0, ((len(l)+23)//24)::BIGINT)) AS t(i)",
         "doc_unigram_logprob": _UNIGRAM_SQL,
         "doc_tfidf_top3":
             "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "

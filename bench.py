@@ -123,7 +123,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_cohort_retention", "docs_pack_sequences",
                  "docs_new_vs_seen", "events_users_approx",
                  "bm25_top10", "doc_unigram_logprob", "bpe_top_pairs",
-                 "events_global_quantiles", "page_link_graph"):
+                 "events_global_quantiles", "page_link_graph",
+                 "heavy_hitter_words", "pmi_collocations",
+                 "docs_chunk_sliding"):
         consume(name)
 
     total = round(time.time() - t0, 3)
