@@ -1,17 +1,32 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata, decoded
+and featurized in an actor-pool stage.
 
-The decode kernels (image/audio/video) are STUBS — the codec libraries are
-not in this environment — but the Ray-side plumbing is real and tested:
-schema contract, small-batch actor-pool stages, deterministic fake features
-for pipeline testing, and the output layout a real decoder would fill in.
+Decode support (no external codec libraries exist in this environment,
+so the codecs here are the formats Python can decode from first
+principles — the Ray-side contract is identical for richer codecs):
 
-Swap ``_decode_stub`` for a PIL/ffmpeg call in ``MediaDecodeActor.__init__``
-on a real cluster; nothing else changes.
+* ``image/x-portable-pixmap`` (PPM P6) — header + raw RGB, numpy parse
+* ``image/bmp`` (24-bit uncompressed BI_RGB) — struct header, padded
+  bottom-up rows, numpy parse
+* ``audio/wav`` (PCM 16-bit) — stdlib ``wave`` module
+* anything else (e.g. ``video/mp4``) — an honest, clearly-marked stub:
+  deterministic hash features + ``decoded=false`` so downstream can
+  filter; swap in a PIL/ffmpeg call in ``MediaDecodeActor.__init__``
+  on a cluster that has them and nothing else changes.
+
+Feature layout is a FIXED 16-d float32 vector per row (schema-stable
+across kinds): images → [w, h, meanR, meanG, meanB, std, gray-hist8];
+audio → [n_samples, rate, rms, peak, zero-cross-rate, energy-hist8 over
+time]; stub → sha256-derived 16-d.  Batches stay SMALL (payloads are
+large): ``map_batches(MediaDecodeActor, batch_size=16,
+concurrency=(1, N), num_cpus=1)``.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -25,60 +40,212 @@ MEDIA_SCHEMA = pa.schema([
     ("height", pa.int32()),
 ])
 
+FEAT_DIM = 16
 
-def _decode_stub(payload: bytes, kind: str) -> np.ndarray:
-    """Deterministic fake feature vector (16-d) derived from the payload.
 
-    A real deployment replaces this with actual decode + model features;
-    raising NotImplementedError here would be correct too, but a
-    deterministic fake keeps the downstream plumbing testable.
-    """
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """PPM P6 → (h, w, 3) uint8 (binary PPM spec, netpbm)."""
+    f = io.BytesIO(payload)
+    magic = f.readline().split()[0]
+    if magic != b"P6":
+        raise ValueError("not P6")
+    vals = []
+    while len(vals) < 3:
+        line = f.readline()
+        if not line:
+            raise ValueError("truncated header")
+        if line.lstrip().startswith(b"#"):
+            continue
+        vals += [int(x) for x in line.split()]
+    w, h, maxval = vals[:3]
+    raw = f.read(w * h * 3)
+    if len(raw) != w * h * 3 or maxval > 255:
+        raise ValueError("truncated/unsupported body")
+    return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP → (h, w, 3) uint8 RGB (BITMAPINFOHEADER;
+    rows are 4-byte padded, stored bottom-up, BGR order)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not BMP")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError("unsupported BMP variant")
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, dtype=np.uint8,
+                         count=stride * abs(h), offset=off)
+    rows = rows.reshape(abs(h), stride)[:, :w * 3].reshape(abs(h), w, 3)
+    if h > 0:
+        rows = rows[::-1]           # bottom-up storage
+    return rows[:, :, ::-1]         # BGR → RGB
+
+
+def decode_wav(payload: bytes) -> tuple:
+    """PCM WAV → (int16 samples mono-mixed, sample_rate)."""
+    import wave
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        if f.getsampwidth() != 2:
+            raise ValueError("only 16-bit PCM")
+        n = f.getnframes()
+        data = np.frombuffer(f.readframes(n), dtype=np.int16)
+        ch = f.getnchannels()
+        if ch > 1:
+            data = data.reshape(-1, ch).mean(axis=1).astype(np.int16)
+        return data, f.getframerate()
+
+
+def _image_features(img: np.ndarray) -> np.ndarray:
+    h, w = img.shape[:2]
+    flt = img.astype(np.float32)
+    gray = flt.mean(axis=2)
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 256.0))
+    out = np.empty(FEAT_DIM, dtype=np.float32)
+    out[0], out[1] = w, h
+    out[2:5] = flt.reshape(-1, 3).mean(axis=0)
+    out[5] = flt.std()
+    out[6:14] = hist / max(gray.size, 1)
+    out[14:] = 0.0
+    return out
+
+
+def _audio_features(samples: np.ndarray, rate: int) -> np.ndarray:
+    x = samples.astype(np.float32) / 32768.0
+    n = len(x)
+    out = np.empty(FEAT_DIM, dtype=np.float32)
+    out[0], out[1] = n, rate
+    out[2] = float(np.sqrt((x * x).mean())) if n else 0.0
+    out[3] = float(np.abs(x).max()) if n else 0.0
+    out[4] = float((np.diff(np.signbit(x)) != 0).mean()) if n > 1 else 0.0
+    if n >= 8:
+        seg = x[:n - n % 8].reshape(8, -1)
+        out[5:13] = np.sqrt((seg * seg).mean(axis=1))
+    else:
+        out[5:13] = 0.0
+    out[13:] = 0.0
+    return out
+
+
+def _feature_stub(payload: bytes) -> np.ndarray:
+    """STUB for codecs absent in this environment (video): deterministic
+    sha256-derived features so the plumbing stays testable."""
     h = hashlib.sha256(payload).digest()
-    return (np.frombuffer(h[:16], dtype=np.uint8).astype(np.float32)
-            / 255.0)
+    return (np.frombuffer(h[:FEAT_DIM], dtype=np.uint8)
+            .astype(np.float32) / 255.0)
 
 
 class MediaDecodeActor:
-    """Actor-pool stage: decode + featurize media payloads.
-
-    Use SMALL batch sizes (payloads are large): ``map_batches(
-    MediaDecodeActor, batch_size=16, concurrency=(1, N), num_cpus=1)``.
-    """
+    """Actor-pool stage: decode + featurize media payloads (real decode
+    for PPM/BMP/WAV; stub for video — see module docstring)."""
 
     def __init__(self):
-        # real impl: load codec / model weights here, once per actor
-        self.decode = _decode_stub
+        # real deployments load codec/model weights here, once per actor
+        self.dispatch = {
+            "image/x-portable-pixmap": lambda p: _image_features(
+                decode_ppm(p)),
+            "image/bmp": lambda p: _image_features(decode_bmp(p)),
+            "audio/wav": lambda p: _audio_features(*decode_wav(p)),
+        }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self.decode(p, k).tolist()
-                 for p, k in zip(batch.column("payload").to_pylist(),
-                                 batch.column("kind").to_pylist())]
+        feats, decoded = [], []
+        for p, m in zip(batch.column("payload").to_pylist(),
+                        batch.column("mime").to_pylist()):
+            fn = self.dispatch.get(m)
+            if fn is None:
+                feats.append(_feature_stub(p).tolist())
+                decoded.append(False)
+            else:
+                feats.append(fn(p).tolist())
+                decoded.append(True)
         return pa.table({
             "media_id": batch.column("media_id"),
             "kind": batch.column("kind"),
-            "features": pa.array(feats, type=pa.list_(pa.float32())),
+            "features": pa.array(feats,
+                                 type=pa.list_(pa.float32(), FEAT_DIM)),
+            "decoded": pa.array(decoded, type=pa.bool_()),
             "n_bytes": pa.array(
                 [len(p) for p in batch.column("payload").to_pylist()],
                 type=pa.int64()),
         })
 
 
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Minimal 24-bit BI_RGB writer (round-trips through decode_bmp)."""
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    bgr = img[:, :, ::-1]
+    pad = b"\x00" * (stride - w * 3)
+    for row in bgr[::-1]:
+        body += row.astype(np.uint8).tobytes() + pad
+    off = 54
+    header = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return bytes(header) + bytes(body)
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
 def synthesize_media(n: int = 64, seed: int = 11) -> pa.Table:
-    """Deterministic fake media table for plumbing tests."""
+    """Deterministic media table with REAL decodable payloads: PPM and
+    BMP images (gradient patterns), PCM WAV tones, plus opaque 'video'
+    bytes that exercise the stub path."""
     rng = np.random.RandomState(seed)
-    kinds = ["image", "audio", "video"]
     rows = {"media_id": [], "kind": [], "payload": [], "mime": [],
             "width": [], "height": []}
     for i in range(n):
-        k = kinds[i % 3]
-        payload = rng.bytes(256 + (i % 7) * 128)
+        mode = i % 4
+        if mode == 0:     # PPM gradient
+            w, h = 8 + (i % 5) * 4, 6 + (i % 3) * 4
+            x = np.arange(w, dtype=np.uint8)[None, :, None]
+            y = np.arange(h, dtype=np.uint8)[:, None, None]
+            img = np.concatenate(
+                [x * 7 % 256 + 0 * y, y * 11 % 256 + 0 * x,
+                 (x + y) * 3 % 256], axis=2).astype(np.uint8)
+            payload, mime, kind = encode_ppm(img), \
+                "image/x-portable-pixmap", "image"
+        elif mode == 1:   # BMP noise
+            w, h = 5 + (i % 4) * 3, 4 + (i % 5) * 2
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            payload, mime, kind = encode_bmp(img), "image/bmp", "image"
+        elif mode == 2:   # WAV tone
+            t = np.arange(800 + (i % 3) * 400)
+            freq = 0.01 + 0.005 * (i % 5)
+            samples = (np.sin(2 * np.pi * freq * t) * 12000)
+            payload, mime, kind = encode_wav(samples), "audio/wav", "audio"
+            w = h = -1
+        else:             # opaque video → stub path
+            payload, mime, kind = bytes(rng.bytes(512)), "video/mp4", \
+                "video"
+            w = h = -1
+        if kind == "image":
+            h_, w_ = (img.shape[0], img.shape[1])
+            w, h = w_, h_
         rows["media_id"].append(i)
-        rows["kind"].append(k)
+        rows["kind"].append(kind)
         rows["payload"].append(payload)
-        rows["mime"].append({"image": "image/jpeg", "audio": "audio/wav",
-                             "video": "video/mp4"}[k])
-        rows["width"].append(-1)
-        rows["height"].append(-1)
+        rows["mime"].append(mime)
+        rows["width"].append(w)
+        rows["height"].append(h)
     return pa.table({
         "media_id": pa.array(rows["media_id"], type=pa.int64()),
         "kind": pa.array(rows["kind"], type=pa.string()),

@@ -1,0 +1,66 @@
+"""Real media decode kernels: PPM/BMP/WAV round-trips and the
+actor-pool featurize stage (stub path only for video)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ie_ray.stages.multimodal import (FEAT_DIM, MediaDecodeActor,
+                                      decode_bmp, decode_ppm, decode_wav,
+                                      encode_bmp, encode_ppm, encode_wav,
+                                      synthesize_media)
+
+
+def test_ppm_roundtrip():
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+
+
+def test_bmp_roundtrip_with_padding():
+    # w=3 → stride padding exercised; bottom-up row order exercised
+    img = np.arange(4 * 3 * 3, dtype=np.uint8).reshape(4, 3, 3)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+def test_wav_roundtrip():
+    s = (np.sin(np.linspace(0, 20, 500)) * 10000).astype(np.int16)
+    got, rate = decode_wav(encode_wav(s, rate=16000))
+    assert rate == 16000
+    assert np.array_equal(got, s)
+
+
+def test_known_image_features():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    img[0, 0] = [255, 255, 255]
+    actor = MediaDecodeActor()
+    f = actor.dispatch["image/x-portable-pixmap"](encode_ppm(img))
+    assert f[0] == 2 and f[1] == 2                 # w, h
+    assert abs(f[2] - 255 / 4) < 1e-4              # mean R
+    assert f[6:14].sum() == pytest.approx(1.0)     # histogram mass
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_actor_pool_decodes_real_payloads():
+    import ray.data
+    ds = ray.data.from_arrow(synthesize_media(32))
+    rows = ds.map_batches(MediaDecodeActor, batch_size=8,
+                          concurrency=(1, 2), num_cpus=1,
+                          batch_format="pyarrow").take_all()
+    assert len(rows) == 32
+    by_kind = {}
+    for r in rows:
+        assert len(r["features"]) == FEAT_DIM
+        by_kind.setdefault(r["kind"], []).append(r)
+    # every image and audio row really decoded; video is the stub
+    assert all(r["decoded"] for r in by_kind["image"])
+    assert all(r["decoded"] for r in by_kind["audio"])
+    assert not any(r["decoded"] for r in by_kind["video"])
+    # image features carry true dimensions (match the table metadata)
+    meta = {r["media_id"]: r
+            for b in [synthesize_media(32)] for r in b.to_pylist()}
+    for r in by_kind["image"]:
+        assert r["features"][0] == meta[r["media_id"]]["width"]
+        assert r["features"][1] == meta[r["media_id"]]["height"]
+    # audio rms of a pure tone ≈ amplitude/√2
+    for r in by_kind["audio"]:
+        assert abs(r["features"][2] - (12000 / 32768) / np.sqrt(2)) < 0.01
