@@ -1186,6 +1186,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.groupby("user_id").map_groups(gaps,
                                                 batch_format="pyarrow")
 
+    def events_quantile_digest(sf_dir):
+        """Mergeable t-digest-style per-group quantiles (the unbounded-
+        key-cardinality path; exchange = blocks × groups × k × 16 B,
+        row-count independent).  Approximate by design → rank-error
+        pytest gate instead of a hash oracle
+        (stages/sketches.py::quantile_digest)."""
+        from ie_ray.stages.sketches import quantile_digest
+        ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+        return quantile_digest(ds, "value", "event_type",
+                               [0.5, 0.95], k=128).sort("event_type")
+
     def events_sliding_3h(sf_dir):
         """Sliding event-time window (3 h wide, 1 h slide): each event
         fans out to its 3 covering windows, pre-counted per block before
@@ -2255,6 +2266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dq_report": events_dq_report,
         "events_value_zscore": events_value_zscore,
         "events_interarrival": events_interarrival,
+        "events_quantile_digest": events_quantile_digest,
         "events_sliding_3h": events_sliding_3h,
         "boilerplate_ngrams": boilerplate_ngrams,
         "doc_dup_ngram_frac": doc_dup_ngram_frac,

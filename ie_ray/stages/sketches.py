@@ -202,3 +202,76 @@ def heavy_hitters_oracle_sql(phi: float = 0.01) -> str:
         "SELECT word, count(*) AS n FROM tok CROSS JOIN tot "
         "GROUP BY word, tot.t HAVING count(*) >= %s * tot.t "
         "ORDER BY n DESC, word" % phi)
+
+
+# ---------------------------------------------------------------------------
+# mergeable quantile digest (t-digest-style equi-weight summary)
+# ---------------------------------------------------------------------------
+
+def _compress(vals: np.ndarray, weights: np.ndarray, k: int):
+    """Compress sorted weighted points to ≤k equi-weight centroids via
+    cumulative-weight interpolation (the merge step of a q-digest /
+    t-digest family summary; Dunning & Ertl's t-digest is the public
+    reference — this uses the uniform scale function, error O(1/k) in
+    rank, which the pytest gate pins)."""
+    W = weights.sum()
+    if len(vals) <= k:
+        return vals, weights
+    cum = np.cumsum(weights) - weights / 2.0
+    grid = (np.arange(k) + 0.5) * (W / k)
+    means = np.interp(grid, cum, vals)
+    return means, np.full(k, W / k)
+
+
+def quantile_digest(ds, value_col: str, group_col: str, qs,
+                    k: int = 128):
+    """Approximate per-group quantiles with a MERGEABLE fixed-size
+    summary — the unbounded-cardinality path where the exact per-group
+    sort (events_value_quantiles) or histogram-refinement selection
+    (global_quantiles) would need one pass per group.
+
+    Every block reduces each group it contains to ≤k (value, weight)
+    centroids; the exchange moves blocks × groups × k × 16 bytes —
+    independent of row count — and the per-group merge re-compresses
+    once and interpolates the requested quantiles.  Deterministic.
+    Returns (group, q_<q> … ) with values rounded to 4 dp.
+    """
+    qs = sorted(qs)
+
+    def partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(t.select([group_col, value_col]))
+        groups, blobs = [], []
+        for (g,), sub in df.group_by(group_col, maintain_order=False):
+            v = np.sort(sub[value_col].to_numpy().astype(np.float64))
+            m, w = _compress(v, np.ones(len(v)), k)
+            groups.append(g)
+            blobs.append(np.concatenate([m, w]).tobytes())
+        order = np.argsort(np.asarray(groups, dtype=object))
+        return pa.table({
+            group_col: pa.array([groups[i] for i in order]),
+            "digest": pa.array([blobs[i] for i in order],
+                               type=pa.binary())})
+
+    def merge(g: pa.Table) -> pa.Table:
+        ms, ws = [], []
+        for blob in g.column("digest").to_pylist():
+            a = np.frombuffer(blob, dtype=np.float64)
+            ms.append(a[:len(a) // 2])
+            ws.append(a[len(a) // 2:])
+        vals = np.concatenate(ms)
+        weights = np.concatenate(ws)
+        order = np.argsort(vals, kind="stable")
+        vals, weights = vals[order], weights[order]
+        vals, weights = _compress(vals, weights, k)
+        W = weights.sum()
+        cum = (np.cumsum(weights) - weights / 2.0) / W
+        cols = {group_col: g.slice(0, 1).column(group_col)}
+        for q in qs:
+            est = float(np.interp(q, cum, vals))
+            cols["q_%g" % q] = pa.array([round(est, 4)],
+                                        type=pa.float64())
+        return pa.table(cols)
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(group_col).map_groups(merge, batch_format="pyarrow"))
