@@ -1731,7 +1731,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pa.field(f.name, pa.string() if f.type == pa.large_string()
                          else f.type) for f in out.schema]))
 
-        tf = docs.map_batches(tf_batch, batch_format="pyarrow")
+        # tf feeds the df count AND the join probe — materialize once or
+        # the lazy lineage re-reads + re-explodes the corpus per consumer
+        tf = docs.map_batches(tf_batch,
+                              batch_format="pyarrow").materialize()
         # tf is unique per (doc_id, word) → row count per word == df(word)
         dfreq = (tf.select_columns(["word"]).groupby("word").count()
                  .map_batches(lambda t: t.rename_columns(["word", "dfreq"]),

@@ -165,10 +165,15 @@ def unigram_logprob(docs):
     (associative, pre-combined).  Returns (doc_id, logprob) with
     logprob rounded to 4 dp.
     """
-    tf = docs.map_batches(_tf_batch, batch_format="pyarrow")
+    # tf feeds BOTH the vocab count and the join probe; cnt feeds BOTH
+    # the total and the join build.  Materialize each once — otherwise
+    # the lazy lineage re-reads and re-explodes the corpus per consumer
+    # (measured 2× the stage cost at sf0.1).  tf is O(distinct
+    # (doc,word)) and spills via the object store at scale.
+    tf = docs.map_batches(_tf_batch, batch_format="pyarrow").materialize()
     cnt = (tf.groupby("word").sum("c")
            .map_batches(lambda t: t.rename_columns(["word", "cnt"]),
-                        batch_format="pyarrow"))
+                        batch_format="pyarrow")).materialize()
     total = cnt.sum("cnt")
 
     joined = tf.join(cnt, "inner", num_partitions=_join_partitions(),
