@@ -1278,7 +1278,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
                              "gram": pa.array(grams, type=pa.string())})
 
-        e = docs.map_batches(gram_rows, batch_format="pyarrow")
+        # e feeds the df count AND the join probe — materialize once
+        e = docs.map_batches(gram_rows,
+                             batch_format="pyarrow").materialize()
         dfreq = (e.select_columns(["gram"]).groupby("gram").count()
                  .map_batches(lambda t: t.rename_columns(["gram", "df"]),
                               batch_format="pyarrow"))
