@@ -7,6 +7,9 @@
 * ``distinct_count`` — exact count(DISTINCT x) per group.
 * ``global_quantiles`` — exact whole-column quantile_cont via
   iterative histogram-refinement selection (bounded driver memory).
+* ``latest_per_group`` — associative keep-latest argmax per key.
+* ``adaptive_join`` — broadcast-vs-hash physical join pick by
+  build-side size (the planner decision, made explicit).
 
 Scale contract (SURVEY §2 custom-operator rule (a) — compositions the
 streaming executor pipelines, no driver state):
@@ -269,3 +272,58 @@ def latest_per_group(ds, key: str, order_col: str, tiebreak: str):
 
     partial = ds.map_batches(pick, batch_format="pyarrow")
     return partial.groupby(key).map_groups(pick, batch_format="pyarrow")
+
+
+def adaptive_join(left, right, on: str, broadcast_max_rows: int = 100_000,
+                  num_partitions=None):
+    """Inner equi-join that picks its physical strategy by BUILD-side
+    size — the planner decision every distributed engine makes:
+
+    * right side small (≤ ``broadcast_max_rows``, known from parquet
+      metadata or a cheap count) → **broadcast**: the right table is
+      put in the object store ONCE and every left block maps against
+      it zero-shuffle (the ``ray.put`` + lookup idiom this repo uses
+      for alias/dim tables).
+    * otherwise → **hash exchange** via ``Dataset.join`` (both sides
+      repartitioned on the key).
+
+    Contract: the right side is a DIMENSION table — unique on the key
+    (enforced on the broadcast path).  Returns left columns + right
+    payload columns.  Keys must be hashable scalars.
+    """
+    import ray
+
+    n_right = right.count()
+    if n_right <= broadcast_max_rows:
+        tbl = pa.concat_tables(ray.get(right.to_arrow_refs()))
+        ref = ray.put(tbl)
+
+        def probe(t: pa.Table) -> pa.Table:
+            import numpy as np
+            r = ray.get(ref)
+            rk = {}
+            key_col = r.column(on).to_pylist()
+            for i, kv in enumerate(key_col):
+                if kv in rk:
+                    raise ValueError(
+                        "adaptive_join: broadcast side must be "
+                        "key-unique (duplicate %r)" % (kv,))
+                rk[kv] = i
+            idx = [rk.get(kv, -1) for kv in t.column(on).to_pylist()]
+            idx = np.asarray(idx)
+            keep = idx >= 0
+            lt = t.filter(pa.array(keep))
+            rt = r.take(pa.array(idx[keep])) if keep.any() \
+                else r.slice(0, 0)
+            cols = {c: lt.column(c) for c in lt.column_names}
+            for c in rt.column_names:
+                if c != on:
+                    cols[c] = rt.column(c)
+            return pa.table(cols)
+
+        return left.map_batches(probe, batch_format="pyarrow")
+
+    from ie_ray.stages.dedup import _join_partitions
+    return left.join(right, "inner",
+                     num_partitions=_join_partitions(num_partitions),
+                     on=(on,))
