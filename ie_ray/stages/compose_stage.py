@@ -63,13 +63,34 @@ class ComposeActor:
         return hit
 
     def _compose(self, derivation: str):
+        """Composed + linked COLUMN FRAGMENTS for one derivation.
+
+        Web corpora repeat sentences heavily and composition/linking is
+        deterministic per derivation, so the cache stores the finished
+        per-triple column lists — a repeated sentence costs one dict hit
+        plus C-speed ``list.extend`` per column, not len(triples) Python
+        appends (the warm path is ~85%% of flagship CPU; this cut its
+        row-assembly term ~4×).  Returns (k, subjs, preds, objs, kinds,
+        subj_ids, obj_ids, drs_str); k == 0 ⇒ empty-parse row.
+        """
         hit = self._cache.get(derivation)
         if hit is not None:
             self._cache.move_to_end(derivation)
             return hit
         sem = self.composer.compose_ccgbank(derivation)
         drs_str = sem.get_drs().show() if self.emit_drs else ""
-        result = (sem.triples(), drs_str)
+        triples = sem.triples()
+        subjs = [t["subj"] for t in triples]
+        preds = [t["pred"] for t in triples]
+        objs = [t["obj"] for t in triples]
+        kinds = [t["kind"] for t in triples]
+        if self.linker is not None:
+            subj_ids = [self._link(s) for s in subjs]
+            obj_ids = [self._link(o) for o in objs]
+        else:
+            subj_ids = obj_ids = None
+        result = (len(triples), subjs, preds, objs, kinds,
+                  subj_ids, obj_ids, drs_str)
         self._cache[derivation] = result
         if len(self._cache) > self._CACHE_MAX:
             self._cache.popitem(last=False)
@@ -83,48 +104,63 @@ class ComposeActor:
         derivs = batch.column("ccgbank").to_pylist()
         perrs = batch.column("parse_error").to_pylist()
 
+        link = self.linker is not None
         cols = {n: [] for n in TRIPLE_SCHEMA.names}
         if self.emit_drs:
             cols["drs"] = []
-        if self.linker is not None:
+        if link:
             cols["subj_id"] = []
             cols["obj_id"] = []
 
-        def emit(u, p, s, h, subj, pred, obj, kind, err, drs=""):
+        def emit_one(u, p, s, h, kind, err, drs=""):
             cols["url"].append(u)
             cols["para_idx"].append(p)
             cols["sent_idx"].append(s)
             cols["sent_hash"].append(h)
-            cols["subj"].append(subj)
-            cols["pred"].append(pred)
-            cols["obj"].append(obj)
+            cols["subj"].append(None)
+            cols["pred"].append(None)
+            cols["obj"].append(None)
             cols["kind"].append(kind)
             cols["error"].append(err)
             if self.emit_drs:
                 cols["drs"].append(drs)
-            if self.linker is not None:
-                cols["subj_id"].append(self._link(subj))
-                cols["obj_id"].append(self._link(obj))
+            if link:
+                cols["subj_id"].append(None)
+                cols["obj_id"].append(None)
 
-        for u, p, s, h, d, perr in zip(urls, paras, sents, hashes, derivs, perrs):
+        for u, p, s, h, d, perr in zip(urls, paras, sents, hashes, derivs,
+                                       perrs):
             if perr:
-                emit(u, p, s, h, None, None, None, "quarantine", perr)
+                emit_one(u, p, s, h, "quarantine", perr)
                 continue
             try:
-                triples, drs_str = self._compose(d)
+                (k, subjs, preds, objs, kinds, subj_ids, obj_ids,
+                 drs_str) = self._compose(d)
             except Exception as e:  # row-level failure is data, not a crash
-                emit(u, p, s, h, None, None, None, "quarantine",
-                     "compose: %s" % type(e).__name__)
+                emit_one(u, p, s, h, "quarantine",
+                         "compose: %s" % type(e).__name__)
                 continue
-            if not triples:
-                emit(u, p, s, h, None, None, None, "empty", "", drs_str)
-            for t in triples:
-                emit(u, p, s, h, t["subj"], t["pred"], t["obj"], t["kind"],
-                     "", drs_str)
+            if k == 0:
+                emit_one(u, p, s, h, "empty", "", drs_str)
+                continue
+            cols["url"].extend([u] * k)
+            cols["para_idx"].extend([p] * k)
+            cols["sent_idx"].extend([s] * k)
+            cols["sent_hash"].extend([h] * k)
+            cols["subj"].extend(subjs)
+            cols["pred"].extend(preds)
+            cols["obj"].extend(objs)
+            cols["kind"].extend(kinds)
+            cols["error"].extend([""] * k)
+            if self.emit_drs:
+                cols["drs"].extend([drs_str] * k)
+            if link:
+                cols["subj_id"].extend(subj_ids)
+                cols["obj_id"].extend(obj_ids)
         schema = TRIPLE_SCHEMA
         if self.emit_drs:
             schema = schema.append(pa.field("drs", pa.string()))
-        if self.linker is not None:
+        if link:
             schema = schema.append(pa.field("subj_id", pa.string()))
             schema = schema.append(pa.field("obj_id", pa.string()))
         return pa.table({n: pa.array(cols[n], type=schema.field(n).type)
