@@ -1159,6 +1159,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(z, batch_format="pyarrow")
 
+    def events_zscore_by_type(sf_dir):
+        """Per-GROUP z-score: one combiner pass reduces (n, Σ, Σ²) per
+        event_type (bounded key domain → ≤|types| rows/block), the tiny
+        stats table broadcasts in the closure, and normalization is a
+        streaming map.  The grouped feature-scaling shape."""
+        import numpy as np
+        ds = _tbl(sf_dir, "events",
+                  columns=["event_id", "event_type", "value"])
+        shift = 250.0
+
+        def stats(t: pa.Table) -> pa.Table:
+            import polars as pl
+            df = (pl.from_arrow(t.select(["event_type", "value"]))
+                  .with_columns((pl.col("value") - shift).alias("v"))
+                  .group_by("event_type")
+                  .agg([pl.len().alias("n"), pl.col("v").sum().alias("s1"),
+                        (pl.col("v") ** 2).sum().alias("s2")]))
+            out = df.to_arrow()
+            return out.cast(pa.schema([
+                pa.field(f.name, pa.string() if f.type == pa.large_string()
+                         else f.type) for f in out.schema]))
+
+        agg = {}
+        for r in (ds.map_batches(stats, batch_format="pyarrow")
+                  .groupby("event_type")
+                  .sum(["n", "s1", "s2"]).iter_rows()):
+            n, s1, s2 = r["sum(n)"], r["sum(s1)"], r["sum(s2)"]
+            mean = shift + s1 / n
+            std = float(np.sqrt((s2 - s1 * s1 / n) / n))
+            agg[r["event_type"]] = (mean, std)
+
+        def z(t: pa.Table) -> pa.Table:
+            v = np.asarray(t.column("value"), dtype=np.float64)
+            types = t.column("event_type").to_pylist()
+            m = np.array([agg[x][0] for x in types])
+            s = np.array([agg[x][1] for x in types])
+            return pa.table({
+                "event_id": t.column("event_id"),
+                "z": pa.array(np.round((v - m) / s, 4))})
+
+        return ds.map_batches(z, batch_format="pyarrow")
+
     def events_interarrival(sf_dir):
         """Per-user mean inter-event gap (seconds): key-partitioned
         sorted diff, bounded per-key groups (windowed lag re-expressed
@@ -2270,6 +2312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": events_latest_per_user,
         "events_dq_report": events_dq_report,
         "events_value_zscore": events_value_zscore,
+        "events_zscore_by_type": events_zscore_by_type,
         "events_interarrival": events_interarrival,
         "events_quantile_digest": events_quantile_digest,
         "events_sliding_3h": events_sliding_3h,
@@ -2619,6 +2662,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, round((value - m) / s, 4) AS z FROM events "
             "CROSS JOIN (SELECT avg(value) AS m, stddev_pop(value) AS s "
             "FROM events)",
+        "events_zscore_by_type":
+            "SELECT event_id, round((value - avg(value) OVER w) / "
+            "stddev_pop(value) OVER w, 4) AS z FROM events "
+            "WINDOW w AS (PARTITION BY event_type)",
         "events_interarrival":
             "SELECT user_id, round(avg(gap), 4) AS avg_gap_s, "
             "count(*)::BIGINT AS n_gaps FROM (SELECT user_id, "
