@@ -10,6 +10,8 @@
 * ``latest_per_group`` — associative keep-latest argmax per key.
 * ``adaptive_join`` — broadcast-vs-hash physical join pick by
   build-side size (the planner decision, made explicit).
+* ``salted_map_groups`` — skew-defusing two-stage reduction for
+  mergeable per-group aggregates (hot keys split ``salts`` ways).
 
 Scale contract (SURVEY §2 custom-operator rule (a) — compositions the
 streaming executor pipelines, no driver state):
@@ -327,3 +329,34 @@ def adaptive_join(left, right, on: str, broadcast_max_rows: int = 100_000,
     return left.join(right, "inner",
                      num_partitions=_join_partitions(num_partitions),
                      on=(on,))
+
+
+def salted_map_groups(ds, key: str, fn, salts: int = 16,
+                      salt_col: str = "__salt"):
+    """Skew-defusing two-stage ``groupby().map_groups`` for MERGEABLE
+    per-group reducers — the "salted keys" requirement of the north
+    rule made concrete instead of left to the caller.
+
+    A hot key (one entity on 10^9 pages) would otherwise concentrate
+    its whole group in a single task.  Here every row gets a
+    deterministic salt (row position mod ``salts``), stage 1 reduces
+    each (key, salt) sub-group — the hot group splits ``salts`` ways —
+    and stage 2 re-reduces the ≤``salts`` partial rows per key.
+
+    Contract: ``fn(group_table) -> one-or-more-row table`` must be
+    MERGEABLE — running it over its own concatenated outputs gives the
+    same result as over the raw rows (counts, sums, min/max, top-k,
+    HLL/MG/digest sketches all qualify; medians do not).
+    """
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        salt = np.arange(t.num_rows, dtype=np.int64) % salts
+        return t.append_column(salt_col, pa.array(salt))
+
+    def fn_nosalt(g: pa.Table) -> pa.Table:
+        return fn(g.drop_columns([salt_col]))
+
+    stage1 = (ds.map_batches(add_salt, batch_format="pyarrow")
+              .groupby([key, salt_col]).map_groups(fn_nosalt,
+                                                   batch_format="pyarrow"))
+    return stage1.groupby(key).map_groups(fn, batch_format="pyarrow")
