@@ -1384,6 +1384,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _docs(sf_dir).map_batches(keep, batch_format="pyarrow")
 
+    def docs_sample_exact100(sf_dir):
+        """EXACTLY-k uniform sample without replacement, deterministic
+        and coordination-free: rank every row by a content-hash priority
+        and keep the global k smallest (hash-priority reservoir — the
+        distributed form of Vitter's algorithm with a fixed key).  Each
+        block pre-reduces to its local top-k, so only k × n_blocks rows
+        reach the final sort."""
+        import hashlib
+        import pyarrow.compute as pc
+        k = 100
+        docs = _docs(sf_dir)
+
+        def pri(b: pa.Table) -> pa.Table:
+            prios = [hashlib.md5(t.encode("utf-8")).hexdigest()
+                     for t in b.column("text").to_pylist()]
+            out = pa.table({
+                "doc_id": b.column("doc_id"),
+                "pri": pa.array(prios, type=pa.string())})
+            idx = pc.sort_indices(out, sort_keys=[("pri", "ascending"),
+                                                  ("doc_id", "ascending")])
+            return out.take(idx[:k])
+
+        return (docs.map_batches(pri, batch_format="pyarrow")
+                .sort(["pri", "doc_id"]).limit(k))
+
     def docs_pack_sequences(sf_dir):
         """Sequence packing: each doc's start offset and chunk id in the
         concatenated 2048-token training stream (distributed prefix sum —
@@ -2017,6 +2042,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
         return kg_triples(fd)
 
+    def kg_comention_pairs(sf_dir):
+        """Top-50 same-sentence entity co-mention pairs (relatedness
+        signal): block-local per-sentence sets → bounded pair explode →
+        one exchange (stages/graph.py::co_mention_pairs)."""
+        from ie_ray.stages.graph import co_mention_pairs
+        fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
+        return co_mention_pairs(kg_triples(fd))
+
     def kg_entity_types(sf_dir):
         """Majority-vote entity typing (person/org/concept/other) over
         all triple mentions — block-level vote pre-counts, bounded
@@ -2321,6 +2354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": normalize_docs,
         "knn_top1_ivf": knn_top1_ivf,
         "docs_sample_10pct": docs_sample_10pct,
+        "docs_sample_exact100": docs_sample_exact100,
         "docs_pack_sequences": docs_pack_sequences,
         "docs_new_vs_seen": docs_new_vs_seen,
         "docs_weighted_mix": docs_weighted_mix,
@@ -2346,6 +2380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": host_pagerank,
         "kg_triples": kg_triples_q,
         "kg_entity_types": kg_entity_types,
+        "kg_comention_pairs": kg_comention_pairs,
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
         "kg_pagerank": kg_pagerank,
@@ -2700,6 +2735,9 @@ def oracle_sql() -> dict[str, str]:
         "docs_sample_10pct":
             "SELECT doc_id FROM documents WHERE "
             "('0x' || substr(md5(text), 1, 8))::BIGINT % 10 = 0",
+        "docs_sample_exact100":
+            "SELECT doc_id, md5(text) AS pri FROM documents "
+            "ORDER BY pri, doc_id LIMIT 100",
         "docs_weighted_mix":
             "SELECT doc_id, source FROM documents WHERE "
             "('0x' || substr(md5(text), 1, 8))::BIGINT % 100 "

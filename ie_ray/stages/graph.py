@@ -276,3 +276,46 @@ def write_graph(nodes_ds, edges_ds, out_dir: str, num_parts: int = 8):
             f.write("ok")
         result[name] = manifests
     return result
+
+
+def co_mention_pairs(triples_ds, k: int = 50):
+    """Top-k entity pairs co-mentioned in the same sentence — the
+    co-occurrence signal KG construction uses for relatedness edges.
+
+    Partitioning assumption (same one the flagship's counting relies
+    on): a sentence's triple rows are emitted contiguously by ONE
+    compose task and never split, so per-sentence entity sets build
+    block-locally.  Pairs per sentence are bounded by the ≤250-word
+    sentence cap (O(entities²) ≈ tens), pre-counted per block, then
+    ONE bounded exchange sums; ties break on the pair id.
+    """
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        per_sent: dict = {}
+        for h, sid, oid in zip(batch.column("sent_hash").to_pylist(),
+                               batch.column("subj_id").to_pylist(),
+                               batch.column("obj_id").to_pylist()):
+            s = per_sent.setdefault(h, set())
+            if sid is not None:
+                s.add(sid)
+            if oid is not None:
+                s.add(oid)
+        counts: dict = {}
+        for ents in per_sent.values():
+            es = sorted(ents)
+            for i in range(len(es)):
+                for j in range(i + 1, len(es)):
+                    key = (es[i], es[j])
+                    counts[key] = counts.get(key, 0) + 1
+        keys = sorted(counts)
+        return pa.table({
+            "ent_a": pa.array([x[0] for x in keys], type=pa.string()),
+            "ent_b": pa.array([x[1] for x in keys], type=pa.string()),
+            "n": pa.array([counts[x] for x in keys], type=pa.int64())})
+
+    agg = (triples_ds.map_batches(pairs, batch_format="pyarrow")
+           .groupby(["ent_a", "ent_b"]).sum("n")
+           .map_batches(lambda t: t.rename_columns(["ent_a", "ent_b", "n"]),
+                        batch_format="pyarrow"))
+    return agg.sort(["n", "ent_a", "ent_b"],
+                    descending=[True, False, False]).limit(k)
