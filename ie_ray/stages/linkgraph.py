@@ -30,11 +30,14 @@ def page_link_edges(pages):
 
     def partial(t: pa.Table) -> pa.Table:
         import polars as pl
+        import pyarrow.compute as pc
+        # zero-copy-ish binary→string cast (pages are utf-8 by contract);
+        # a per-row Python .decode() loop here doubled the stage cost
+        html = pc.cast(t.column("html"), pa.string())
         df = pl.DataFrame({
-            "src_host": pl.Series(t.column("url").to_pylist())
+            "src_host": pl.from_arrow(t.column("url"))
                           .str.extract(_HOST_RE, 1),
-            "html": pl.Series([h.decode("utf-8", errors="replace")
-                               for h in t.column("html").to_pylist()]),
+            "html": pl.from_arrow(html),
         })
         e = (df.with_columns(
                 pl.col("html").str.extract_all(_HREF_RE).alias("dst"))
