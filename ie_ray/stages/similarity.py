@@ -273,30 +273,38 @@ class SimPairsActor:
         self.threshold = threshold
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
-        bm = _normalize(np.asarray(batch.column("embedding").to_pylist(),
-                                   dtype=np.float64))
-        sims = bm @ self.m.T
-        bi, cj = np.nonzero(sims >= self.threshold)
-        a_out, b_out = [], []
-        for i, j in zip(bi, cj):
-            a, b = int(bids[i]), int(self.ids[j])
-            if a < b:           # each unordered pair exactly once, no self
-                a_out.append(a)
-                b_out.append(b)
-        return pa.table({
-            "vec_a": pa.array(a_out, type=pa.int64()),
-            "vec_b": pa.array(b_out, type=pa.int64()),
-        })
+        return _sim_pairs_kernel(batch, self.m, self.ids, self.threshold)
+
+
+def _sim_pairs_kernel(batch: pa.Table, m: np.ndarray, ids: np.ndarray,
+                      threshold: float) -> pa.Table:
+    bids = np.asarray(batch.column("vec_id").to_pylist(), dtype=np.int64)
+    bm = _normalize(np.asarray(batch.column("embedding").to_pylist(),
+                               dtype=np.float64))
+    sims = bm @ m.T
+    bi, cj = np.nonzero(sims >= threshold)
+    a = bids[bi]
+    b = ids[cj]
+    keep = a < b                # each unordered pair exactly once, no self
+    return pa.table({
+        "vec_a": pa.array(a[keep], type=pa.int64()),
+        "vec_b": pa.array(b[keep], type=pa.int64()),
+    })
 
 
 def sim_pairs_exact(ds, corpus, corpus_ids, threshold: float = 0.4,
-                    concurrency=(1, 4)):
+                    concurrency=None):
+    """Task-pool form: the corpus matrix rides the object store
+    (``ray.put`` once, zero-copy ``ray.get`` per task) and each task
+    re-normalizes it — O(corpus·dim), 4096× cheaper than the matmul it
+    precedes — so there is NO actor pool to spin up (actor startup was
+    10× the compute for small inputs; tasks reuse warm workers)."""
     import ray
     ref = ray.put(np.asarray(corpus, dtype=np.float64))
-    return ds.map_batches(
-        SimPairsActor,
-        fn_constructor_kwargs={"corpus": ref, "corpus_ids": list(corpus_ids),
-                               "threshold": threshold},
-        batch_format="pyarrow", batch_size=4096,
-        concurrency=concurrency, num_cpus=1)
+    ids = np.asarray(list(corpus_ids), dtype=np.int64)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return _sim_pairs_kernel(batch, _normalize(
+            np.asarray(ray.get(ref), dtype=np.float64)), ids, threshold)
+
+    return ds.map_batches(pairs, batch_format="pyarrow", batch_size=4096)
