@@ -9,6 +9,8 @@ principles — the Ray-side contract is identical for richer codecs):
 * ``image/bmp`` (24-bit uncompressed BI_RGB) — struct header, padded
   bottom-up rows, numpy parse
 * ``audio/wav`` (PCM 16-bit) — stdlib ``wave`` module
+* ``image/gif`` animated (GIF87a/89a LZW) — pure-Python decoder; the
+  "video" modality with real frame-sample features
 * anything else (e.g. ``video/mp4``) — an honest, clearly-marked stub:
   deterministic hash features + ``decoded=false`` so downstream can
   filter; swap in a PIL/ffmpeg call in ``MediaDecodeActor.__init__``
@@ -148,6 +150,7 @@ class MediaDecodeActor:
                 decode_ppm(p)),
             "image/bmp": lambda p: _image_features(decode_bmp(p)),
             "audio/wav": lambda p: _audio_features(*decode_wav(p)),
+            "image/gif": lambda p: _video_features(decode_gif(p)),
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -233,7 +236,14 @@ def synthesize_media(n: int = 64, seed: int = 11) -> pa.Table:
             samples = (np.sin(2 * np.pi * freq * t) * 12000)
             payload, mime, kind = encode_wav(samples), "audio/wav", "audio"
             w = h = -1
-        else:             # opaque video → stub path
+        elif i % 8 == 3:  # animated GIF → REAL video decode path
+            t = np.arange(10, dtype=np.uint8)
+            frames = [np.stack([np.add.outer(t * 9, t * 5) + f * 17] * 3,
+                               axis=2).astype(np.uint8)
+                      for f in range(3 + i % 3)]
+            payload, mime, kind = encode_gif(frames), "image/gif", "video"
+            w = h = 10
+        else:             # opaque mp4 → honest stub path
             payload, mime, kind = bytes(rng.bytes(512)), "video/mp4", \
                 "video"
             w = h = -1
@@ -254,3 +264,157 @@ def synthesize_media(n: int = 64, seed: int = 11) -> pa.Table:
         "width": pa.array(rows["width"], type=pa.int32()),
         "height": pa.array(rows["height"], type=pa.int32()),
     })
+
+
+# ---------------------------------------------------------------------------
+# animated GIF (pure-Python LZW) — the decodable "video" modality
+# ---------------------------------------------------------------------------
+
+def decode_gif(payload: bytes):
+    """Animated GIF → list of (h, w, 3) uint8 frames (GIF87a/89a, global
+    color table, standard LZW; no transparency/disposal composition —
+    each frame is returned as drawn over black).  Pure Python; exists
+    because no codec library ships in this environment and GIF's LZW is
+    fully specified in the public GIF89a spec."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    W, H = struct.unpack_from("<HH", payload, 6)
+    flags = payload[10]
+    pos = 13
+    palette = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        palette = np.frombuffer(payload, np.uint8, n * 3,
+                                pos).reshape(n, 3)
+        pos += n * 3
+    frames = []
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:                  # trailer
+            break
+        if b0 == 0x21:                  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError("bad block 0x%02x" % b0)
+        x, y, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+        lflags = payload[pos + 9]
+        pos += 10
+        pal = palette
+        if lflags & 0x80:
+            n = 2 << (lflags & 7)
+            pal = np.frombuffer(payload, np.uint8, n * 3,
+                                pos).reshape(n, 3)
+            pos += n * 3
+        if lflags & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        min_code = payload[pos]
+        pos += 1
+        data = bytearray()
+        while payload[pos]:
+            ln = payload[pos]
+            data += payload[pos + 1:pos + 1 + ln]
+            pos += ln + 1
+        pos += 1
+        idx = _lzw_decode(bytes(data), min_code, w * h)
+        frame = pal[np.asarray(idx, dtype=np.int32)].reshape(h, w, 3)
+        frames.append(frame)
+    return frames
+
+
+def _lzw_decode(data: bytes, min_code: int, n_pixels: int):
+    clear = 1 << min_code
+    end = clear + 1
+    out = []
+    table = None
+    width = min_code + 1
+    buf = bit = 0
+    prev = None
+    for byte in data:
+        buf |= byte << bit
+        bit += 8
+        while bit >= width:
+            code = buf & ((1 << width) - 1)
+            buf >>= width
+            bit -= width
+            if code == clear:
+                table = [(i,) for i in range(clear)] + [None, None]
+                width = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return out[:n_pixels]
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + (entry[0],))
+            else:
+                entry = prev + (prev[0],)
+                table.append(entry)
+            out.extend(entry)
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+    return out[:n_pixels]
+
+
+def encode_gif(frames, n_colors: int = 256) -> bytes:
+    """Minimal animated-GIF writer for fixtures: one global grayscale
+    palette, per-frame LZW with a CLEAR code before every table
+    overflow (the classic 'uncompressed GIF' technique — spec-valid,
+    decoder-agnostic, no patent-era table growth)."""
+    h, w = frames[0].shape[:2]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 7, 0, 0])            # GCT, 256 entries
+    pal = np.arange(256, dtype=np.uint8)
+    out += np.repeat(pal, 3).tobytes()        # grayscale palette
+    for f in frames:
+        gray = (f.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += bytes([8])                     # LZW min code size
+        codes = []
+        CLEAR = 256
+        for i, px in enumerate(gray.reshape(-1)):
+            if i % 250 == 0:
+                codes.append(CLEAR)
+            codes.append(int(px))
+        codes.append(257)                     # END
+        buf = bit = 0
+        data = bytearray()
+        for c in codes:                        # all codes fit in 9 bits
+            buf |= c << bit
+            bit += 9
+            while bit >= 8:
+                data.append(buf & 0xFF)
+                buf >>= 8
+                bit -= 8
+        if bit:
+            data.append(buf & 0xFF)
+        for i in range(0, len(data), 255):
+            chunk = data[i:i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3B"
+    return bytes(out)
+
+
+def _video_features(frames) -> np.ndarray:
+    """16-d: [n_frames, w, h, global mean, global std, inter-frame mean
+    abs delta, energy over 8 sampled frames, 2×0 pad]."""
+    h, w = frames[0].shape[:2]
+    means = np.array([f.astype(np.float32).mean() for f in frames])
+    out = np.empty(FEAT_DIM, dtype=np.float32)
+    out[0], out[1], out[2] = len(frames), w, h
+    out[3] = means.mean()
+    out[4] = float(np.std(np.stack([f.astype(np.float32)
+                                    for f in frames])))
+    out[5] = float(np.abs(np.diff(means)).mean()) if len(means) > 1 else 0.0
+    pick = np.linspace(0, len(frames) - 1, 8).astype(int)
+    out[6:14] = means[pick] / 255.0
+    out[14:] = 0.0
+    return out

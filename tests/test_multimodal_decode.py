@@ -51,10 +51,12 @@ def test_actor_pool_decodes_real_payloads():
     for r in rows:
         assert len(r["features"]) == FEAT_DIM
         by_kind.setdefault(r["kind"], []).append(r)
-    # every image and audio row really decoded; video is the stub
+    # every image and audio row really decoded; video mixes real
+    # animated-GIF decode with the honest mp4 stub
     assert all(r["decoded"] for r in by_kind["image"])
     assert all(r["decoded"] for r in by_kind["audio"])
-    assert not any(r["decoded"] for r in by_kind["video"])
+    assert any(r["decoded"] for r in by_kind["video"])
+    assert any(not r["decoded"] for r in by_kind["video"])
     # image features carry true dimensions (match the table metadata)
     meta = {r["media_id"]: r
             for b in [synthesize_media(32)] for r in b.to_pylist()}
@@ -64,3 +66,35 @@ def test_actor_pool_decodes_real_payloads():
     # audio rms of a pure tone ≈ amplitude/√2
     for r in by_kind["audio"]:
         assert abs(r["features"][2] - (12000 / 32768) / np.sqrt(2)) < 0.01
+
+
+def test_gif_roundtrip_and_features():
+    from ie_ray.stages.multimodal import (_video_features, decode_gif,
+                                          encode_gif)
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, (6, 8, 3), dtype=np.uint8)
+              for _ in range(5)]
+    back = decode_gif(encode_gif(frames))
+    assert len(back) == 5 and back[0].shape == (6, 8, 3)
+    # grayscale palette: every decoded frame equals the gray of the input
+    for b, f in zip(back, frames):
+        gray = (f.astype(np.uint16).sum(axis=2) // 3).astype(np.uint8)
+        assert np.array_equal(b[:, :, 0], gray)
+        assert np.array_equal(b[:, :, 1], b[:, :, 2])
+    feats = _video_features(back)
+    assert feats[0] == 5 and feats[1] == 8 and feats[2] == 6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_video_gif_rows_decode_for_real():
+    import ray.data
+    ds = ray.data.from_arrow(synthesize_media(32))
+    rows = ds.map_batches(MediaDecodeActor, batch_size=8,
+                          concurrency=(1, 2), num_cpus=1,
+                          batch_format="pyarrow").take_all()
+    vids = [r for r in rows if r["kind"] == "video"]
+    assert any(r["decoded"] for r in vids)       # animated GIFs: real
+    assert any(not r["decoded"] for r in vids)   # mp4: honest stub
+    for r in vids:
+        if r["decoded"]:
+            assert r["features"][0] >= 3         # n_frames
