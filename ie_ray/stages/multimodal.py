@@ -8,6 +8,8 @@ principles — the Ray-side contract is identical for richer codecs):
 * ``image/x-portable-pixmap`` (PPM P6) — header + raw RGB, numpy parse
 * ``image/bmp`` (24-bit uncompressed BI_RGB) — struct header, padded
   bottom-up rows, numpy parse
+* ``image/png`` (8-bit RGB/RGBA/gray) — stdlib zlib inflate + the five
+  standard scanline unfilters
 * ``audio/wav`` (PCM 16-bit) — stdlib ``wave`` module
 * ``image/gif`` animated (GIF87a/89a LZW) — pure-Python decoder; the
   "video" modality with real frame-sample features
@@ -151,6 +153,7 @@ class MediaDecodeActor:
             "image/bmp": lambda p: _image_features(decode_bmp(p)),
             "audio/wav": lambda p: _audio_features(*decode_wav(p)),
             "image/gif": lambda p: _video_features(decode_gif(p)),
+            "image/png": lambda p: _image_features(decode_png(p)),
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -226,6 +229,10 @@ def synthesize_media(n: int = 64, seed: int = 11) -> pa.Table:
                  (x + y) * 3 % 256], axis=2).astype(np.uint8)
             payload, mime, kind = encode_ppm(img), \
                 "image/x-portable-pixmap", "image"
+        elif mode == 1 and i % 8 == 5:   # PNG noise
+            w, h = 6 + (i % 3) * 4, 5 + (i % 4) * 3
+            img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+            payload, mime, kind = encode_png(img), "image/png", "image"
         elif mode == 1:   # BMP noise
             w, h = 5 + (i % 4) * 3, 4 + (i % 5) * 2
             img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
@@ -418,3 +425,98 @@ def _video_features(frames) -> np.ndarray:
     out[6:14] = means[pick] / 255.0
     out[14:] = 0.0
     return out
+
+
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib) — the mainstream lossless image format, decodable
+# from first principles: chunk walk, inflate, per-scanline unfilter
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit RGB/RGBA/gray PNG → (h, w, 3) uint8 (alpha dropped,
+    gray replicated).  Pure Python + stdlib zlib; implements the five
+    standard scanline filters (None/Sub/Up/Average/Paeth) vectorized
+    per row.  Interlaced PNGs are rejected."""
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    idat = bytearray()
+    w = h = None
+    channels = None
+    while pos < len(payload):
+        ln = struct.unpack_from(">I", payload, pos)[0]
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or interlace:
+                raise ValueError("only 8-bit non-interlaced PNG")
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+            if channels is None:
+                raise ValueError("palette PNG unsupported")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    img = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride,
+                             y * (stride + 1) + 1).copy()
+        if f == 1:                                    # Sub
+            for x in range(channels, stride):
+                line[x] = (int(line[x]) + int(line[x - channels])) & 0xFF
+        elif f == 2:                                  # Up
+            line = (line.astype(np.int32) + prev) % 256
+            line = line.astype(np.uint8)
+        elif f == 3:                                  # Average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (int(line[x])
+                           + ((int(a) + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:                                  # Paeth
+            for x in range(stride):
+                a = int(line[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                c = int(prev[x - channels]) if x >= channels else 0
+                p = a + b - c
+                pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc_) else \
+                    (b if pb <= pc_ else c)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        elif f != 0:
+            raise ValueError("bad filter %d" % f)
+        img[y] = line
+        prev = img[y]
+    px = img.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    if channels == 2:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3].copy()
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Minimal RGB PNG writer (filter 0 rows + one zlib stream)."""
+    import zlib
+    h, w = img.shape[:2]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].astype(np.uint8).tobytes()
+                   for y in range(h))
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))

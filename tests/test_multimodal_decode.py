@@ -98,3 +98,11 @@ def test_video_gif_rows_decode_for_real():
     for r in vids:
         if r["decoded"]:
             assert r["features"][0] >= 3         # n_frames
+
+
+def test_png_roundtrip_all_shapes():
+    from ie_ray.stages.multimodal import decode_png, encode_png
+    rng = np.random.RandomState(4)
+    for shape in [(1, 1, 3), (5, 17, 3), (32, 8, 3)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        assert np.array_equal(decode_png(encode_png(img)), img)
