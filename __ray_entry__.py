@@ -705,6 +705,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _tbl(sf_dir, "events", columns=["event_type", "ts"]),
             partial, finish)
 
+    def doc_compression_ratio(sf_dir):
+        """Gopher-style compressibility quality signal: zlib-compressed
+        size ÷ raw utf-8 size per doc (boilerplate/repetition compresses
+        far below ~0.4).  Deterministic (fixed zlib level), pure
+        streaming map; no SQL zlib ⇒ pytest golden instead of a DuckDB
+        oracle."""
+        import zlib
+        docs = _docs(sf_dir)
+
+        def ratio(t: pa.Table) -> pa.Table:
+            texts = t.column("text").to_pylist()
+            out = []
+            for x in texts:
+                raw = x.encode("utf-8")
+                out.append(round(len(zlib.compress(raw, 6))
+                                 / max(len(raw), 1), 4))
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "compression_ratio": pa.array(out, type=pa.float64())})
+
+        return docs.map_batches(ratio, batch_format="pyarrow")
+
     def doc_char_entropy(sf_dir):
         """Per-document Shannon entropy (bits) over unicode codepoints —
         a cheap gibberish/boilerplate QC signal.  Fully vectorized: one
@@ -2332,6 +2354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_corr_value_time": events_corr_value_time,
         "events_rollup": events_rollup,
         "doc_char_entropy": doc_char_entropy,
+        "doc_compression_ratio": doc_compression_ratio,
         "customer_event_counts": customer_event_counts,
         "q6_forecast_revenue": q6_forecast_revenue,
         "events_funnel": events_funnel,

@@ -279,9 +279,17 @@ def _fast_extract(html: str) -> Optional[str]:
 
 
 def extract_text(html: Union[bytes, str]) -> str:
-    """Extract article text from page HTML (see module docstring)."""
+    """Extract article text from page HTML (see module docstring).
+
+    Accepts raw or gzip-compressed bytes (CC-style archives often store
+    payloads gzipped; the 1f-8b magic check costs nothing on raw pages).
+    """
     if isinstance(html, (bytes, bytearray, memoryview)):
-        html = bytes(html).decode("utf-8", errors="replace")
+        html = bytes(html)
+        if html[:2] == b"\x1f\x8b":
+            import gzip
+            html = gzip.decompress(html)
+        html = html.decode("utf-8", errors="replace")
     fast = _fast_extract(html)
     if fast is not None:
         return fast

@@ -53,3 +53,14 @@ def test_fast_path_edge_cases():
     ]
     for html in cases:
         assert extract_text(html) == _extract_text_full(html), html
+
+
+def test_gzip_payload_extraction_identity():
+    """CC-style gzipped html payloads decompress transparently and
+    extract byte-identically to the raw form."""
+    import gzip
+    from ie_ray.sources.html import extract_text
+    from ie_ray.sources.pages import synthesize_pages
+    for r in synthesize_pages(24):
+        assert extract_text(gzip.compress(r["html"])) == r["text"]
+        assert extract_text(r["html"]) == r["text"]
