@@ -125,7 +125,9 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "bm25_top10", "doc_unigram_logprob", "bpe_top_pairs",
                  "events_global_quantiles", "page_link_graph",
                  "heavy_hitter_words", "pmi_collocations",
-                 "docs_chunk_sliding"):
+                 "docs_chunk_sliding", "events_latest_per_user",
+                 "doc_compression_ratio", "events_quantile_digest",
+                 "media_features"):
         consume(name)
 
     total = round(time.time() - t0, 3)
