@@ -1223,6 +1223,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(z, batch_format="pyarrow")
 
+    def events_cumulative_value(sf_dir):
+        """Running per-user value total ordered by (ts, event_id) — the
+        cumulative-window shape: key-partitioned sorted prefix sum,
+        bounded per-key groups (hot keys salt by time range, same
+        contract as temporal.py)."""
+        import numpy as np
+        ds = _tbl(sf_dir, "events",
+                  columns=["user_id", "ts", "event_id", "value"])
+
+        def cum(g: pa.Table) -> pa.Table:
+            ts = np.asarray(g.column("ts").cast(pa.timestamp("us"))
+                            .cast(pa.int64()), dtype=np.int64)
+            eid = np.asarray(g.column("event_id"), dtype=np.int64)
+            val = np.asarray(g.column("value"), dtype=np.float64)
+            order = np.lexsort((eid, ts))
+            run = np.cumsum(val[order])
+            return pa.table({
+                "event_id": pa.array(eid[order], type=pa.int64()),
+                "cum_value": pa.array(np.round(run, 4),
+                                      type=pa.float64())})
+
+        return ds.groupby("user_id").map_groups(cum,
+                                                batch_format="pyarrow")
+
     def events_interarrival(sf_dir):
         """Per-user mean inter-event gap (seconds): key-partitioned
         sorted diff, bounded per-key groups (windowed lag re-expressed
@@ -2369,7 +2393,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dq_report": events_dq_report,
         "events_value_zscore": events_value_zscore,
         "events_zscore_by_type": events_zscore_by_type,
+        "events_cumulative_value":
+            "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) "
+            "AS cum_value FROM events",
         "events_interarrival": events_interarrival,
+        "events_cumulative_value": events_cumulative_value,
         "events_quantile_digest": events_quantile_digest,
         "events_sliding_3h": events_sliding_3h,
         "boilerplate_ngrams": boilerplate_ngrams,
@@ -2724,6 +2753,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, round((value - avg(value) OVER w) / "
             "stddev_pop(value) OVER w, 4) AS z FROM events "
             "WINDOW w AS (PARTITION BY event_type)",
+        "events_cumulative_value":
+            "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) "
+            "AS cum_value FROM events",
         "events_interarrival":
             "SELECT user_id, round(avg(gap), 4) AS avg_gap_s, "
             "count(*)::BIGINT AS n_gaps FROM (SELECT user_id, "
