@@ -1223,6 +1223,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ds.map_batches(z, batch_format="pyarrow")
 
+    def events_value_ntile4(sf_dir):
+        """Global ntile(4) over (value, event_id) WITHOUT a global
+        sort: stats pass → bounded histogram exchange → per-bin local
+        rank + DuckDB-exact tile mapping
+        (relational.global_ntile)."""
+        from ie_ray.stages.relational import global_ntile
+        ds = _tbl(sf_dir, "events", columns=["event_id", "value"])
+        return global_ntile(ds, "value", "event_id", k=4)
+
     def events_cumulative_value(sf_dir):
         """Running per-user value total ordered by (ts, event_id) — the
         cumulative-window shape: key-partitioned sorted prefix sum,
@@ -2393,12 +2402,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dq_report": events_dq_report,
         "events_value_zscore": events_value_zscore,
         "events_zscore_by_type": events_zscore_by_type,
+        "events_value_ntile4":
+            "SELECT event_id, ntile(4) OVER (ORDER BY value, event_id) "
+            "AS tile FROM events",
         "events_cumulative_value":
             "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id "
             "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) "
             "AS cum_value FROM events",
         "events_interarrival": events_interarrival,
+        "events_value_ntile4":
+            "SELECT event_id, ntile(4) OVER (ORDER BY value, event_id) "
+            "AS tile FROM events",
         "events_cumulative_value": events_cumulative_value,
+        "events_value_ntile4": events_value_ntile4,
         "events_quantile_digest": events_quantile_digest,
         "events_sliding_3h": events_sliding_3h,
         "boilerplate_ngrams": boilerplate_ngrams,
@@ -2753,6 +2769,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, round((value - avg(value) OVER w) / "
             "stddev_pop(value) OVER w, 4) AS z FROM events "
             "WINDOW w AS (PARTITION BY event_type)",
+        "events_value_ntile4":
+            "SELECT event_id, ntile(4) OVER (ORDER BY value, event_id) "
+            "AS tile FROM events",
         "events_cumulative_value":
             "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id "
             "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) "

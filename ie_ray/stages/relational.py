@@ -12,6 +12,8 @@
   build-side size (the planner decision, made explicit).
 * ``salted_map_groups`` — skew-defusing two-stage reduction for
   mergeable per-group aggregates (hot keys split ``salts`` ways).
+* ``global_ntile`` — exact global rank/ntile via bin-rank (no global
+  sort).
 
 Scale contract (SURVEY §2 custom-operator rule (a) — compositions the
 streaming executor pipelines, no driver state):
@@ -360,3 +362,80 @@ def salted_map_groups(ds, key: str, fn, salts: int = 16,
               .groupby([key, salt_col]).map_groups(fn_nosalt,
                                                    batch_format="pyarrow"))
     return stage1.groupby(key).map_groups(fn, batch_format="pyarrow")
+
+
+def global_ntile(ds, value_col: str, id_col: str, k: int = 4,
+                 bins: int = 4096):
+    """Exact global ``ntile(k)`` ordered by ``(value, id)`` — the
+    equi-depth bucketing / global-rank shape — WITHOUT a global sort:
+
+    1. one stats pass (n, min, max);
+    2. one histogram pass: per-block counts into ``bins`` equal-width
+       value bins reduce through an associative groupby; the ≤``bins``-
+       row cumulative table gives every bin its exclusive base rank;
+    3. one exchange on the bin id: each bin's group (expected n/bins
+       rows; ties concentrate — values are densest where data is, so
+       callers with known heavy ties raise ``bins``) sorts locally by
+       ``(value, id)`` and emits rank = base + local index, mapped to
+       DuckDB ntile semantics (first n mod k tiles one row larger).
+
+    Returns (id_col, tile:int64).
+    """
+
+    def stats(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(value_col), dtype=np.float64)
+        if not len(v):
+            return pa.table({"n": pa.array([], type=pa.int64()),
+                             "mn": pa.array([], type=pa.float64()),
+                             "mx": pa.array([], type=pa.float64())})
+        return pa.table({"n": pa.array([len(v)], type=pa.int64()),
+                         "mn": pa.array([float(v.min())]),
+                         "mx": pa.array([float(v.max())])})
+
+    n = 0
+    lo = hi = None
+    for r in ds.map_batches(stats, batch_format="pyarrow").iter_rows():
+        n += r["n"]
+        lo = r["mn"] if lo is None else min(lo, r["mn"])
+        hi = r["mx"] if hi is None else max(hi, r["mx"])
+    edges = np.linspace(lo, hi, bins + 1)
+
+    def binned(t: pa.Table) -> pa.Table:
+        v = np.asarray(t.column(value_col), dtype=np.float64)
+        b = np.clip(np.searchsorted(edges, v, side="right") - 1,
+                    0, bins - 1)
+        return pa.table({
+            "bin": pa.array(b, type=pa.int64()),
+            "v": pa.array(v),
+            id_col: t.column(id_col).cast(pa.int64())})
+
+    def bin_counts(t: pa.Table) -> pa.Table:
+        u, c = np.unique(np.asarray(t.column("bin")), return_counts=True)
+        return pa.table({"bin": pa.array(u, type=pa.int64()),
+                         "c": pa.array(c, type=pa.int64())})
+
+    tagged = ds.map_batches(binned, batch_format="pyarrow").materialize()
+    hist = np.zeros(bins, dtype=np.int64)
+    for r in (tagged.map_batches(bin_counts, batch_format="pyarrow")
+              .groupby("bin").sum("c").iter_rows()):
+        hist[r["bin"]] = r["sum(c)"]
+    base = np.concatenate([[0], np.cumsum(hist)[:-1]])
+
+    q, m = divmod(n, k)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        b = int(g.column("bin")[0].as_py())
+        v = np.asarray(g.column("v"), dtype=np.float64)
+        ids = np.asarray(g.column(id_col), dtype=np.int64)
+        order = np.lexsort((ids, v))
+        r = base[b] + np.arange(len(v), dtype=np.int64)
+        # DuckDB ntile: first m tiles have q+1 rows, the rest q
+        cut = m * (q + 1)
+        tile = np.where(r < cut, r // max(q + 1, 1),
+                        m + (r - cut) // max(q, 1)) + 1
+        return pa.table({
+            id_col: pa.array(ids[order], type=pa.int64()),
+            "tile": pa.array(tile, type=pa.int64())})
+
+    return tagged.groupby("bin").map_groups(rank_group,
+                                            batch_format="pyarrow")
