@@ -127,7 +127,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "heavy_hitter_words", "pmi_collocations",
                  "docs_chunk_sliding", "events_latest_per_user",
                  "doc_compression_ratio", "events_quantile_digest",
-                 "media_features"):
+                 "media_features", "events_cumulative_value",
+                 "events_value_ntile4"):
         consume(name)
 
     total = round(time.time() - t0, 3)
