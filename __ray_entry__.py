@@ -330,17 +330,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # broadcast hash join: customer (small side) shipped once via ray.put
         import ray as _ray
         import pyarrow.parquet as pq
+        import numpy as np
         cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                              columns=["c_custkey", "c_mktsegment"])
-        seg = dict(zip(cust.column("c_custkey").to_pylist(),
-                       cust.column("c_mktsegment").to_pylist()))
-        ref = _ray.put(seg)
+        # dictionary-encode the small side once: sorted keys + segment
+        # codes, probed per batch with np.searchsorted + pa.take (no
+        # per-row Python dict lookups in the hot loop)
+        keys = cust.column("c_custkey").to_numpy(zero_copy_only=False)
+        dct = cust.column("c_mktsegment").combine_chunks().dictionary_encode()
+        codes = dct.indices.to_numpy(zero_copy_only=False).astype(np.int32)
+        order = np.argsort(keys, kind="stable")
+        ref = _ray.put((keys[order], codes[order],
+                        dct.dictionary.cast(pa.string())))
 
         def join(batch: pa.Table) -> pa.Table:
-            m = _ray.get(ref) if not isinstance(ref, dict) else ref
-            segs = [m.get(k) for k in batch.column("o_custkey").to_pylist()]
-            return pa.table({
-                "c_mktsegment": pa.array(segs, type=pa.string())})
+            skeys, scodes, sdict = _ray.get(ref)
+            probe = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(skeys, probe)
+            pos = np.clip(pos, 0, len(skeys) - 1)
+            hit = skeys[pos] == probe
+            seg_codes = np.where(hit, scodes[pos], 0)
+            segs = pa.DictionaryArray.from_arrays(
+                pa.array(seg_codes, type=pa.int32(), mask=~hit),
+                sdict).cast(pa.string())
+            return pa.table({"c_mktsegment": segs})
 
         ds = _tbl(sf_dir, "orders", columns=["o_custkey"])
         joined = ds.map_batches(join, batch_format="pyarrow")
@@ -460,12 +473,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
 
         def sessions(group: pa.Table) -> pa.Table:
-            from datetime import timezone
-            # parquet timestamps are tz-naive UTC; make that explicit so the
-            # gaps match the oracle's epoch(ts) on non-UTC hosts (DST safety)
-            ts = sorted(t.replace(tzinfo=timezone.utc).timestamp()
-                        for t in group.column("ts").to_pylist())
-            n = 1 + sum(1 for a, b in zip(ts, ts[1:]) if b - a > 1800)
+            import numpy as np
+            # tz-naive UTC micros straight off the Arrow buffer — epoch
+            # seconds match the oracle's epoch(ts) on any host timezone
+            us = np.sort(group.column("ts").cast(
+                pa.timestamp("us")).to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]").astype(np.int64))
+            n = 1 + int((np.diff(us) > 1800 * 1_000_000).sum())
             return pa.table({
                 "user_id": group.slice(0, 1).column("user_id"),
                 "n_sessions": pa.array([n], type=pa.int64())})
@@ -1550,57 +1564,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                    batch_format="pyarrow")
 
     def q3_shipping(sf_dir):
-        """TPC-H Q3 shape (3-table join): customer segment filter is a
-        broadcast set, qualifying orders broadcast as a key→date dict
-        (both sides are small after filters — the hash-join form only
-        pays off when the filtered sides no longer fit in an actor;
-        at that point use Dataset.join as in the dedup `_attach`)."""
+        """TPC-H Q3 shape (3-table join): the customer→segment filter is
+        a broadcast sorted-key array (customers are a dimension, ~1% of
+        data), and orders⋈lineitem — the two unbounded sides — meet in a
+        real `Dataset.join` hash exchange (same pattern as Q5).  Lineitem
+        revenue is pre-combined per l_orderkey inside every block before
+        the exchange, so the shuffle carries one row per (block, order)."""
+        import datetime
+
+        import numpy as np
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
+        import ray as _ray
+        from ie_ray.stages.dedup import _join_partitions
+
         cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                              columns=["c_custkey", "c_mktsegment"])
-        ckeys = pa.compute.filter(
-            cust.column("c_custkey"),
+        ckeys = np.sort(cust.filter(
             pc.equal(cust.column("c_mktsegment"), "BUILDING"))
-        cutoff = pa.scalar(__import__("datetime").datetime(1995, 3, 15))
-        orders = pq.read_table(os.path.join(sf_dir, "orders.parquet"),
-                               columns=["o_orderkey", "o_custkey",
-                                        "o_orderdate"])
-        om = pc.and_(pc.is_in(orders.column("o_custkey"),
-                              value_set=ckeys.combine_chunks()),
-                     pc.less(orders.column("o_orderdate"), cutoff))
-        qual = orders.filter(om)
-        odate = {k: v for k, v in zip(
-            qual.column("o_orderkey").to_pylist(),
-            pc.strftime(qual.column("o_orderdate").cast(pa.timestamp("s")),
-                        format="%Y-%m-%d %H:%M:%S").to_pylist())}
+            .column("c_custkey").to_numpy(zero_copy_only=False))
+        ckeys_ref = _ray.put(ckeys)
+        cutoff = pa.scalar(datetime.datetime(1995, 3, 15))
 
+        def ord_prep(t: pa.Table) -> pa.Table:
+            ck = _ray.get(ckeys_ref)
+            t = t.filter(pc.less(t.column("o_orderdate"), cutoff))
+            probe = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(ck, probe), 0, len(ck) - 1)
+            t = t.filter(pa.array(ck[pos] == probe))
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_orderdate": pc.strftime(
+                    t.column("o_orderdate").cast(pa.timestamp("s")),
+                    format="%Y-%m-%d %H:%M:%S")})
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.greater(b.column("l_shipdate"), cutoff))
+            part = pa.table({
+                "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
+                "revenue": pc.multiply(
+                    b.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), b.column("l_discount")))})
+            return part.group_by("l_orderkey").aggregate(
+                [("revenue", "sum")]).rename_columns(
+                ["l_orderkey", "revenue"])
+
+        orders = _tbl(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(ord_prep, batch_format="pyarrow")
         li = _tbl(sf_dir, "lineitem",
                   columns=["l_orderkey", "l_extendedprice", "l_discount",
-                           "l_shipdate"])
+                           "l_shipdate"]) \
+            .map_batches(li_prep, batch_format="pyarrow")
+        joined = li.join(orders, "inner",
+                         num_partitions=_join_partitions(),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
 
-        def partial(b: pa.Table, omap=odate) -> pa.Table:
-            mask = pc.greater(b.column("l_shipdate"), cutoff)
-            b = b.filter(mask)
-            keys = b.column("l_orderkey").to_pylist()
-            rev = pc.multiply(
-                b.column("l_extendedprice"),
-                pc.subtract(pa.scalar(1.0), b.column("l_discount")))
-            agg: dict = {}
-            for k, r in zip(keys, rev.to_pylist()):
-                d = omap.get(k)
-                if d is not None:
-                    agg[(k, d)] = agg.get((k, d), 0.0) + r
-            ks = sorted(agg)
-            return pa.table({
-                "l_orderkey": pa.array([k for k, _ in ks], type=pa.int64()),
-                "o_orderdate": pa.array([d for _, d in ks],
-                                        type=pa.string()),
-                "revenue": pa.array([agg[k] for k in ks],
-                                    type=pa.float64())})
-
-        agg = (li.map_batches(partial, batch_format="pyarrow")
-               .groupby(["l_orderkey", "o_orderdate"]).sum("revenue"))
+        agg = joined.groupby(["l_orderkey", "o_orderdate"]).sum("revenue")
 
         def finish(t: pa.Table) -> pa.Table:
             return pa.table({
@@ -2350,7 +2370,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               concurrency=(1, 2), num_cpus=1,
                               batch_format="pyarrow")
 
+    # Ordering contract: the correctness driver checks the first N dict
+    # entries (N=50 in rounds 1-2).  Oracle-backed operators that have not
+    # yet earned a green CORRECTNESS row come FIRST, then the operators
+    # already proven green in CORRECTNESS_r02, and the inherently
+    # oracle-less entries (sketches, kg_* / CCG family, iterative algos —
+    # each gated by named pytest suites in its docstring) come last.
     return {
+        # -- oracle-backed, not yet driver-checked (r02 budget cut at 50) --
+        "q3_shipping": q3_shipping,
+        "q5_local_supplier": q5_local_supplier,
+        "top_words": top_words,
+        "bm25_top10": bm25_top10,
+        "bpe_top_pairs": bpe_top_pairs,
+        "heavy_hitter_words": heavy_hitter_words,
+        "pmi_collocations": pmi_collocations,
+        "docs_chunk_sliding": docs_chunk_sliding,
+        "doc_unigram_logprob": doc_unigram_logprob,
+        "doc_tfidf_top3": doc_tfidf_top3,
+        "inverted_index": inverted_index,
+        "label_centroids": label_centroids,
+        "embedding_outliers": embedding_outliers,
+        "events_value_ntile4": events_value_ntile4,
+        "events_cumulative_value": events_cumulative_value,
+        "events_interarrival": events_interarrival,
+        "events_sliding_3h": events_sliding_3h,
+        "events_zscore_by_type": events_zscore_by_type,
+        "boilerplate_ngrams": boilerplate_ngrams,
+        "doc_dup_ngram_frac": doc_dup_ngram_frac,
+        "normalize_docs": normalize_docs,
+        "docs_sample_10pct": docs_sample_10pct,
+        "docs_sample_exact100": docs_sample_exact100,
+        "docs_weighted_mix": docs_weighted_mix,
+        "docs_new_vs_seen": docs_new_vs_seen,
+        "docs_pack_sequences": docs_pack_sequences,
+        "events_stratified_sample": events_stratified_sample,
+        "nation_region": nation_region,
+        "order_status_counts": order_status_counts,
+        # -- oracle-backed, green in CORRECTNESS_r02 --
         "exact_dedup_docs": exact_dedup_docs,
         "doc_token_counts": doc_token_counts,
         "doc_quality": doc_quality,
@@ -2380,14 +2437,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_click_purchase": events_range_click_purchase,
         "customers_without_events": customers_without_events,
         "events_distinct_users": events_distinct_users,
-        "events_users_approx": events_users_approx,
         "docs_lang_pivot": docs_lang_pivot,
         "docs_longest100": docs_longest100,
         "events_value_histogram": events_value_histogram,
         "events_corr_value_time": events_corr_value_time,
         "events_rollup": events_rollup,
         "doc_char_entropy": doc_char_entropy,
-        "doc_compression_ratio": doc_compression_ratio,
         "customer_event_counts": customer_event_counts,
         "q6_forecast_revenue": q6_forecast_revenue,
         "events_funnel": events_funnel,
@@ -2401,49 +2456,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_latest_per_user": events_latest_per_user,
         "events_dq_report": events_dq_report,
         "events_value_zscore": events_value_zscore,
-        "events_zscore_by_type": events_zscore_by_type,
-        "events_value_ntile4":
-            "SELECT event_id, ntile(4) OVER (ORDER BY value, event_id) "
-            "AS tile FROM events",
-        "events_cumulative_value":
-            "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) "
-            "AS cum_value FROM events",
-        "events_interarrival": events_interarrival,
-        "events_value_ntile4":
-            "SELECT event_id, ntile(4) OVER (ORDER BY value, event_id) "
-            "AS tile FROM events",
-        "events_cumulative_value": events_cumulative_value,
-        "events_value_ntile4": events_value_ntile4,
+        # -- inherently oracle-less (sketches / kg / CCG / iterative);
+        #    each names its pytest gate in the callable's docstring --
+        "events_users_approx": events_users_approx,
+        "doc_compression_ratio": doc_compression_ratio,
         "events_quantile_digest": events_quantile_digest,
-        "events_sliding_3h": events_sliding_3h,
-        "boilerplate_ngrams": boilerplate_ngrams,
-        "doc_dup_ngram_frac": doc_dup_ngram_frac,
-        "normalize_docs": normalize_docs,
         "knn_top1_ivf": knn_top1_ivf,
-        "docs_sample_10pct": docs_sample_10pct,
-        "docs_sample_exact100": docs_sample_exact100,
-        "docs_pack_sequences": docs_pack_sequences,
-        "docs_new_vs_seen": docs_new_vs_seen,
-        "docs_weighted_mix": docs_weighted_mix,
-        "events_stratified_sample": events_stratified_sample,
-        "q3_shipping": q3_shipping,
-        "q5_local_supplier": q5_local_supplier,
-        "top_words": top_words,
-        "bm25_top10": bm25_top10,
-        "bpe_top_pairs": bpe_top_pairs,
-        "heavy_hitter_words": heavy_hitter_words,
-        "pmi_collocations": pmi_collocations,
-        "docs_chunk_sliding": docs_chunk_sliding,
-        "doc_unigram_logprob": doc_unigram_logprob,
-        "doc_tfidf_top3": doc_tfidf_top3,
-        "inverted_index": inverted_index,
-        "label_centroids": label_centroids,
-        "embedding_outliers": embedding_outliers,
         "embedding_kmeans": embedding_kmeans,
         "lexicon_extract": lexicon_extract,
-        "nation_region": nation_region,
-        "order_status_counts": order_status_counts,
         "page_link_graph": page_link_graph,
         "host_pagerank": host_pagerank,
         "kg_triples": kg_triples_q,
