@@ -437,6 +437,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return g.rename_columns(
                 ["window_start", "event_type", "n", "total_value"])
 
+        def combine(t: pa.Table) -> pa.Table:
+            g = t.group_by(["window_start", "event_type"]).aggregate(
+                [("n", "sum"), ("total_value", "sum")])
+            return g.rename_columns(
+                ["window_start", "event_type", "n", "total_value"])
+
         def final(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
             g = t.group_by(["window_start", "event_type"]).aggregate(
@@ -447,10 +453,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "n": g.column("n_sum").cast(pa.int64()),
                 "total_value": pc.round(g.column("total_value_sum"), 2)})
 
-        # windows × types is bounded by the time range (a decade of
-        # hours ≈ 90k keys) — within the single-reducer contract
+        # windows × types GROWS with the time range (a decade of hours
+        # ≈ 90k keys) — too wide for the bare single-reducer contract at
+        # high block counts, so the partials tree-reduce through a
+        # mergeable combine level before the final task
         return lowcard_combine(
-            ds.map_batches(wnd, batch_format="pyarrow"), partial, final)
+            ds.map_batches(wnd, batch_format="pyarrow"), partial, final,
+            combine_fn=combine)
 
     def events_user_stats(sf_dir):
         ds = _tbl(sf_dir, "events", columns=["user_id", "value"])

@@ -59,3 +59,41 @@ def test_distinct_count_multiblock(ray_session):
     df = t.to_pandas()
     want = df.groupby("g").x.nunique().to_dict()
     assert out == want
+
+
+def test_lowcard_combine_tree_bounds_task_input(ray_session):
+    """With combine_fn, no single reduce task may receive more than
+    ~max(blocks/fanin, fanin) x |keys| rows even at an artificially
+    high block count (the events_hourly_window hazard: a time-growing
+    key domain x many blocks overwhelming the final single task).
+    The bound is enforced INSIDE the reduce tasks (they run in worker
+    processes) — any violation raises and fails the run."""
+    from ie_ray.stages.relational import lowcard_combine
+    rng = np.random.RandomState(3)
+    n, keys, blocks, fanin = 20_000, 200, 64, 8
+    cap = max(-(-blocks // fanin), fanin) * keys
+    t = pa.table({
+        "k": pa.array(rng.randint(0, keys, n), type=pa.int64()),
+        "v": pa.array(rng.rand(n)),
+    })
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by("k").aggregate([("v", "sum"), ([], "count_all")])
+        return g.rename_columns(["k", "v", "n"])
+
+    def combine(b: pa.Table) -> pa.Table:
+        if b.num_rows > cap:
+            raise AssertionError(
+                "reduce task received %d rows > cap %d" % (b.num_rows, cap))
+        g = b.group_by("k").aggregate([("v", "sum"), ("n", "sum")])
+        return g.rename_columns(["k", "v", "n"])
+
+    out = lowcard_combine(_ds(t, blocks), partial, combine,
+                          combine_fn=combine, tree_fanin=fanin).take_all()
+    got = {r["k"]: (round(r["v"], 9), r["n"]) for r in out}
+    df = t.to_pandas().groupby("k").v.agg(["sum", "count"])
+    want = {int(k): (round(row["sum"], 9), int(row["count"]))
+            for k, row in df.iterrows()}
+    assert got == want
+    # sanity: without the tree level the final task WOULD exceed the cap
+    assert blocks * keys > cap
