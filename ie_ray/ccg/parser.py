@@ -23,9 +23,19 @@ Public-knowledge design (no learned model in this sandbox):
   uses, so the downstream actor-pool stages are unchanged.
 
 Scale note: the parser is per-sentence CPU work with no shared state
-beyond the static lexicon — ideal actor-pool material.  Cost is
-O(n³·beam²); sentences longer than ``MAX_CKY_TOKENS`` are left to the
-caller's quarantine path.
+beyond the static lexicon — ideal actor-pool material.  Full-grid CKY
+is O(n³·beam²), viable to ``GRID_MAX_TOKENS``; longer sentences (up to
+``MAX_CKY_TOKENS`` = the reference service cap, 250 words,
+``CcgServiceHandler.java:56-57``) parse under a **punctuation
+constraint** (public technique: balanced-punctuation chart pruning —
+Roark 2001 §5; Zhang et al. 2010 "chart pruning"): a span must either
+stay inside one comma/semicolon-delimited chunk or align to chunk
+boundaries, so cost collapses to Σ chunkᵢ³ + cuts³ while the emitted
+derivation stays one coherent CCGBANK tree (commas are singleton
+chunks, so absorption and appositive/conj readings survive).  Chunks
+still longer than ``GRID_MAX_TOKENS`` re-cut before coordinating
+conjunctions and relativizers; if one remains oversized the sentence
+quarantines.
 """
 
 from __future__ import annotations
@@ -36,7 +46,8 @@ from typing import Dict, List, Optional, Tuple
 from ..nlp.postag import tag as pos_tag
 from .category import Category
 
-MAX_CKY_TOKENS = 48
+MAX_CKY_TOKENS = 250   # parity: reference service maxLength
+GRID_MAX_TOKENS = 48   # full-grid CKY beyond this is O(n³·beam²)-hostile
 BEAM = 24
 
 # ---------------------------------------------------------------------------
@@ -606,12 +617,59 @@ def _conj_sig(cat: Category) -> str:
     return cat.signature + "[conj]" if cat.isatom else cat.signature
 
 
+_PUNCT_CUTS = {",", ";", ":", "--"}
+_CHUNK_RECUT = {"and", "or", "but", "which", "who", "that", "while",
+                "because", "although", "when", "where", "after",
+                "before", "so"}
+
+
+def _chunk_layout(words: List[str], grid_max: int):
+    """Punctuation-constraint layout for long sentences: returns
+    (chunk_id per token, cut flags size n+1) or None when some chunk
+    still exceeds ``grid_max`` after re-cutting.  Punct tokens are
+    singleton chunks so absorption/appositive readings stay reachable;
+    oversized comma-free chunks re-cut before conjunctions and
+    clause/relative openers."""
+    n = len(words)
+    cuts = [False] * (n + 1)
+    cuts[0] = cuts[n] = True
+    for i, w in enumerate(words):
+        if w in _PUNCT_CUTS:
+            cuts[i] = cuts[i + 1] = True
+    # re-cut oversized chunks at clause-ish openers
+    i = 0
+    while i < n:
+        j = i
+        while j < n and not cuts[j + 1]:
+            j += 1
+        if j - i + 1 > grid_max:
+            for k in range(i + 1, j + 1):
+                if words[k].lower() in _CHUNK_RECUT:
+                    cuts[k] = True
+        i = j + 1
+    # verify all chunks now fit
+    chunk_id = [0] * n
+    cid = 0
+    size = 0
+    for i in range(n):
+        if cuts[i] and size:
+            cid += 1
+            size = 0
+        chunk_id[i] = cid
+        size += 1
+        if size > grid_max:
+            return None
+    return chunk_id, cuts
+
+
 class CkyParser:
     """parse(sentence) → CCGBANK derivation string or None."""
 
-    def __init__(self, beam: int = BEAM, max_tokens: int = MAX_CKY_TOKENS):
+    def __init__(self, beam: int = BEAM, max_tokens: int = MAX_CKY_TOKENS,
+                 grid_max: int = GRID_MAX_TOKENS):
         self.beam = beam
         self.max_tokens = max_tokens
+        self.grid_max = grid_max
 
     def parse(self, sentence: str) -> Optional[str]:
         words = tokenize(sentence)
@@ -631,6 +689,20 @@ class CkyParser:
         except Exception:
             return None
         n = len(words)
+        # punctuation constraint only beyond the full-grid budget, so
+        # short-sentence derivations are bit-identical to the plain grid
+        chunk_id = cuts = None
+        if n > self.grid_max:
+            layout = _chunk_layout(words, self.grid_max)
+            if layout is None:
+                return None
+            chunk_id, cuts = layout
+
+        def allowed(i: int, j: int) -> bool:
+            if chunk_id is None or chunk_id[i] == chunk_id[j]:
+                return True
+            return cuts[i] and cuts[j + 1]
+
         # chart[i][j] = cell for span words[i:j+1]
         chart = [[None] * n for _ in range(n)]
         for i, (w, cs) in enumerate(zip(words, cands)):
@@ -649,8 +721,12 @@ class CkyParser:
         for span in range(2, n + 1):
             for i in range(0, n - span + 1):
                 j = i + span - 1
+                if not allowed(i, j):
+                    continue
                 cell: Dict = {}
                 for k in range(i, j):
+                    if not (allowed(i, k) and allowed(k + 1, j)):
+                        continue
                     left = chart[i][k]
                     right = chart[k + 1][j]
                     if not left or not right:

@@ -604,38 +604,88 @@ class Composer:
         if l.conj:
             return self._coordinate(r, l, res)
 
+        # Two passes over the combinator inventory (parity: get_rule keys
+        # on (left, right, RESULT), ccg/__init__.py:1427-1667): the strict
+        # pass only accepts a rule whose computed result unifies with the
+        # node's declared result — without it, FA can shadow a crossed
+        # composition when both match the children (free-relative "what"
+        # NP/(S[dcl]\NP) + S[dcl]\NP declared as S[dcl]/(S[dcl]\NP)).
+        # The lenient pass keeps the historical first-match behavior for
+        # corpus derivations whose declared result is feature-shifted.
+        out = self._try_combinators(l, r, res, strict=True)
+        if out is None:
+            out = self._try_combinators(l, r, res, strict=False)
+        if out is not None:
+            return out
+
+        return self._binary_fallback(l, r, res, extras)
+
+    @staticmethod
+    def _mk_functor(result: Category, slash: str, arg: Category) -> Category:
+        rs = "(%s)" % result.signature if result.isfunctor \
+            else result.signature
+        As = "(%s)" % arg.signature if arg.isfunctor else arg.signature
+        return Category.parse(rs + slash + As)
+
+    def _try_combinators(self, l: Sem, r: Sem, res: Category,
+                         strict: bool):
+        def fits(exp: Category) -> bool:
+            return not strict or exp.can_unify(res) or res.can_unify(exp)
+
         # forward application: X/Y Y → X
-        if l.cat.isfunctor and l.cat.isarg_right and l.cat.arg.can_unify(r.cat):
+        if l.cat.isfunctor and l.cat.isarg_right and l.cat.arg.can_unify(r.cat) \
+                and fits(r.cat if l.cat.ismodifier else l.cat.result):
             if isinstance(l.tree, tuple):
                 unify_trees(l.tree[1], r.tree)
                 return Sem(res, l.tree[0])
         # backward application: Y X\Y → X
-        if r.cat.isfunctor and r.cat.isarg_left and r.cat.arg.can_unify(l.cat):
+        if r.cat.isfunctor and r.cat.isarg_left and r.cat.arg.can_unify(l.cat) \
+                and fits(l.cat if r.cat.ismodifier else r.cat.result):
             if isinstance(r.tree, tuple):
                 unify_trees(r.tree[1], l.tree)
                 return Sem(res, r.tree[0])
         # forward composition / crossed: X/Y Y|Z → X|Z
         if l.cat.isfunctor and l.cat.isarg_right and r.cat.isfunctor \
-                and l.cat.arg.can_unify(r.cat.result):
+                and l.cat.arg.can_unify(r.cat.result) \
+                and fits(r.cat if l.cat.ismodifier else
+                         self._mk_functor(l.cat.result, r.cat.slash,
+                                          r.cat.arg)):
             if isinstance(l.tree, tuple) and isinstance(r.tree, tuple):
                 unify_trees(l.tree[1], r.tree[0])
                 return Sem(res, (l.tree[0], r.tree[1]))
         # backward composition / crossed: Y|Z X\Y → X|Z
         if r.cat.isfunctor and r.cat.isarg_left and l.cat.isfunctor \
-                and r.cat.arg.can_unify(l.cat.result):
+                and r.cat.arg.can_unify(l.cat.result) \
+                and fits(l.cat if r.cat.ismodifier else
+                         self._mk_functor(r.cat.result, l.cat.slash,
+                                          l.cat.arg)):
             if isinstance(r.tree, tuple) and isinstance(l.tree, tuple):
                 unify_trees(r.tree[1], l.tree[0])
                 return Sem(res, (r.tree[0], l.tree[1]))
         # generalized forward composition: X/Y (Y|Z)|W → (X|Z)|W
         if l.cat.isfunctor and l.cat.isarg_right and r.cat.isfunctor \
-                and r.cat.result.isfunctor and l.cat.arg.can_unify(r.cat.result.result):
+                and r.cat.result.isfunctor \
+                and l.cat.arg.can_unify(r.cat.result.result) \
+                and fits(r.cat if l.cat.ismodifier else
+                         self._mk_functor(
+                             self._mk_functor(l.cat.result,
+                                              r.cat.result.slash,
+                                              r.cat.result.arg),
+                             r.cat.slash, r.cat.arg)):
             if isinstance(l.tree, tuple) and isinstance(r.tree, tuple) \
                     and isinstance(r.tree[0], tuple):
                 unify_trees(l.tree[1], r.tree[0][0])
                 return Sem(res, ((l.tree[0], r.tree[0][1]), r.tree[1]))
         # generalized backward
         if r.cat.isfunctor and r.cat.isarg_left and l.cat.isfunctor \
-                and l.cat.result.isfunctor and r.cat.arg.can_unify(l.cat.result.result):
+                and l.cat.result.isfunctor \
+                and r.cat.arg.can_unify(l.cat.result.result) \
+                and fits(l.cat if r.cat.ismodifier else
+                         self._mk_functor(
+                             self._mk_functor(r.cat.result,
+                                              l.cat.result.slash,
+                                              l.cat.result.arg),
+                             l.cat.slash, l.cat.arg)):
             if isinstance(r.tree, tuple) and isinstance(l.tree, tuple) \
                     and isinstance(l.tree[0], tuple):
                 unify_trees(r.tree[1], l.tree[0][0])
@@ -643,13 +693,18 @@ class Composer:
         # substitution (rare): (X/Y)/Z Y/Z → X/Z
         if l.cat.isfunctor and l.cat.result.isfunctor and r.cat.isfunctor \
                 and l.cat.result.arg.can_unify(r.cat.result) \
-                and l.cat.arg.can_unify(r.cat.arg):
+                and l.cat.arg.can_unify(r.cat.arg) \
+                and fits(self._mk_functor(l.cat.result.result,
+                                          r.cat.slash, r.cat.arg)):
             if isinstance(l.tree, tuple) and isinstance(l.tree[0], tuple) \
                     and isinstance(r.tree, tuple):
                 unify_trees(l.tree[0][1], r.tree[0])
                 unify_trees(l.tree[1], r.tree[1])
                 return Sem(res, (l.tree[0][0], l.tree[1]))
+        return None
 
+    def _binary_fallback(self, l: Sem, r: Sem, res: Category,
+                         extras) -> Sem:
         # NP NP juxtaposition: the appositive pattern the reference finds by
         # disjoint-DRS-graph analysis ("Name , a NP" / "a NP , Name" after
         # comma absorption; ccg.py:1078-1197).  A right side that introduced

@@ -118,7 +118,67 @@ def _label_sig(labels_ds) -> int:
     return tot
 
 
-def connected_components(edges_ds, max_iters: int = 25):
+# sub-node ids sort ABOVE every real node id (U+FFFF prefix), so a
+# hub's chain sub-nodes can never win the component-min and leak into
+# the output labels
+_SUB_PREFIX = "￿"
+
+
+def _salt_hubs(adj, hub_degree: int):
+    """Split nodes whose adjacency degree exceeds ``hub_degree`` into
+    ``ceil(degree / hub_degree)`` chained sub-nodes: the hub's adjacency
+    rows are re-owned by sub-nodes ``\\uffffH#i`` (round-robin), and
+    chain rows (H ↔ sub) keep the component connected.  After salting,
+    no ``groupby(node)`` group in the propagation loop holds more than
+    ~``hub_degree`` rows; labels route x → H → sub → y, so a hub hop
+    costs 2 extra iterations.  Hubs are heavy hitters — few by nature —
+    so the hub list (NOT the adjacency) is driver-bounded and
+    broadcast.  Returns (salted_adj, hub_count)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    deg = adj.groupby("node").count()
+    hubs = deg.map_batches(
+        lambda t: t.filter(pc.greater(t.column("count()"), hub_degree)),
+        batch_format="pyarrow").take_all()
+    if not hubs:
+        return adj, 0
+    hub_k = {r["node"]: -(-r["count()"] // hub_degree) for r in hubs}
+    hub_ref = ray.put(hub_k)
+    hub_arr = pa.array(list(hub_k), type=pa.string())
+
+    def resalt(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t.column("node"), value_set=hub_arr)
+        if not pc.any(mask).as_py():
+            return t
+        hk = ray.get(hub_ref)
+        nodes = t.column("node").to_pylist()
+        idx = np.nonzero(np.asarray(mask))[0]
+        # round-robin within the block; any partition of a hub's rows
+        # is equally correct (sub-nodes are interchangeable)
+        for j, i in enumerate(idx):
+            n = nodes[i]
+            nodes[i] = "%s%s#%d" % (_SUB_PREFIX, n, j % hk[n])
+        return pa.table({"node": pa.array(nodes, type=pa.string()),
+                         "peer": t.column("peer")})
+
+    chain_nodes, chain_peers = [], []
+    for h, k in hub_k.items():
+        for i in range(k):
+            sub = "%s%s#%d" % (_SUB_PREFIX, h, i)
+            chain_nodes += [h, sub]
+            chain_peers += [sub, h]
+    import ray.data
+    chains = ray.data.from_arrow(pa.table({
+        "node": pa.array(chain_nodes, type=pa.string()),
+        "peer": pa.array(chain_peers, type=pa.string())}))
+    salted = adj.map_batches(resalt, batch_format="pyarrow").union(chains)
+    return salted.materialize(), len(hub_k)
+
+
+def connected_components(edges_ds, max_iters: int = 25,
+                         hub_degree: int = 100_000):
     """Hash-min label propagation over an edge Dataset ``(a:string,
     b:string)`` — no driver-side graph at any point.
 
@@ -130,9 +190,12 @@ def connected_components(edges_ds, max_iters: int = 25):
     through ``groupby(node).min`` — min is associative, so Ray
     pre-combines per block before the exchange and a hot node's millions
     of incoming messages reduce to one candidate per (block × key).
-    Fan-OUT of a true hub (emitting O(degree) rows from one group) is
-    inherent to message passing; at web scale callers salt hub keys by
-    splitting ``a`` into ``a#0..a#k`` sub-nodes chained to ``a``.
+    Fan-OUT is bounded too: nodes whose degree exceeds ``hub_degree``
+    are split into chained sub-nodes (``_salt_hubs``) before the loop,
+    so one entity on 10^9 pages (``c:company``) never concentrates its
+    whole neighbourhood in a single ``push`` group; each hub hop costs
+    2 extra iterations.  Sub-nodes sort above all real ids and are
+    dropped from the returned labels.
 
     Converges in O(diameter) iterations; exits early when a per-block
     signature of the label table stops changing.  The label table is
@@ -152,6 +215,10 @@ def connected_components(edges_ds, max_iters: int = 25):
 
     # adjacency, both directions (static across iterations)
     adj = edges_ds.map_batches(explode, batch_format="pyarrow").materialize()
+    if hub_degree:
+        adj, n_hubs = _salt_hubs(adj, hub_degree)
+        if n_hubs:
+            max_iters *= 3  # labels detour 2 extra hops per hub crossing
 
     # initial labels: min(node, min(neighbors)) — vectorized
     def self_label(batch: pa.Table) -> pa.Table:
@@ -209,9 +276,12 @@ def connected_components(edges_ds, max_iters: int = 25):
         if new_sig == cur_sig:
             break
         cur_sig = new_sig
-    return labels.map_batches(
-        lambda t: t.rename_columns(["node", "component"]),
-        batch_format="pyarrow")
+    def strip_subs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.starts_with(t.column("node"),
+                                              _SUB_PREFIX)))
+        return t.rename_columns(["node", "component"])
+
+    return labels.map_batches(strip_subs, batch_format="pyarrow")
 
 
 def canonicalize_ids_ds(triples_ds, labels_ds, num_partitions=None):

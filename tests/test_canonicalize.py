@@ -94,3 +94,73 @@ def test_canonicalize_pipeline(ray_session, tmp_path):
     for r in rows:
         if r["kind"] == "aka" and r["subj_id"] and r["obj_id"]:
             assert r["subj_id"] == r["obj_id"], r
+
+
+def test_cc_planted_hub_salting(ray_session):
+    """Planted hub: one node with degree >> block size must (a) split so
+    no propagation group exceeds ~hub_degree rows and (b) converge to
+    exactly the labels a driver-side union-find computes, with no
+    sub-node ids leaking into the output."""
+    import numpy as np
+    import ray.data
+    from ie_ray.stages.link import (_SUB_PREFIX, _salt_hubs,
+                                    connected_components)
+
+    hub_degree = 32
+    n_leaves = 500
+    leaves = ["leaf%04d" % i for i in range(n_leaves)]
+    # hub star + a chain hanging off leaf0 + a separate component
+    a = ["hub"] * n_leaves + ["leaf0000", "chain1", "p"]
+    b = leaves + ["chain1", "chain2", "q"]
+    edges = ray.data.from_arrow(pa.table({
+        "a": pa.array(a, type=pa.string()),
+        "b": pa.array(b, type=pa.string()),
+    })).repartition(8)
+
+    # (a) group-size bound after salting
+    def explode(batch):
+        aa = batch.column("a").to_pylist()
+        bb = batch.column("b").to_pylist()
+        return pa.table({"node": pa.array(aa + bb, type=pa.string()),
+                         "peer": pa.array(bb + aa, type=pa.string())})
+    adj = edges.map_batches(explode, batch_format="pyarrow").materialize()
+    salted, n_hubs = _salt_hubs(adj, hub_degree)
+    assert n_hubs == 1
+    counts = {r["node"]: r["count()"]
+              for r in salted.groupby("node").count().take_all()}
+    k = -(-(n_leaves) // hub_degree)  # hub adjacency rows -> k sub-nodes
+    assert max(counts.values()) <= hub_degree + 2, max(counts.items(),
+                                                       key=lambda x: x[1])
+    assert counts["hub"] <= k + 2  # chain rows only (plus chain/extra)
+    subs = [n for n in counts if n.startswith(_SUB_PREFIX)]
+    assert len(subs) == k
+
+    # (b) labels identical to a union-find twin, no sub-nodes in output
+    comp = {r["node"]: r["component"]
+            for r in connected_components(edges,
+                                          hub_degree=hub_degree).take_all()}
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in zip(a, b):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {}
+    for node in set(a) | set(b):
+        root = find(node)
+        # component id = min node id in component
+        want.setdefault(root, []).append(node)
+    want_label = {}
+    for root, members in want.items():
+        m = min(members)
+        for node in members:
+            want_label[node] = m
+    assert not any(n.startswith(_SUB_PREFIX) for n in comp)
+    assert comp == want_label

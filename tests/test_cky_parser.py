@@ -170,3 +170,58 @@ def test_held_out_prose_coverage(parser):
         ok += 1
     assert not c.missing_rules, c.missing_rules
     assert ok / len(pool) >= 0.9, (ok, len(pool))
+
+
+BOOKS = ["/root/reference/data/books/Speak-cliffsnotes-summary.txt",
+         "/root/reference/data/books/Speak/analysis.txt",
+         "/root/reference/data/books/brexit.txt",
+         "/root/reference/data/books/Speak-Laurie_Halse_Anderson_djvu.txt"]
+
+
+@pytest.mark.skipif(not __import__("os").path.exists(BOOKS[0]),
+                    reason="reference data absent")
+def test_long_sentence_coverage(parser):
+    """48-150-word sentences (the reference service cap is 250,
+    CcgServiceHandler.java:56-57) must parse+compose with quarantine
+    rate < 20% under the punctuation-constrained chart: natural long
+    sentences from held-out prose plus coordinations of consecutive
+    real mid-length sentences."""
+    import os
+    from ie_ray.nlp.text import split_sentences
+    from ie_ray.ccg.parser import tokenize
+
+    def is_prose(toks):
+        return toks and sum(
+            1 for t in toks if t[0].isalpha()) / len(toks) >= 0.7
+
+    allsents = []
+    for p in BOOKS:
+        if not os.path.exists(p):
+            continue
+        for para in open(p, errors="ignore").read().split("\n"):
+            allsents.extend(split_sentences(para.strip()))
+    nat = [s for s in allsents
+           if is_prose(tokenize(s)) and 48 <= len(tokenize(s)) <= 150]
+    mids = [s for s in allsents
+            if is_prose(tokenize(s)) and 15 <= len(tokenize(s)) <= 45
+            and s and s[-1] in ".!?"]
+    joiners = [", and ", ", but ", "; ", ", while "]
+    synth, i = [], 0
+    while i + 1 < len(mids) and len(synth) < 48:
+        a, b = mids[i].rstrip(".!?"), mids[i + 1].rstrip(".!?")
+        s = a + joiners[len(synth) % len(joiners)] + b[0].lower() + b[1:] + "."
+        if 48 <= len(tokenize(s)) <= 150:
+            synth.append(s)
+        i += 2
+    pool = nat + synth
+    assert len(pool) >= 40
+    c = Composer()
+    ok = 0
+    for s in pool:
+        d = parser.parse(s)
+        if d is None:
+            continue
+        c.compose_ccgbank(d).get_drs()  # must not raise on a parse
+        ok += 1
+    assert not c.missing_rules, c.missing_rules
+    assert ok / len(pool) >= 0.8, (ok, len(pool))
