@@ -112,45 +112,135 @@ _IRREGULAR_VERBS = {
 _VOWELS = set("aeiou")
 _DOUBLED = re.compile(r"([b-df-hj-np-tv-z])\1ed$|([b-df-hj-np-tv-z])\2ing$")
 
+# prefixed irregulars resolve through their base ("overcame" → over+came)
+_VERB_PREFIXES = ("over", "under", "out", "re", "mis", "fore", "with", "un")
+
+# ablaut participle/preterite shapes; a form ending in one of these that
+# is NOT in the irregular inventory is an UNKNOWN irregular — returned
+# unchanged with confident=False so callers can quarantine-tag it
+# instead of silently mis-stemming ("smitten", "wrought", "striven").
+_ABLAUT_UNSURE = ("itten", "otten", "iven", "oven", "ozen",
+                  "ought", "aught")
+
 
 def lemmatize_verb(word: str) -> str:
     """Map an inflected verb form to its base form (deterministic rules)."""
+    return lemmatize_verb_ex(word)[0]
+
+
+def lemmatize_verb_ex(word: str):
+    """(lemma, confident).  confident=False marks an ablaut-shaped form
+    outside the irregular inventory — kept as-is, quarantine-taggable."""
     w = word.lower()
+    out = _lemmatize_lower(w)
+    if out is not None:
+        return out, True
+    if w.endswith(_ABLAUT_UNSURE):
+        return w, False
+    return w, True
+
+
+def _lemmatize_lower(w: str):
+    """Base form for a lowercased verb, or None when no rule applies
+    (the form is presumed to already be a base form or is unknown)."""
     if w in _IRREGULAR_VERBS:
         return _IRREGULAR_VERBS[w]
+    for p in _VERB_PREFIXES:
+        if w.startswith(p) and w[len(p):] in _IRREGULAR_VERBS:
+            base = _IRREGULAR_VERBS[w[len(p):]]
+            # only when the base actually changed (else "represent" would
+            # become "re"+"present" style nonsense for identity entries)
+            if base != w[len(p):]:
+                return p + base
+    return _suffix_lemma(w)
+
+
+# practical exceptions the shape rules cannot tell apart (uses/focuses,
+# treat/create …)
+_LEMMA_EXCEPTIONS = {
+    "focuses": "focus", "dying": "die", "lying": "lie", "tying": "tie",
+    "foresaw": "foresee",
+}
+
+
+def _undouble(stem: str) -> str:
+    """stopped → stop; 'll' undoubles only for multi-syllable non-'-all'
+    stems (controlled → control, compelled → compel) — monosyllables
+    genuinely end in ll (call, spell, fill)."""
+    if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS:
+        if stem[-1] == "s":
+            return stem
+        if stem[-1] == "l":
+            if stem.endswith("all") or \
+                    len(re.findall(r"[aeiouy]+", stem)) < 2:
+                return stem
+        return stem[:-1]
+    return stem
+
+
+def _suffix_lemma(w: str):
+    hit = _LEMMA_EXCEPTIONS.get(w)
+    if hit is not None:
+        return hit
     if w.endswith("ies") and len(w) > 4:
         return w[:-3] + "y"
     if w.endswith(("sses", "shes", "ches", "xes", "zzes")):
         return w[:-2]
     if w.endswith("oes") and len(w) > 3:
         return w[:-2]
-    if w.endswith("s") and not w.endswith("ss") and len(w) > 2:
+    if w.endswith("s") and not w.endswith(("ss", "us", "is")) and len(w) > 2:
         return w[:-1]
+    if w.endswith("eed") and len(w) > 4:
+        return w[:-1]                             # agreed → agree
     if w.endswith("ied") and len(w) > 4:
         return w[:-3] + "y"
     if w.endswith("ed") and len(w) > 3:
         stem = w[:-2]
         if len(stem) == 2:
             return stem + "e"                     # died → die, owed → owe
-        if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS and stem[-1] not in "sl":
-            return stem[:-1]                      # stopped → stop
+        undone = _undouble(stem)
+        if undone != stem:
+            return undone                         # stopped → stop
         if _needs_e(stem):
             return stem + "e"                     # believed → believe
         return stem                               # protested → protest
     if w.endswith("ing") and len(w) > 4:
         stem = w[:-3]
-        if len(stem) >= 3 and stem[-1] == stem[-2] and stem[-1] not in _VOWELS and stem[-1] not in "sl":
-            return stem[:-1]
+        if not re.search(r"[aeiouy]", stem):
+            return None                           # bring/swing are bases
+        undone = _undouble(stem)
+        if undone != stem:
+            return undone
         if _needs_e(stem):
             return stem + "e"
         return stem
-    return w
+    return None
+
+
+# multi-syllable -ng stems whose base takes e (change/arrange vs hang/
+# belong — the velar-nasal vs /ndʒ/ split is not recoverable from
+# spelling, so the /ndʒ/ family is enumerated)
+_NG_TAKES_E = {"chang", "arrang", "rearrang", "exchang", "challeng",
+               "plung", "lung", "cring", "hing", "unhing", "reveng",
+               "aveng", "scaveng", "loung", "spong", "fring", "infring",
+               "imping"}  # NB "singing" must yield sing, not singe
+_TAKES_E = {"creat", "recreat"}
 
 
 def _needs_e(stem: str) -> bool:
     """Heuristic: CVC(e) verbs like believ-, pos-, wheez- need a trailing e."""
     if len(stem) < 2:
         return False
+    if stem in _NG_TAKES_E or stem in _TAKES_E:
+        return True
+    if stem.endswith("v"):
+        return True        # receive, serve, arrive — no English base ends v
+    if stem.endswith(("dg", "ic", "ib")):
+        return True        # judge, dodge; notice, practice; describe
+    if stem.endswith(("in", "id")) and len(stem) > 3 \
+            and stem[-3] not in _VOWELS \
+            and len(re.findall(r"[aeiouy]+", stem)) >= 2:
+        return True        # imagine, determine; provide, decide
     if stem.endswith(("iev", "eav", "eez", "ooz", "uc", "iz", "yz",
                       "os", "as", "is", "rs", "ov", "ors", "nc", "ud")):
         return True        # believe, oppose, praise, endorse, approve, announce
@@ -348,7 +438,8 @@ class Token:
     """One word of a sentence with its semantic contribution."""
 
     __slots__ = ("idx", "word", "stem", "pos", "cat", "conds", "sem",
-                 "isproper", "isverb", "ispunct", "refs", "mask")
+                 "isproper", "isverb", "ispunct", "refs", "mask",
+                 "stem_unsure")
 
     def __init__(self, idx: int, word: str, pos: str, cat: Category):
         self.idx = idx
@@ -383,7 +474,11 @@ class Token:
             else:
                 stem = word.lower().rstrip(_PUNCT_CHARS)
                 if pos in POS_VERBS:
-                    self.stem = lemmatize_verb(stem)
+                    self.stem, confident = lemmatize_verb_ex(stem)
+                    if not confident:
+                        # unknown ablaut form kept as-is; callers may
+                        # quarantine-tag (VERDICT r2 item 6)
+                        self.stem_unsure = True
                 else:
                     self.stem = stem
 

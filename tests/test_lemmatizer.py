@@ -1,0 +1,193 @@
+"""Open-vocabulary verb lemmatizer accuracy (VERDICT r2 item 6).
+
+The reference lemmatizes with NLTK's WordNetLemmatizer
+(``ie/semantics/lexeme.py:188,460``); this repo's rule lemmatizer must
+hold up on frequent English verbs beyond the golden-fixture vocabulary.
+The pairs below are public knowledge (standard English inflection).
+
+Documented accuracy gate: >= 97% on this 300+-pair list; unknown
+ablaut-shaped forms must be flagged unsure instead of silently
+mis-stemmed.
+"""
+
+from ie_ray.semantics.lexicon import lemmatize_verb, lemmatize_verb_ex
+
+# (inflected form, expected lemma) — frequent verbs, all inflection
+# classes: -s/-es/-ies, -ed/-ied/doubled/-e-restore, -ing, irregulars,
+# prefixed irregulars.
+PAIRS = [
+    # --- third-person -s / -es / -ies ---
+    ("asks", "ask"), ("works", "work"), ("seems", "seem"),
+    ("calls", "call"), ("tries", "try"), ("carries", "carry"),
+    ("studies", "study"), ("flies", "fly"), ("denies", "deny"),
+    ("passes", "pass"), ("pushes", "push"), ("watches", "watch"),
+    ("fixes", "fix"), ("buzzes", "buzz"), ("goes", "go"),
+    ("does", "do"), ("echoes", "echo"), ("catches", "catch"),
+    ("reaches", "reach"), ("wishes", "wish"), ("misses", "miss"),
+    ("relaxes", "relax"), ("focuses", "focus"), ("argues", "argue"),
+    ("continues", "continue"), ("agrees", "agree"), ("sees", "see"),
+    ("uses", "use"), ("causes", "cause"), ("raises", "raise"),
+    ("closes", "close"), ("loses", "lose"), ("chooses", "choose"),
+    ("notices", "notice"), ("produces", "produce"), ("reduces", "reduce"),
+    ("provides", "provide"), ("decides", "decide"), ("includes", "include"),
+    ("believes", "believe"), ("receives", "receive"), ("gives", "give"),
+    ("lives", "live"), ("moves", "move"), ("loves", "love"),
+    ("serves", "serve"), ("proves", "prove"), ("improves", "improve"),
+    ("writes", "write"), ("takes", "take"), ("makes", "make"),
+    ("likes", "like"), ("wants", "want"), ("needs", "need"),
+    ("helps", "help"), ("plays", "play"), ("stays", "stay"),
+    ("says", "say"), ("pays", "pay"), ("buys", "buy"),
+    ("enjoys", "enjoy"), ("destroys", "destroy"), ("employs", "employ"),
+    # --- regular -ed: plain strip ---
+    ("asked", "ask"), ("worked", "work"), ("seemed", "seem"),
+    ("called", "call"), ("helped", "help"), ("wanted", "want"),
+    ("needed", "need"), ("looked", "look"), ("talked", "talk"),
+    ("walked", "walk"), ("started", "start"), ("ended", "end"),
+    ("turned", "turn"), ("opened", "open"), ("happened", "happen"),
+    ("listened", "listen"), ("offered", "offer"), ("delivered", "deliver"),
+    ("remembered", "remember"), ("considered", "consider"),
+    ("protested", "protest"), ("reported", "report"),
+    ("suggested", "suggest"), ("visited", "visit"),
+    ("developed", "develop"), ("followed", "follow"),
+    ("allowed", "allow"), ("showed", "show"), ("enjoyed", "enjoy"),
+    ("played", "play"), ("stayed", "stay"), ("destroyed", "destroy"),
+    # --- -ed with e-restore ---
+    ("used", "use"), ("caused", "cause"), ("raised", "raise"),
+    ("closed", "close"), ("noticed", "notice"), ("produced", "produce"),
+    ("reduced", "reduce"), ("provided", "provide"), ("decided", "decide"),
+    ("included", "include"), ("believed", "believe"),
+    ("received", "receive"), ("lived", "live"), ("moved", "move"),
+    ("loved", "love"), ("served", "serve"), ("improved", "improve"),
+    ("liked", "like"), ("hoped", "hope"), ("saved", "save"),
+    ("smiled", "smile"), ("arrived", "arrive"), ("achieved", "achieve"),
+    ("announced", "announce"), ("managed", "manage"),
+    ("arranged", "arrange"), ("changed", "change"), ("judged", "judge"),
+    ("imagined", "imagine"), ("described", "describe"),
+    ("created", "create"), ("located", "locate"), ("died", "die"),
+    ("tied", "tie"), ("owed", "owe"), ("agreed", "agree"),
+    ("freed", "free"),
+    # --- -ied ---
+    ("tried", "try"), ("carried", "carry"), ("studied", "study"),
+    ("denied", "deny"), ("married", "marry"), ("worried", "worry"),
+    ("hurried", "hurry"), ("applied", "apply"), ("replied", "reply"),
+    ("cried", "cry"),
+    # --- doubled consonant ---
+    ("stopped", "stop"), ("planned", "plan"), ("dropped", "drop"),
+    ("grabbed", "grab"), ("begged", "beg"), ("hugged", "hug"),
+    ("shipped", "ship"), ("equipped", "equip"), ("admitted", "admit"),
+    ("committed", "commit"), ("permitted", "permit"),
+    ("preferred", "prefer"), ("occurred", "occur"),
+    ("referred", "refer"), ("controlled", "control"),
+    # --- -ing ---
+    ("asking", "ask"), ("working", "work"), ("going", "go"),
+    ("trying", "try"), ("carrying", "carry"), ("studying", "study"),
+    ("using", "use"), ("making", "make"), ("taking", "take"),
+    ("writing", "write"), ("giving", "give"), ("living", "live"),
+    ("moving", "move"), ("having", "have"), ("coming", "come"),
+    ("hoping", "hope"), ("smiling", "smile"), ("arriving", "arrive"),
+    ("managing", "manage"), ("changing", "change"),
+    ("deciding", "decide"), ("providing", "provide"),
+    ("believing", "believe"), ("receiving", "receive"),
+    ("stopping", "stop"), ("planning", "plan"), ("dropping", "drop"),
+    ("running", "run"), ("sitting", "sit"), ("getting", "get"),
+    ("putting", "put"), ("swimming", "swim"), ("beginning", "begin"),
+    ("occurring", "occur"), ("referring", "refer"),
+    ("controlling", "control"), ("playing", "play"),
+    ("saying", "say"), ("paying", "pay"), ("buying", "buy"),
+    ("enjoying", "enjoy"), ("seeing", "see"), ("agreeing", "agree"),
+    ("being", "be"), ("doing", "do"), ("dying", "die"),
+    ("singing", "sing"), ("bringing", "bring"), ("hanging", "hang"),
+    # --- irregular preterites / participles ---
+    ("went", "go"), ("gone", "go"), ("was", "be"), ("were", "be"),
+    ("been", "be"), ("had", "have"), ("has", "have"), ("did", "do"),
+    ("done", "do"), ("came", "come"), ("gave", "give"),
+    ("given", "give"), ("took", "take"), ("taken", "take"),
+    ("made", "make"), ("got", "get"), ("gotten", "get"),
+    ("ran", "run"), ("said", "say"), ("told", "tell"),
+    ("knew", "know"), ("known", "know"), ("thought", "think"),
+    ("found", "find"), ("brought", "bring"), ("bought", "buy"),
+    ("caught", "catch"), ("taught", "teach"), ("sought", "seek"),
+    ("wrote", "write"), ("written", "write"), ("spoke", "speak"),
+    ("spoken", "speak"), ("broke", "break"), ("broken", "break"),
+    ("chose", "choose"), ("chosen", "choose"), ("drove", "drive"),
+    ("driven", "drive"), ("rose", "rise"), ("risen", "rise"),
+    ("grew", "grow"), ("grown", "grow"), ("threw", "throw"),
+    ("thrown", "throw"), ("flew", "fly"), ("flown", "fly"),
+    ("drew", "draw"), ("drawn", "draw"), ("held", "hold"),
+    ("kept", "keep"), ("met", "meet"), ("paid", "pay"),
+    ("sent", "send"), ("spent", "spend"), ("built", "build"),
+    ("lost", "lose"), ("meant", "mean"), ("stood", "stand"),
+    ("understood", "understand"), ("won", "win"), ("began", "begin"),
+    ("begun", "begin"), ("sang", "sing"), ("sung", "sing"),
+    ("sat", "sit"), ("ate", "eat"), ("eaten", "eat"),
+    ("fell", "fall"), ("fallen", "fall"), ("heard", "hear"),
+    ("led", "lead"), ("sold", "sell"), ("became", "become"),
+    ("wore", "wear"), ("worn", "wear"), ("laid", "lay"),
+    ("shook", "shake"), ("shaken", "shake"), ("struck", "strike"),
+    ("hid", "hide"), ("hidden", "hide"), ("forgot", "forget"),
+    ("forgotten", "forget"), ("froze", "freeze"), ("frozen", "freeze"),
+    ("arose", "arise"), ("arisen", "arise"), ("stole", "steal"),
+    ("stolen", "steal"), ("seen", "see"), ("bitten", "bite"),
+    ("woke", "wake"), ("woken", "wake"), ("shown", "show"),
+    ("tore", "tear"), ("torn", "tear"), ("sworn", "swear"),
+    ("bore", "bear"), ("borne", "bear"), ("rode", "ride"),
+    ("ridden", "ride"), ("rang", "ring"), ("rung", "ring"),
+    ("sprang", "spring"), ("drank", "drink"), ("drunk", "drink"),
+    ("blew", "blow"), ("blown", "blow"), ("sank", "sink"),
+    ("swam", "swim"), ("spun", "spin"), ("stuck", "stick"),
+    ("stung", "sting"), ("crept", "creep"), ("swept", "sweep"),
+    ("wept", "weep"), ("slept", "sleep"), ("fled", "flee"),
+    ("fought", "fight"), ("dug", "dig"), ("hung", "hang"),
+    ("bled", "bleed"), ("bred", "breed"), ("fed", "feed"),
+    ("sped", "speed"), ("wound", "wind"), ("ground", "grind"),
+    ("swung", "swing"), ("clung", "cling"), ("flung", "fling"),
+    # --- prefixed irregulars ---
+    ("overcame", "overcome"), ("overtook", "overtake"),
+    ("undertook", "undertake"), ("underwent", "undergo"),
+    ("outgrew", "outgrow"), ("overthrew", "overthrow"),
+    ("withdrew", "withdraw"), ("withdrawn", "withdraw"),
+    ("foresaw", "foresee"), ("foreseen", "foresee"),
+    ("rewrote", "rewrite"), ("rewritten", "rewrite"),
+    ("rebuilt", "rebuild"), ("retold", "retell"),
+    ("misunderstood", "misunderstand"), ("overheard", "overhear"),
+    # --- base forms must stay put ---
+    ("run", "run"), ("be", "be"), ("go", "go"), ("see", "see"),
+    ("protest", "protest"), ("focus", "focus"), ("manage", "manage"),
+    ("deliver", "deliver"), ("continue", "continue"), ("argue", "argue"),
+    ("pass", "pass"), ("miss", "miss"), ("press", "press"),
+    ("discuss", "discuss"), ("sing", "sing"), ("bring", "bring"),
+]
+
+
+def test_frequent_verb_accuracy():
+    wrong = [(w, lemmatize_verb(w), want) for w, want in PAIRS
+             if lemmatize_verb(w) != want]
+    acc = 1 - len(wrong) / len(PAIRS)
+    assert len(PAIRS) >= 300
+    assert acc >= 0.97, (round(acc, 3), wrong[:25])
+
+
+def test_unknown_irregulars_flagged_unsure():
+    """Ablaut-shaped forms outside the irregular inventory must come
+    back (surface form, confident=False) — quarantine-taggable rather
+    than silently mis-stemmed."""
+    for w in ["smitten", "striven", "cloven", "riven", "wrought",
+              "besought"]:
+        stem, confident = lemmatize_verb_ex(w)
+        assert stem == w, (w, stem)
+        assert not confident, w
+    # known forms stay confident
+    for w in ["written", "forgotten", "thought", "asked", "run"]:
+        _, confident = lemmatize_verb_ex(w)
+        assert confident, w
+
+
+def test_token_marks_unsure_stem():
+    from ie_ray.ccg.category import Category
+    from ie_ray.semantics.engine import Token
+    t = Token(0, "smitten", "VBN", Category.parse(r"S[pss]\NP"))
+    assert t.stem == "smitten"
+    assert getattr(t, "stem_unsure", False)
+    t2 = Token(0, "wrote", "VBD", Category.parse(r"(S[dcl]\NP)/NP"))
+    assert t2.stem == "write"
+    assert not getattr(t2, "stem_unsure", False)
