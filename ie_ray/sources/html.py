@@ -278,18 +278,54 @@ def _fast_extract(html: str) -> Optional[str]:
     return None          # fox / generic / mixed layouts → full parser
 
 
+_META_CHARSET = re.compile(
+    br"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_.:-]+)""", re.I)
+_XML_ENC = re.compile(br"""<\?xml[^>]+encoding=["']([A-Za-z0-9_.:-]+)""",
+                      re.I)
+
+
+def sniff_decode(html: bytes) -> str:
+    """Decode page bytes the way a browser would (real CC HTML is not
+    all UTF-8): BOM first, then a declared ``<meta charset>`` /
+    ``http-equiv`` / XML-prolog encoding in the first 4 KiB, then
+    strict UTF-8, then latin-1 (the byte-preserving fallback — every
+    byte decodes, so broken encodings degrade deterministically
+    instead of raising)."""
+    if html[:3] == b"\xef\xbb\xbf":
+        return html[3:].decode("utf-8", errors="replace")
+    if html[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return html.decode("utf-16", errors="replace")
+    head = html[:4096]
+    m = _META_CHARSET.search(head) or _XML_ENC.search(head)
+    if m:
+        name = m.group(1).decode("ascii", "ignore").strip().lower()
+        # html5 spec quirk browsers honor; then try the declared codec
+        if name in ("latin-1", "iso-8859-1", "us-ascii", "ascii",
+                    "windows-1252", "cp1252"):
+            return html.decode("cp1252", errors="replace")
+        try:
+            return html.decode(name, errors="replace")
+        except LookupError:
+            pass
+    try:
+        return html.decode("utf-8")
+    except UnicodeDecodeError:
+        return html.decode("latin-1")
+
+
 def extract_text(html: Union[bytes, str]) -> str:
     """Extract article text from page HTML (see module docstring).
 
     Accepts raw or gzip-compressed bytes (CC-style archives often store
     payloads gzipped; the 1f-8b magic check costs nothing on raw pages).
+    Non-UTF-8 pages decode via ``sniff_decode``.
     """
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html)
         if html[:2] == b"\x1f\x8b":
             import gzip
             html = gzip.decompress(html)
-        html = html.decode("utf-8", errors="replace")
+        html = sniff_decode(html)
     fast = _fast_extract(html)
     if fast is not None:
         return fast

@@ -64,3 +64,48 @@ def test_gzip_payload_extraction_identity():
     for r in synthesize_pages(24):
         assert extract_text(gzip.compress(r["html"])) == r["text"]
         assert extract_text(r["html"]) == r["text"]
+
+
+def test_charset_sniff_decode_identity():
+    """Real CC HTML is not all UTF-8 (VERDICT r2 item 9): declared
+    charsets, BOMs and broken encodings must decode deterministically
+    and extract byte-identically to the unicode form."""
+    from ie_ray.sources.html import extract_text, sniff_decode
+    from ie_ray.sources.pages import _page_html
+
+    body = ["Café déjà-vu — naïve touché.", "Ångström & Ærø øre."]
+    html = _page_html("Tïtle", body, "reuters")  # str with non-ascii
+    want = extract_text(html)
+    assert "Café" in want and "Ångström" in want
+
+    # utf-8 with meta charset declared
+    declared = html.replace(
+        "<html>", '<html><meta charset="utf-8">', 1)
+    assert extract_text(declared.encode("utf-8")) == \
+        extract_text(declared)
+    # utf-8 BOM
+    assert extract_text(b"\xef\xbb\xbf" + html.encode("utf-8")) == want
+    # latin-1 page with declared charset (all chars in latin-1 here
+    # except Ærø's fine; drop non-latin1 chars first)
+    l1 = html.replace("—", "-")
+    l1d = l1.replace("<html>",
+                     '<html><meta charset="iso-8859-1">', 1)
+    assert extract_text(l1d.encode("latin-1")) == extract_text(l1d)
+    # http-equiv style declaration
+    he = l1.replace(
+        "<html>",
+        '<html><meta http-equiv="Content-Type" '
+        'content="text/html; charset=windows-1252">', 1)
+    assert extract_text(he.encode("cp1252")) == extract_text(he)
+    # undeclared latin-1 (invalid as utf-8) falls back byte-preserving
+    assert extract_text(l1.encode("latin-1")) == extract_text(l1)
+    # broken encoding: utf-8 bytes truncated mid-codepoint must not raise
+    broken = html.encode("utf-8")[:-1] + b"\xc3"
+    out = extract_text(broken)
+    assert isinstance(out, str) and len(out) > 0
+    # bogus declared codec name falls through to utf-8
+    bogus = html.replace("<html>",
+                         '<html><meta charset="not-a-codec">', 1)
+    assert extract_text(bogus.encode("utf-8")) == extract_text(bogus)
+    # utf-16 BOM
+    assert sniff_decode(html.encode("utf-16")) == html
