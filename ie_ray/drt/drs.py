@@ -27,7 +27,8 @@ class Ref:
     events, pronouns) as opposed to free slot variables.
     """
 
-    __slots__ = ("_parent", "kind", "bound", "_rank", "bound_idx", "binder")
+    __slots__ = ("_parent", "kind", "bound", "_rank", "bound_idx", "binder",
+                 "name")
 
     def __init__(self, kind: str = "x", bound: bool = False):
         self._parent = self
@@ -36,6 +37,7 @@ class Ref:
         self._rank = 0
         self.bound_idx = None   # word index of the binding lexeme
         self.binder = None      # the binding Token (labels for triples)
+        self.name = None        # explicit surface name (PDRS set notation)
 
     def find(self) -> "Ref":
         r = self

@@ -158,3 +158,255 @@ def presupposed_name(label_inner: int, label_outer: int, name: str,
     return PDRS(label_inner, [(label_outer, label_inner)],
                 [PRef(label_outer, r)],
                 [PCond(label_outer, Rel(name, [r]))])
+
+
+# ---------------------------------------------------------------------------
+# projective implication + accessibility + set notation
+# (parity: ie/drt/pdrs.py accessibility/PVar algebra subset and the
+# set-notation grammar ie/parse.py:136-388, goldens drt/test/pdrs_test.py)
+# ---------------------------------------------------------------------------
+
+class PImp:
+    """Projective implication: antecedent PDRS → consequent PDRS."""
+
+    __slots__ = ("antecedent", "consequent")
+
+    def __init__(self, antecedent: "PDRS", consequent: "PDRS"):
+        self.antecedent = antecedent
+        self.consequent = consequent
+
+
+def _sub_pdrss(pdrs: "PDRS") -> List["PDRS"]:
+    """All PDRSs embedded under ``pdrs`` (itself first; parity:
+    has_subdrs walks)."""
+    out = [pdrs]
+    for c in pdrs.conds:
+        if isinstance(c.cond, PImp):
+            out.extend(_sub_pdrss(c.cond.antecedent))
+            out.extend(_sub_pdrss(c.cond.consequent))
+    return out
+
+
+def accessible_labels(root: "PDRS", label: int) -> List[int]:
+    """Context labels accessible FROM ``label``: itself, every label an
+    explicit ``maps`` edge (outer, inner) makes visible transitively,
+    and — for implication subcontexts — the embedding chain (DRT:
+    antecedent is accessible from consequent, outer from both).
+    Parity: pdrs accessibility relation (ie/drt/pdrs.py)."""
+    # explicit map edges: inner sees outer
+    up: Dict[int, List[int]] = {}
+    for sub in _sub_pdrss(root):
+        for outer, inner in sub.maps:
+            up.setdefault(inner, []).append(outer)
+    # structural edges from implication nesting
+    def walk(p: "PDRS", outer: Optional[int]):
+        if outer is not None:
+            up.setdefault(p.label, []).append(outer)
+        for c in p.conds:
+            if isinstance(c.cond, PImp):
+                ant, cons = c.cond.antecedent, c.cond.consequent
+                walk(ant, p.label)
+                # consequent sees the antecedent (and through it, p)
+                walk(cons, ant.label)
+    walk(root, None)
+    seen: List[int] = []
+    stack = [label]
+    while stack:
+        x = stack.pop()
+        if x in seen:
+            continue
+        seen.append(x)
+        stack.extend(up.get(x, []))
+    return seen
+
+
+def accessible_universe(root: "PDRS", label: int) -> List[Ref]:
+    """Referents visible from context ``label`` — refs introduced in any
+    accessible context (parity: accessible_universe)."""
+    acc = set(accessible_labels(root, label))
+    out: List[Ref] = []
+    for sub in _sub_pdrss(root):
+        if sub.label in acc:
+            for r in sub.refs:
+                if r.ref not in out:
+                    out.append(r.ref)
+    return out
+
+
+def _ref_name(r: Ref) -> str:
+    rr = r.find()
+    return rr.name or rr.kind
+
+
+def show_set(p: "PDRS") -> str:
+    """Reference SHOW_SET form: ``<label,{universe},{(ptr,cond),…},
+    {maps}>`` (golden: ``<1,{x},{(1,man(x)),(1,happy(x))},{}>``).
+    Universe refs render bare when local (pointer == label), pointed
+    when projected — the reference's canonical form."""
+    uni = ",".join(_ref_name(r.ref) if r.pointer == p.label
+                   else "(%d,%s)" % (r.pointer, _ref_name(r.ref))
+                   for r in p.refs)
+    conds = ",".join(_show_pcond(c) for c in p.conds)
+    maps = ",".join("(%d,%d)" % (a, b) for a, b in p.maps)
+    return "<%d,{%s},{%s},{%s}>" % (p.label, uni, conds, maps)
+
+
+def show_linear(p: "PDRS") -> str:
+    """Reference SHOW_LINEAR form: ``label:[universe|conds|maps]``
+    (golden: ``1:[x|(1,man(x)),(1,happy(x))|]``)."""
+    uni = ",".join(_ref_name(r.ref) for r in p.refs)
+    conds = ",".join(_show_pcond(c) for c in p.conds)
+    maps = ",".join("(%d,%d)" % (a, b) for a, b in p.maps)
+    return "%d:[%s|%s|%s]" % (p.label, uni, conds, maps)
+
+
+def _show_pcond(c: PCond) -> str:
+    if isinstance(c.cond, PImp):
+        return "(%d,%s -> %s)" % (c.pointer, show_set(c.cond.antecedent),
+                                  show_set(c.cond.consequent))
+    return "(%d,%s(%s))" % (c.pointer, c.cond.pred,
+                            ",".join(_ref_name(r) for r in c.cond.refs))
+
+
+def parse_pdrs(text: str) -> "PDRS":
+    """Parse the reference's PDRS set notation (ie/parse.py:136-388
+    subset): ``<label,{refs},{(ptr,cond)…},{maps}>`` where a cond is
+    ``name(args…)`` or ``<…> -> <…>`` and refs may be bare names or
+    ``(ptr,name)`` pairs.  Round-trips with :func:`show_set`."""
+    pos = [0]
+    s = text.replace(" ", "")
+
+    def expect(ch):
+        if s[pos[0]] != ch:
+            raise ValueError("expected %r at %d in %r" % (ch, pos[0], s))
+        pos[0] += 1
+
+    def peek():
+        return s[pos[0]] if pos[0] < len(s) else ""
+
+    def read_int():
+        j = pos[0]
+        while j < len(s) and (s[j].isdigit() or s[j] == "-"):
+            j += 1
+        v = int(s[pos[0]:j])
+        pos[0] = j
+        return v
+
+    def read_name():
+        j = pos[0]
+        while j < len(s) and (s[j].isalnum() or s[j] == "_"):
+            j += 1
+        v = s[pos[0]:j]
+        pos[0] = j
+        return v
+
+    refs_env: Dict[str, Ref] = {}
+
+    def get_ref(name: str) -> Ref:
+        if name not in refs_env:
+            r = Ref(name[0])
+            r.name = name
+            refs_env[name] = r
+        return refs_env[name]
+
+    def parse_p() -> PDRS:
+        expect("<")
+        label = read_int()
+        expect(",")
+        # universe
+        expect("{")
+        refs = []
+        while peek() != "}":
+            if peek() == "(":
+                expect("(")
+                ptr = read_int()
+                expect(",")
+                refs.append(PRef(ptr, get_ref(read_name())))
+                expect(")")
+            else:
+                refs.append(PRef(label, get_ref(read_name())))
+            if peek() == ",":
+                pos[0] += 1
+        expect("}")
+        expect(",")
+        # conditions
+        expect("{")
+        conds = []
+        while peek() != "}":
+            expect("(")
+            ptr = read_int()
+            expect(",")
+            if peek() == "<":
+                ant = parse_p()
+                if s[pos[0]:pos[0] + 2] != "->":
+                    raise ValueError("expected -> at %d" % pos[0])
+                pos[0] += 2
+                cons = parse_p()
+                conds.append(PCond(ptr, PImp(ant, cons)))
+            else:
+                pred = read_name()
+                expect("(")
+                args = []
+                while peek() != ")":
+                    args.append(get_ref(read_name()))
+                    if peek() == ",":
+                        pos[0] += 1
+                expect(")")
+                conds.append(PCond(ptr, Rel(pred, args)))
+            expect(")")
+            if peek() == ",":
+                pos[0] += 1
+        expect("}")
+        maps = []
+        if peek() == ",":
+            pos[0] += 1
+            expect("{")
+            while peek() != "}":
+                expect("(")
+                a = read_int()
+                expect(",")
+                b = read_int()
+                expect(")")
+                maps.append((a, b))
+                if peek() == ",":
+                    pos[0] += 1
+            expect("}")
+        expect(">")
+        return PDRS(label, maps, refs, conds)
+
+    out = parse_p()
+    return out
+
+
+def get_universes(root: "PDRS") -> List[Ref]:
+    """Referents introduced anywhere in the structure (parity:
+    get_universes)."""
+    out: List[Ref] = []
+    for sub in _sub_pdrss(root):
+        for r in sub.refs:
+            if r.ref not in out:
+                out.append(r.ref)
+    return out
+
+
+def get_freerefs(root: "PDRS") -> List[Ref]:
+    """Referents USED in some context without being introduced in any
+    context accessible from it (parity: pdrs get_freerefs — unresolved
+    presupposition triggers)."""
+    out: List[Ref] = []
+
+    def visible(label: int) -> set:
+        return {id(r.find()) for r in accessible_universe(root, label)}
+
+    def walk(p: "PDRS"):
+        vis = visible(p.label)
+        for c in p.conds:
+            if isinstance(c.cond, PImp):
+                walk(c.cond.antecedent)
+                walk(c.cond.consequent)
+            else:
+                for r in c.cond.refs:
+                    if id(r.find()) not in vis and r not in out:
+                        out.append(r)
+    walk(root)
+    return out
