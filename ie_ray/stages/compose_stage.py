@@ -79,6 +79,11 @@ class ComposeActor:
             return hit
         sem = self.composer.compose_ccgbank(derivation)
         drs_str = sem.get_drs().show() if self.emit_drs else ""
+        # quarantine-tag unknown-irregular stems (lemmatizer kept the
+        # surface form; VERDICT r2 item 6) — soft tag, rows still emit
+        unsure = ",".join(sorted({t.word for t in sem.tokens
+                                  if getattr(t, "stem_unsure", False)}))
+        err_tag = ("stem_unsure:" + unsure) if unsure else ""
         triples = sem.triples()
         subjs = [t["subj"] for t in triples]
         preds = [t["pred"] for t in triples]
@@ -90,7 +95,7 @@ class ComposeActor:
         else:
             subj_ids = obj_ids = None
         result = (len(triples), subjs, preds, objs, kinds,
-                  subj_ids, obj_ids, drs_str)
+                  subj_ids, obj_ids, drs_str, err_tag)
         self._cache[derivation] = result
         if len(self._cache) > self._CACHE_MAX:
             self._cache.popitem(last=False)
@@ -135,7 +140,7 @@ class ComposeActor:
                 continue
             try:
                 (k, subjs, preds, objs, kinds, subj_ids, obj_ids,
-                 drs_str) = self._compose(d)
+                 drs_str, err_tag) = self._compose(d)
             except Exception as e:  # row-level failure is data, not a crash
                 emit_one(u, p, s, h, "quarantine",
                          "compose: %s" % type(e).__name__)
@@ -151,7 +156,7 @@ class ComposeActor:
             cols["pred"].extend(preds)
             cols["obj"].extend(objs)
             cols["kind"].extend(kinds)
-            cols["error"].extend([""] * k)
+            cols["error"].extend([err_tag] * k)
             if self.emit_drs:
                 cols["drs"].extend([drs_str] * k)
             if link:

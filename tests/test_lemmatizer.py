@@ -191,3 +191,26 @@ def test_token_marks_unsure_stem():
     t2 = Token(0, "wrote", "VBD", Category.parse(r"(S[dcl]\NP)/NP"))
     assert t2.stem == "write"
     assert not getattr(t2, "stem_unsure", False)
+
+
+def test_compose_stage_tags_unsure_stems(ray_session):
+    """A sentence containing an unknown-ablaut verb form emits its
+    triples with a soft 'stem_unsure:' tag in the error column —
+    quarantine-taggable downstream, rows still usable."""
+    import pyarrow as pa
+    import ray.data
+    from ie_ray.stages.compose_stage import ComposeActor
+    d = (r'(<T S[dcl] 1 2> (<T NP 0 2> (<L NP/N DT DT The NP/N>) '
+         r'(<L N NN NN knight N>) ) (<T S[dcl]\NP 0 2> '
+         r'(<L (S[dcl]\NP)/NP VBD VBD smitten (S[dcl]\NP)/NP>) '
+         r'(<T NP 0 2> (<L NP/N DT DT a NP/N>) (<L N NN NN dragon N>) ) ) )')
+    batch = pa.table({
+        "url": ["u"], "para_idx": pa.array([0], type=pa.int32()),
+        "sent_idx": pa.array([0], type=pa.int32()),
+        "sent_hash": ["h"], "ccgbank": [d], "parse_error": [""],
+    })
+    out = ComposeActor()(batch)
+    errs = set(out.column("error").to_pylist())
+    assert any(e.startswith("stem_unsure:smitten") for e in errs), errs
+    # stems kept as surface form, not mis-stemmed
+    assert "smitten" in out.column("pred").to_pylist()
