@@ -1787,6 +1787,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             batch_format="pyarrow"))
         return agg.sort(["n", "word"], descending=[True, False]).limit(20)
 
+    def doc_oov_rate(sf_dir):
+        """Vocabulary pruning / OOV-rate (the tokenizer-vocab design
+        loop every training pipeline runs): pass 1 reduces the corpus to
+        global word counts via block combiners and keeps the top-10
+        vocabulary (tiny → driver → ray.put broadcast); pass 2 scores
+        each doc's out-of-vocabulary token fraction vectorized against
+        the broadcast vocab.  At 100 TB the vocab stays top-K-bounded
+        and crosses the cluster once."""
+        import ray as _ray
+        ds = _docs(sf_dir)
+
+        def partial(b: pa.Table) -> pa.Table:
+            counts: dict = {}
+            for t in b.column("text").to_pylist():
+                for w in t.lower().split():
+                    counts[w] = counts.get(w, 0) + 1
+            keys = sorted(counts)
+            return pa.table({
+                "word": pa.array(keys, type=pa.string()),
+                "n": pa.array([counts[k] for k in keys], type=pa.int64())})
+
+        vocab_rows = (ds.map_batches(partial, batch_format="pyarrow")
+                      .groupby("word").sum("n")
+                      .map_batches(lambda t: t.rename_columns(["word", "n"]),
+                                   batch_format="pyarrow")
+                      .sort(["n", "word"], descending=[True, False])
+                      .limit(10).take_all())
+        vocab_ref = _ray.put(frozenset(r["word"] for r in vocab_rows))
+
+        def score(b: pa.Table) -> pa.Table:
+            vocab = _ray.get(vocab_ref)
+            ids, rates = [], []
+            for i, t in zip(b.column("doc_id").to_pylist(),
+                            b.column("text").to_pylist()):
+                words = t.lower().split()
+                if not words:
+                    continue
+                oov = sum(1 for w in words if w not in vocab)
+                ids.append(i)
+                rates.append(oov / len(words))
+            import pyarrow.compute as pc
+            return pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                # duckdb round() is half-away-from-zero (pyarrow:
+                # half_towards_infinity); Python round() banker's-rounds
+                # (21/32 = .65625 → .6562) — match duckdb
+                "oov_rate": pc.round(
+                    pa.array(rates, type=pa.float64()), 4,
+                    round_mode="half_towards_infinity")})
+
+        return ds.map_batches(score, batch_format="pyarrow")
+
     def bm25_top10(sf_dir):
         """Okapi BM25 top-10 docs for a fixed mixed-rarity term query.
         One combiner pass reduces (n_docs, Σ dl, per-term df) to
@@ -2396,6 +2448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_collocations": pmi_collocations,
         "docs_chunk_sliding": docs_chunk_sliding,
         "doc_unigram_logprob": doc_unigram_logprob,
+        "doc_oov_rate": doc_oov_rate,
         "doc_tfidf_top3": doc_tfidf_top3,
         "inverted_index": inverted_index,
         "label_centroids": label_centroids,
@@ -2582,6 +2635,15 @@ def oracle_sql() -> dict[str, str]:
             "LEAST(i*24+32, len(l))::INT], ' ') AS chunk "
             "FROM tok, UNNEST(range(0, ((len(l)+23)//24)::BIGINT)) AS t(i)",
         "doc_unigram_logprob": _UNIGRAM_SQL,
+        "doc_oov_rate":
+            "WITH w AS (SELECT doc_id, unnest(regexp_split_to_array("
+            "lower(text), '\\s+')) AS word FROM documents), "
+            "w2 AS (SELECT doc_id, word FROM w WHERE word != ''), "
+            "v AS (SELECT word FROM (SELECT word, count(*) AS n FROM w2 "
+            "GROUP BY word ORDER BY n DESC, word ASC LIMIT 10)) "
+            "SELECT doc_id, round(avg(CASE WHEN word IN "
+            "(SELECT word FROM v) THEN 0.0 ELSE 1.0 END), 4) AS oov_rate "
+            "FROM w2 GROUP BY doc_id",
         "doc_tfidf_top3":
             "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
             "AS word FROM documents), "
