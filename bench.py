@@ -63,7 +63,12 @@ def flagship_stats(sf_dir: str, n_pages: int = None) -> dict:
                          "n_sentences": pa.array([ns], type=pa.int64())})
 
     totals = {"n_triples": 0, "n_sentences": 0}
-    for row in ds.map_batches(counts, batch_format="pyarrow").take_all():
+    # batch_size=None → whole blocks.  n_triples is exact; n_sentences
+    # over-counts ~1-2% when a big compose output table is split across
+    # blocks mid-sentence (run-to-run block boundaries differ) — treat
+    # sentences_per_s as approximate, docs/triples as exact.
+    for row in ds.map_batches(counts, batch_format="pyarrow",
+                              batch_size=None).take_all():
         totals["n_triples"] += row["n_triples"]
         totals["n_sentences"] += row["n_sentences"]
     wall = time.time() - t0

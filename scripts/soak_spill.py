@@ -31,10 +31,30 @@ def main():
     stats["wall_s"] = round(stats["wall_s"], 1)
     wall = time.time() - t0
 
-    from ray._private.internal_api import memory_summary
-    summary = memory_summary(stats_only=True)
-    spill_lines = [ln.strip() for ln in summary.splitlines()
-                   if "pill" in ln or "Plasma" in ln or "usage" in ln]
+    # grpc (and thus ray's memory_summary RPC) is absent in this sandbox;
+    # spill/object-store evidence comes from the session's raylet logs
+    # ("Spilled N MiB, M objects" heartbeat lines) + the object-store
+    # config line.
+    import glob
+    import os
+    import re
+    sess = os.path.realpath("/tmp/ray/session_latest")
+    spill_lines = []
+    store_mb = None
+    for path in glob.glob(os.path.join(sess, "logs", "raylet*.out")):
+        for ln in open(path, errors="ignore"):
+            if "Spilled" in ln or "Restored" in ln:
+                m = re.search(r"(Spilled|Restored).*", ln)
+                if m:
+                    spill_lines.append(m.group(0).strip()[:160])
+            elif "Object store current usage" in ln:
+                spill_lines.append(ln.strip()[-120:])
+            elif store_mb is None and "object_store_memory" in ln.lower():
+                store_mb = ln.strip()[-120:]
+    spill_lines = spill_lines[-8:] or ["no spill lines in raylet logs "
+                                       "(run fit in the object store)"]
+    if store_mb:
+        spill_lines.append(store_mb)
     out = {
         "n_pages": n_pages,
         "num_cpus": cpus,
