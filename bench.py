@@ -171,7 +171,8 @@ def single_flagship(sf_dir: str, num_cpus: int) -> dict:
     # after the round-2 extraction fast path and stage fusion the pipeline
     # is ~3× faster per page, so the input grew 3× to keep the large-level
     # run ≥100 s of steady state; the fixture cache under /tmp is shared
-    n_pages = max(2000, int(_sf(sf_dir) * 24_000_000))
+    n_pages = int(os.environ.get("IE_RAY_SCALING_PAGES", "0")) or \
+        max(2000, int(_sf(sf_dir) * 24_000_000))
     fs = flagship_stats(sf_dir, n_pages=n_pages)
     ray.shutdown()
     fs["num_cpus"] = num_cpus
