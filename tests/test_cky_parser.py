@@ -225,3 +225,25 @@ def test_long_sentence_coverage(parser):
         ok += 1
     assert not c.missing_rules, c.missing_rules
     assert ok / len(pool) >= 0.8, (ok, len(pool))
+
+
+def test_chunk_layout_constraints():
+    """Punctuation-constraint layout: punct tokens are singleton chunks,
+    oversized comma-free chunks re-cut at clause openers, and a truly
+    unsplittable oversized chunk quarantines (returns None)."""
+    from ie_ray.ccg.parser import _chunk_layout
+
+    words = "a b c , d e".split()
+    chunk_id, cuts = _chunk_layout(words, grid_max=48)
+    assert chunk_id == [0, 0, 0, 1, 2, 2]
+    assert cuts[0] and cuts[3] and cuts[4] and cuts[6]
+
+    # oversized chunk with a conjunction re-cuts before it
+    long_words = ["w%d" % i for i in range(6)] + ["and"] + \
+        ["v%d" % i for i in range(6)]
+    chunk_id, cuts = _chunk_layout(long_words, grid_max=8)
+    assert cuts[6]  # cut lands before "and"
+    assert max(chunk_id) >= 1
+
+    # no punct, no clause opener, > grid_max tokens → quarantine
+    assert _chunk_layout(["w%d" % i for i in range(10)], grid_max=8) is None
