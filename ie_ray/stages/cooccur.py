@@ -1,0 +1,148 @@
+"""Word co-occurrence graph + distributed triangle counting.
+
+Co-occurrence edges are the cheapest useful KG proxy over raw text: two
+words adjacent in a document form an undirected edge, weighted by the
+number of documents containing that bigram (document frequency).  The
+reference's entity co-mention stage (`ie_ray/stages/comention.py`) is the
+entity-level analogue; this word-level variant is fully SQL-expressible so
+the DuckDB oracle verifies it value-for-value.
+
+Triangle counting uses the Suri–Vassilvitskii MapReduce orientation
+(WWW 2011, "Counting triangles and the curse of the last reducer"): orient
+every edge from its lower-(degree, name) endpoint to the higher one, build
+wedges by self-joining oriented edges on their source, then probe the
+wedge's closing pair against the edge set.  Orientation bounds wedge
+fan-out by the graph's degeneracy (hub nodes never *source* wedges), which
+is exactly the skew defense a web-scale entity graph needs — a naive
+self-join on shared neighbor explodes on the highest-degree node.
+
+Everything below is Dataset joins/groupbys: no driver materialization, no
+broadcast of the edge set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ie_ray.stages.dedup import _join_partitions
+
+
+def bigram_rows_batch(batch: pa.Table) -> pa.Table:
+    """Distinct unordered adjacent-word pairs per document, pre-combined
+    to (w1, w2, n_docs-in-block) partials inside the block."""
+    seen: dict[tuple, int] = {}
+    for txt in batch.column("text").to_pylist():
+        words = txt.split(" ")
+        doc_pairs = set()
+        for a, b in zip(words, words[1:]):
+            if a and b and a != b:
+                doc_pairs.add((a, b) if a < b else (b, a))
+        for p in doc_pairs:
+            seen[p] = seen.get(p, 0) + 1
+    if not seen:
+        return pa.table({"w1": pa.array([], type=pa.string()),
+                         "w2": pa.array([], type=pa.string()),
+                         "df": pa.array([], type=pa.int64())})
+    items = sorted(seen.items())
+    return pa.table({
+        "w1": pa.array([k[0] for k, _ in items], type=pa.string()),
+        "w2": pa.array([k[1] for k, _ in items], type=pa.string()),
+        "df": pa.array([v for _, v in items], type=pa.int64())})
+
+
+def cooccur_edges(docs, df_min: int = 60):
+    """Undirected co-occurrence edges (w1 < w2, document frequency >=
+    df_min).  Block partials keep the exchange vocab²-bounded regardless
+    of corpus size."""
+    partials = docs.map_batches(bigram_rows_batch, batch_format="pyarrow")
+    agg = partials.groupby(["w1", "w2"]).sum("df")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("sum(df)"), df_min))
+        return pa.table({"w1": t.column("w1"), "w2": t.column("w2"),
+                         "df": t.column("sum(df)").cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def triangles(edges, num_partitions=None):
+    """All triangles {a,b,c} in an undirected edge Dataset (w1 < w2
+    lexicographically, one row per edge).  Returns Dataset (w1, w2, w3)
+    name-sorted within each row, each triangle exactly once.
+
+    Suri–Vassilvitskii: wedges are generated only at each triangle's
+    lowest-(degree, name) vertex, so per-vertex fan-out is bounded by
+    oriented out-degree (<= graph degeneracy), not raw degree."""
+    nparts = _join_partitions(num_partitions)
+
+    def endpoints(t: pa.Table) -> pa.Table:
+        # edge tables are vocab²-bounded — list concat is fine here
+        return pa.table({"node": pa.array(
+            t.column("w1").to_pylist() + t.column("w2").to_pylist(),
+            type=pa.string())})
+
+    deg = edges.map_batches(endpoints, batch_format="pyarrow") \
+        .groupby("node").count()
+
+    e1 = edges.join(deg.map_batches(
+        lambda t: pa.table({"w1": t.column("node"),
+                            "d1": t.column("count()")}),
+        batch_format="pyarrow"), "inner", num_partitions=nparts,
+        on=("w1",))
+    e2 = e1.join(deg.map_batches(
+        lambda t: pa.table({"w2": t.column("node"),
+                            "d2": t.column("count()")}),
+        batch_format="pyarrow"), "inner", num_partitions=nparts,
+        on=("w2",))
+
+    def orient(t: pa.Table) -> pa.Table:
+        w1 = np.asarray(t.column("w1").cast(pa.string()), dtype=object)
+        w2 = np.asarray(t.column("w2").cast(pa.string()), dtype=object)
+        d1 = np.asarray(t.column("d1"), dtype=np.int64)
+        d2 = np.asarray(t.column("d2"), dtype=np.int64)
+        # lo = lower (degree, name); name is the tiebreak
+        lo_first = (d1 < d2) | ((d1 == d2) & (w1 < w2))
+        lo = np.where(lo_first, w1, w2)
+        hi = np.where(lo_first, w2, w1)
+        return pa.table({"lo": pa.array(lo, type=pa.string()),
+                         "hi": pa.array(hi, type=pa.string())})
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow")
+    right = oriented.map_batches(
+        lambda t: pa.table({"lo": t.column("lo"), "hi2": t.column("hi")}),
+        batch_format="pyarrow")
+    wedged = oriented.join(right, "inner", num_partitions=nparts,
+                           on=("lo",))
+
+    def wedge_keys(t: pa.Table) -> pa.Table:
+        hi = np.asarray(t.column("hi").cast(pa.string()), dtype=object)
+        hi2 = np.asarray(t.column("hi2").cast(pa.string()), dtype=object)
+        keep = hi < hi2  # one of the two join orderings, drops self-pairs
+        lo = np.asarray(t.column("lo").cast(pa.string()), dtype=object)[keep]
+        a, b = hi[keep], hi2[keep]
+        key = np.array([x + "|" + y for x, y in zip(a, b)], dtype=object)
+        return pa.table({"lo": pa.array(lo, type=pa.string()),
+                         "key": pa.array(key, type=pa.string())})
+
+    def edge_keys(t: pa.Table) -> pa.Table:
+        w1 = t.column("w1").cast(pa.string()).to_pylist()
+        w2 = t.column("w2").cast(pa.string()).to_pylist()
+        return pa.table({"key": pa.array(
+            [a + "|" + b for a, b in zip(w1, w2)], type=pa.string())})
+
+    closed = wedged.map_batches(wedge_keys, batch_format="pyarrow").join(
+        edges.map_batches(edge_keys, batch_format="pyarrow"), "inner",
+        num_partitions=nparts, on=("key",))
+
+    def emit(t: pa.Table) -> pa.Table:
+        lo = t.column("lo").cast(pa.string()).to_pylist()
+        key = t.column("key").cast(pa.string()).to_pylist()
+        tri = [sorted([l0] + k.split("|")) for l0, k in zip(lo, key)]
+        return pa.table({
+            "w1": pa.array([x[0] for x in tri], type=pa.string()),
+            "w2": pa.array([x[1] for x in tri], type=pa.string()),
+            "w3": pa.array([x[2] for x in tri], type=pa.string())})
+
+    return closed.map_batches(emit, batch_format="pyarrow")
