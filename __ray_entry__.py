@@ -2453,6 +2453,251 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ie_ray.stages.cooccur import cooccur_edges, triangles
         return triangles(cooccur_edges(_docs(sf_dir), df_min=60))
 
+    def q4_priority_late(sf_dir):
+        """TPC-H Q4 shape (EXISTS semi-join): lineitem is pre-combined to
+        max(l_shipdate) per order inside each block, so the hash exchange
+        carries one row per (block, order); the date predicate comparing
+        BOTH sides runs after the join.  No driver-side state."""
+        import numpy as np
+        from ie_ray.stages.dedup import _join_partitions
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            part = pa.table({
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "mx": t.column("l_shipdate")})
+            return part.group_by("l_orderkey").aggregate(
+                [("mx", "max")]).rename_columns(["l_orderkey", "mx"])
+
+        # block partials shrink lineitem to one row per (block, order);
+        # the global max then combines them so the join sees ONE row per
+        # order (a block-local max would fan the join out per block)
+        li = _tbl(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_shipdate"]) \
+            .map_batches(li_prep, batch_format="pyarrow") \
+            .groupby("l_orderkey").max("mx") \
+            .map_batches(lambda t: pa.table({
+                "l_orderkey": t.column("l_orderkey"),
+                "mx": t.column("max(mx)")}), batch_format="pyarrow")
+        orders = _tbl(sf_dir, "orders",
+                      columns=["o_orderkey", "o_orderdate",
+                               "o_orderpriority"])
+        joined = orders.join(li, "inner",
+                             num_partitions=_join_partitions(),
+                             on=("o_orderkey",), right_on=("l_orderkey",))
+
+        def late(t: pa.Table) -> pa.Table:
+            # groupby-max re-granulates the timestamp (s vs µs) — normalize
+            mx = np.asarray(t.column("mx").cast(
+                pa.timestamp("us")).cast(pa.int64()))
+            od = np.asarray(t.column("o_orderdate").cast(
+                pa.timestamp("us")).cast(pa.int64()))
+            keep = mx > od + 60 * 86_400_000_000  # 60 days in µs
+            return pa.table({"o_orderpriority":
+                             t.column("o_orderpriority").filter(
+                                 pa.array(keep))})
+
+        agg = joined.map_batches(late, batch_format="pyarrow") \
+            .groupby("o_orderpriority").count()
+        return agg.map_batches(
+            lambda t: pa.table({
+                "o_orderpriority": t.column("o_orderpriority"),
+                "n": t.column("count()").cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    def q10_returned_customers(sf_dir):
+        """TPC-H Q10 shape: returned-item revenue per customer over a
+        6-month window, top 20.  orders⋈lineitem is the real hash join;
+        the per-customer aggregate is customer-bounded, so the name/nation
+        decoration is a broadcast dimension lookup (same rationale as
+        Q3/Q5) and the final sort runs over customers, not lineitems."""
+        import datetime
+
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray as _ray
+        from ie_ray.stages.dedup import _join_partitions
+
+        lo = pa.scalar(datetime.datetime(1996, 1, 1))
+        hi = pa.scalar(datetime.datetime(1996, 7, 1))
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+            part = pa.table({
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "rev": pc.multiply(
+                    t.column("l_extendedprice"),
+                    pc.subtract(pa.scalar(1.0), t.column("l_discount")))})
+            return part.group_by("l_orderkey").aggregate(
+                [("rev", "sum")]).rename_columns(["l_orderkey", "rev"])
+
+        def ord_prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), lo),
+                pc.less(t.column("o_orderdate"), hi)))
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": t.column("o_custkey").cast(pa.int64())})
+
+        li = _tbl(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_returnflag",
+                           "l_extendedprice", "l_discount"]) \
+            .map_batches(li_prep, batch_format="pyarrow")
+        orders = _tbl(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(ord_prep, batch_format="pyarrow")
+        joined = li.join(orders, "inner",
+                         num_partitions=_join_partitions(),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+        percust = joined.groupby("o_custkey").sum("rev")
+
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_name", "c_nationkey"])
+        nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                            columns=["n_nationkey", "n_name"])
+        nname = dict(zip(nat.column("n_nationkey").to_pylist(),
+                         nat.column("n_name").to_pylist()))
+        ck = np.asarray(cust.column("c_custkey").cast(pa.int64()))
+        order_ = np.argsort(ck)
+        lookup_ref = _ray.put((
+            ck[order_],
+            np.asarray(cust.column("c_name"), dtype=object)[order_],
+            np.asarray([nname[k] for k in
+                        cust.column("c_nationkey").to_pylist()],
+                       dtype=object)[order_]))
+
+        def decorate(t: pa.Table) -> pa.Table:
+            keys, names, nats = _ray.get(lookup_ref)
+            probe = np.asarray(t.column("o_custkey"), dtype=np.int64)
+            pos = np.clip(np.searchsorted(keys, probe), 0, len(keys) - 1)
+            return pa.table({
+                "c_custkey": t.column("o_custkey").cast(pa.int64()),
+                "c_name": pa.array(names[pos], type=pa.string()),
+                "n_name": pa.array(nats[pos], type=pa.string()),
+                "revenue": t.column("sum(rev)")})
+
+        top = percust.map_batches(decorate, batch_format="pyarrow") \
+            .sort(["revenue", "c_custkey"], descending=[True, False]) \
+            .limit(20)
+        return top.map_batches(
+            lambda t: pa.table({
+                "c_custkey": t.column("c_custkey"),
+                "c_name": t.column("c_name"),
+                "n_name": t.column("n_name"),
+                "revenue": pc.round(t.column("revenue"), 2,
+                                    round_mode="half_towards_infinity")}),
+            batch_format="pyarrow")
+
+    def q12_returnflag_priority(sf_dir):
+        """TPC-H Q12 shape: lineitem lines in a ship-year, split into
+        high/low order priority per returnflag.  Lineitem pre-combines to
+        (orderkey, returnflag, n) per block before the hash join with
+        orders, so the exchange is order-bounded."""
+        import datetime
+
+        import numpy as np
+        import pyarrow.compute as pc
+        from ie_ray.stages.dedup import _join_partitions
+
+        lo = pa.scalar(datetime.datetime(1997, 1, 1))
+        hi = pa.scalar(datetime.datetime(1998, 1, 1))
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(
+                pc.greater_equal(t.column("l_shipdate"), lo),
+                pc.less(t.column("l_shipdate"), hi)))
+            part = pa.table({
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "l_returnflag": t.column("l_returnflag"),
+                "n": pa.array(np.ones(len(t), dtype=np.int64))})
+            return part.group_by(["l_orderkey", "l_returnflag"]).aggregate(
+                [("n", "sum")]).rename_columns(
+                ["l_orderkey", "l_returnflag", "n"])
+
+        li = _tbl(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_returnflag", "l_shipdate"]) \
+            .map_batches(li_prep, batch_format="pyarrow")
+        orders = _tbl(sf_dir, "orders",
+                      columns=["o_orderkey", "o_orderpriority"])
+        joined = li.join(orders, "inner",
+                         num_partitions=_join_partitions(),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def split(t: pa.Table) -> pa.Table:
+            high = pc.is_in(t.column("o_orderpriority"),
+                            value_set=pa.array(["1-URGENT", "2-HIGH"]))
+            n = np.asarray(t.column("n"), dtype=np.int64)
+            hm = np.asarray(high.combine_chunks(), dtype=bool) \
+                if isinstance(high, pa.ChunkedArray) \
+                else np.asarray(high, dtype=bool)
+            return pa.table({
+                "l_returnflag": t.column("l_returnflag"),
+                "high_line_count": pa.array(np.where(hm, n, 0)),
+                "low_line_count": pa.array(np.where(hm, 0, n))})
+
+        agg = joined.map_batches(split, batch_format="pyarrow") \
+            .groupby("l_returnflag") \
+            .sum(["high_line_count", "low_line_count"])
+        return agg.map_batches(
+            lambda t: pa.table({
+                "l_returnflag": t.column("l_returnflag"),
+                "high_line_count":
+                    t.column("sum(high_line_count)").cast(pa.int64()),
+                "low_line_count":
+                    t.column("sum(low_line_count)").cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    def q14_promo_revenue(sf_dir):
+        """TPC-H Q14 shape: promo revenue share for one ship-month.  part
+        is a broadcast dimension (dense partkey→is-promo bool, `ray.put`
+        once, read per task); lineitem reduces to one partial row per
+        block via lowcard_combine."""
+        import datetime
+
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray as _ray
+
+        pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_type"])
+        pk = np.asarray(pt.column("p_partkey").cast(pa.int64()))
+        promo = np.zeros(int(pk.max()) + 2 if len(pk) else 1, dtype=bool)
+        promo[pk] = np.asarray(
+            pc.equal(pt.column("p_type"), "PROMO").combine_chunks(),
+            dtype=bool)
+        promo_ref = _ray.put(promo)
+        lo = pa.scalar(datetime.datetime(1997, 9, 1))
+        hi = pa.scalar(datetime.datetime(1997, 10, 1))
+
+        def partial(t: pa.Table) -> pa.Table:
+            pr = _ray.get(promo_ref)
+            t = t.filter(pc.and_(
+                pc.greater_equal(t.column("l_shipdate"), lo),
+                pc.less(t.column("l_shipdate"), hi)))
+            rev = np.asarray(t.column("l_extendedprice")) * \
+                (1.0 - np.asarray(t.column("l_discount")))
+            keys = np.asarray(t.column("l_partkey").cast(pa.int64()))
+            is_promo = np.where(keys < len(pr), pr[np.minimum(
+                keys, len(pr) - 1)], False)
+            return pa.table({
+                "one": pa.array([1], type=pa.int64()),
+                "promo": pa.array([float(rev[is_promo].sum())]),
+                "total": pa.array([float(rev.sum())])})
+
+        def finish(t: pa.Table) -> pa.Table:
+            promo_s = pc.sum(t.column("promo")).as_py() or 0.0
+            total_s = pc.sum(t.column("total")).as_py() or 1.0
+            return pa.table({"promo_revenue": pc.round(
+                pa.array([100.0 * promo_s / total_s], type=pa.float64()),
+                4, round_mode="half_towards_infinity")})
+
+        return lowcard_combine(
+            _tbl(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                          "l_discount"]),
+            partial, finish)
+
     # Ordering contract: the correctness driver checks the first N dict
     # entries (N=50 in rounds 1-2).  Oracle-backed operators that have not
     # yet earned a green CORRECTNESS row come FIRST, then the operators
@@ -2495,6 +2740,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dup_frac": substring_dup_frac,
         "word_cooccur_edges": word_cooccur_edges,
         "word_triangles": word_triangles,
+        "q4_priority_late": q4_priority_late,
+        "q10_returned_customers": q10_returned_customers,
+        "q12_returnflag_priority": q12_returnflag_priority,
+        "q14_promo_revenue": q14_promo_revenue,
         # -- oracle-backed, green in CORRECTNESS_r02 --
         "exact_dedup_docs": exact_dedup_docs,
         "doc_token_counts": doc_token_counts,
@@ -3028,4 +3277,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT e1.w1 AS w1, e1.w2 AS w2, e2.w2 AS w3 FROM edges e1 "
             "JOIN edges e2 ON e2.w1 = e1.w2 "
             "JOIN edges e3 ON e3.w1 = e1.w1 AND e3.w2 = e2.w2",
+        "q4_priority_late":
+            "WITH lm AS (SELECT l_orderkey, max(l_shipdate) AS mx "
+            "FROM lineitem GROUP BY l_orderkey) "
+            "SELECT o_orderpriority, count(*)::BIGINT AS n "
+            "FROM orders JOIN lm ON lm.l_orderkey = o_orderkey "
+            "WHERE mx > o_orderdate + INTERVAL 60 DAY "
+            "GROUP BY o_orderpriority",
+        "q10_returned_customers":
+            "SELECT c_custkey, c_name, n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer, orders, lineitem, nation "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-07-01' "
+            "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
+            "GROUP BY c_custkey, c_name, n_name "
+            "ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, "
+            "c_custkey LIMIT 20",
+        "q12_returnflag_priority":
+            "SELECT l_returnflag, "
+            "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END)::BIGINT AS high_line_count, "
+            "sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END)::BIGINT AS low_line_count "
+            "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY l_returnflag",
+        "q14_promo_revenue":
+            "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN "
+            "l_extendedprice * (1 - l_discount) ELSE 0 END) / "
+            "sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-09-01' "
+            "AND l_shipdate < TIMESTAMP '1997-10-01'",
     }
