@@ -2698,6 +2698,220 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           "l_discount"]),
             partial, finish)
 
+    def gopher_filter_docs(sf_dir):
+        """Gopher-style document quality rules (Rae et al. 2021, public):
+        word-count band, mean-word-length band, stopword floor, top-word
+        repetition ceiling.  Pure per-doc map — no shuffle; rules verified
+        value-for-value by the SQL oracle (all ratios are exact integer
+        ratios in float64, so there is no fp-association risk)."""
+        from collections import Counter
+
+        def rules(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            ids, nw, ml, sf, tf = [], [], [], [], []
+            for did, txt in zip(t.column("doc_id").to_pylist(),
+                                t.column("text").to_pylist()):
+                words = txt.split(" ")
+                n = len(words)
+                if n == 0:
+                    continue
+                c = Counter(words)
+                mean_wl = sum(len(w) for w in words) / n
+                stop = (c.get("a", 0) + c.get("the", 0)) / n
+                top = max(c.values()) / n
+                if (40 <= n <= 90 and 4.0 <= mean_wl <= 5.0
+                        and stop >= 0.03 and top <= 0.2):
+                    ids.append(did)
+                    nw.append(n)
+                    ml.append(mean_wl)
+                    sf.append(stop)
+                    tf.append(top)
+            r4 = lambda xs: pc.round(pa.array(xs, type=pa.float64()), 4,
+                                     round_mode="half_towards_infinity")
+            return pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_words": pa.array(nw, type=pa.int64()),
+                "mean_wlen": r4(ml), "stop_frac": r4(sf),
+                "top_frac": r4(tf)})
+
+        return _docs(sf_dir).map_batches(rules, batch_format="pyarrow")
+
+    def docs_zipf_slope(sf_dir):
+        """Per-language Zipf slope: regression of ln(word frequency) on
+        ln(frequency rank).  Word counts are block partials summed by one
+        vocab-bounded groupby; the per-language rank+slope group is
+        vocab-sized, never corpus-sized."""
+        from collections import Counter
+
+        import numpy as np
+
+        def partials(t: pa.Table) -> pa.Table:
+            c = Counter()
+            for lang, txt in zip(t.column("lang").to_pylist(),
+                                 t.column("text").to_pylist()):
+                for w in txt.split(" "):
+                    if w:
+                        c[(lang, w)] += 1
+            items = sorted(c.items())
+            return pa.table({
+                "lang": pa.array([k[0] for k, _ in items]),
+                "word": pa.array([k[1] for k, _ in items]),
+                "n": pa.array([v for _, v in items], type=pa.int64())})
+
+        counts = _docs(sf_dir).map_batches(partials,
+                                           batch_format="pyarrow") \
+            .groupby(["lang", "word"]).sum("n")
+
+        def slope(g: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            f = np.asarray(g.column("sum(n)"), dtype=np.float64)
+            w = np.asarray(g.column("word").to_pylist(), dtype=object)
+            order = np.lexsort((w, -f))
+            y = np.log(f[order])
+            x = np.log(np.arange(1, len(f) + 1, dtype=np.float64))
+            sl = ((x * y).mean() - x.mean() * y.mean()) / \
+                ((x * x).mean() - x.mean() ** 2)
+            return pa.table({
+                "lang": g.slice(0, 1).column("lang"),
+                "n_types": pa.array([len(f)], type=pa.int64()),
+                "zipf_slope": pc.round(
+                    pa.array([sl], type=pa.float64()), 4,
+                    round_mode="half_towards_infinity")})
+
+        return counts.groupby("lang").map_groups(slope,
+                                                 batch_format="pyarrow")
+
+    def events_markov_transitions(sf_dir):
+        """Per-user event-type transition counts (the Markov-chain view of
+        a clickstream).  Per-user groups sort locally (np.lexsort on
+        (ts, event_id)); the global (prev, next) aggregate is
+        type²-bounded."""
+        import numpy as np
+
+        ev = _tbl(sf_dir, "events",
+                  columns=["user_id", "ts", "event_id", "event_type"])
+
+        def trans(g: pa.Table) -> pa.Table:
+            from collections import Counter
+            ts = np.asarray(g.column("ts").cast(pa.int64()))
+            eid = np.asarray(g.column("event_id"))
+            order = np.lexsort((eid, ts))
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)[order]
+            c = Counter(zip(et[:-1], et[1:]))
+            items = sorted(c.items())
+            return pa.table({
+                "prev_type": pa.array([k[0] for k, _ in items]),
+                "next_type": pa.array([k[1] for k, _ in items]),
+                "n": pa.array([v for _, v in items], type=pa.int64())})
+
+        return ev.groupby("user_id") \
+            .map_groups(trans, batch_format="pyarrow") \
+            .groupby(["prev_type", "next_type"]).sum("n") \
+            .map_batches(lambda t: pa.table({
+                "prev_type": t.column("prev_type"),
+                "next_type": t.column("next_type"),
+                "n": t.column("sum(n)").cast(pa.int64())}),
+                batch_format="pyarrow")
+
+    def events_anomaly_iqr(sf_dir):
+        """Per-type Tukey-fence outlier counts (1.5×IQR beyond the exact
+        q1/q3).  Same per-key-group contract as events_value_quantiles;
+        the 100 TB path for high-cardinality keys is the histogram
+        refinement in relational.global_quantiles."""
+        import numpy as np
+
+        ev = _tbl(sf_dir, "events", columns=["event_type", "value"])
+
+        def fence(g: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            v = np.asarray(g.column("value"), dtype=np.float64)
+            q1, q3 = np.percentile(v, [25, 75])
+            lo = q1 - 1.5 * (q3 - q1)
+            hi = q3 + 1.5 * (q3 - q1)
+            n_out = int(((v < lo) | (v > hi)).sum())
+            r4 = lambda x: pc.round(pa.array([x], type=pa.float64()), 4,
+                                    round_mode="half_towards_infinity")
+            return pa.table({
+                "event_type": g.slice(0, 1).column("event_type"),
+                "n_outliers": pa.array([n_out], type=pa.int64()),
+                "fence_lo": r4(lo), "fence_hi": r4(hi)})
+
+        return ev.groupby("event_type").map_groups(fence,
+                                                   batch_format="pyarrow")
+
+    def embedding_norm_stats(sf_dir):
+        """Per-label L2-norm statistics over the embedding column — block
+        partials (sum, max, count per label) then one label-bounded
+        combine."""
+        import numpy as np
+
+        emb = _tbl(sf_dir, "embeddings", blocks=8)
+
+        def partials(b: pa.Table) -> pa.Table:
+            m = np.asarray(b.column("embedding").to_pylist(),
+                           dtype=np.float64)
+            norms = np.sqrt((m * m).sum(axis=1))
+            labels = np.asarray(b.column("label").to_pylist())
+            out_l, out_s, out_m, out_n = [], [], [], []
+            for lab in np.unique(labels):
+                sel = norms[labels == lab]
+                out_l.append(int(lab))
+                out_s.append(float(sel.sum()))
+                out_m.append(float(sel.max()))
+                out_n.append(len(sel))
+            return pa.table({
+                "label": pa.array(out_l, type=pa.int32()),
+                "s": pa.array(out_s, type=pa.float64()),
+                "mx": pa.array(out_m, type=pa.float64()),
+                "n": pa.array(out_n, type=pa.int64())})
+
+        def finish(g: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            s = float(pc.sum(g.column("s")).as_py())
+            n = int(pc.sum(g.column("n")).as_py())
+            mx = float(pc.max(g.column("mx")).as_py())
+            r4 = lambda x: pc.round(pa.array([x], type=pa.float64()), 4,
+                                    round_mode="half_towards_infinity")
+            return pa.table({
+                "label": g.slice(0, 1).column("label"),
+                "n": pa.array([n], type=pa.int64()),
+                "avg_norm": r4(s / n), "max_norm": r4(mx)})
+
+        return emb.map_batches(partials, batch_format="pyarrow") \
+            .groupby("label").map_groups(finish, batch_format="pyarrow")
+
+    def minhash_cluster_sizes(sf_dir):
+        """Duplicate-cluster size histogram from the near-dup keep flow:
+        verified pair edges → distributed connected components → component
+        sizes → (cluster_size, n_clusters).  All groupbys are
+        cluster-bounded."""
+        from ie_ray.stages.link import connected_components
+
+        pairs = dedup.ngram_jaccard_pairs(_docs(sf_dir))
+
+        def as_edges(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "a": pa.array(["%020d" % x
+                               for x in b.column("doc_a").to_pylist()],
+                              type=pa.string()),
+                "b": pa.array(["%020d" % x
+                               for x in b.column("doc_b").to_pylist()],
+                              type=pa.string())})
+
+        labels = connected_components(
+            pairs.map_batches(as_edges, batch_format="pyarrow"))
+        sizes = labels.groupby("component").count()
+        hist = sizes.map_batches(
+            lambda t: pa.table({
+                "cluster_size": t.column("count()").cast(pa.int64())}),
+            batch_format="pyarrow").groupby("cluster_size").count()
+        return hist.map_batches(
+            lambda t: pa.table({
+                "cluster_size": t.column("cluster_size"),
+                "n_clusters": t.column("count()").cast(pa.int64())}),
+            batch_format="pyarrow")
+
     # Ordering contract: the correctness driver checks the first N dict
     # entries (N=50 in rounds 1-2).  Oracle-backed operators that have not
     # yet earned a green CORRECTNESS row come FIRST, then the operators
@@ -2744,6 +2958,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_customers": q10_returned_customers,
         "q12_returnflag_priority": q12_returnflag_priority,
         "q14_promo_revenue": q14_promo_revenue,
+        "gopher_filter_docs": gopher_filter_docs,
+        "docs_zipf_slope": docs_zipf_slope,
+        "events_markov_transitions": events_markov_transitions,
+        "events_anomaly_iqr": events_anomaly_iqr,
+        "embedding_norm_stats": embedding_norm_stats,
+        "minhash_cluster_sizes": minhash_cluster_sizes,
         # -- oracle-backed, green in CORRECTNESS_r02 --
         "exact_dedup_docs": exact_dedup_docs,
         "doc_token_counts": doc_token_counts,
@@ -3312,4 +3532,78 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE l_shipdate >= TIMESTAMP '1997-09-01' "
             "AND l_shipdate < TIMESTAMP '1997-10-01'",
+        "gopher_filter_docs":
+            "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS w FROM documents), "
+            "wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY 1, 2), "
+            "per AS (SELECT doc_id, sum(c)::BIGINT AS n_words, "
+            "sum(c * length(w))::DOUBLE / sum(c) AS mean_wlen, "
+            "sum(CASE WHEN w IN ('a', 'the') THEN c ELSE 0 END)::DOUBLE "
+            "/ sum(c) AS stop_frac, "
+            "max(c)::DOUBLE / sum(c) AS top_frac FROM wc GROUP BY doc_id) "
+            "SELECT doc_id, n_words, round(mean_wlen, 4) AS mean_wlen, "
+            "round(stop_frac, 4) AS stop_frac, "
+            "round(top_frac, 4) AS top_frac FROM per "
+            "WHERE n_words BETWEEN 40 AND 90 "
+            "AND mean_wlen >= 4.0 AND mean_wlen <= 5.0 "
+            "AND stop_frac >= 0.03 AND top_frac <= 0.2",
+        "docs_zipf_slope":
+            "WITH w AS (SELECT lang, unnest(string_split(text, ' ')) AS w "
+            "FROM documents), "
+            "wc AS (SELECT lang, w, count(*) AS f FROM w WHERE w <> '' "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT lang, f, row_number() OVER (PARTITION BY lang "
+            "ORDER BY f DESC, w) AS rnk FROM wc) "
+            "SELECT lang, count(*)::BIGINT AS n_types, "
+            "round(regr_slope(ln(f), ln(rnk)), 4) AS zipf_slope "
+            "FROM r GROUP BY lang",
+        "events_markov_transitions":
+            "WITH seq AS (SELECT user_id, event_type, lag(event_type) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events) "
+            "SELECT prev AS prev_type, event_type AS next_type, "
+            "count(*)::BIGINT AS n FROM seq WHERE prev IS NOT NULL "
+            "GROUP BY 1, 2",
+        "events_anomaly_iqr":
+            "WITH q AS (SELECT event_type, "
+            "quantile_cont(value, 0.25) AS q1, "
+            "quantile_cont(value, 0.75) AS q3 FROM events "
+            "GROUP BY event_type) "
+            "SELECT e.event_type, "
+            "sum(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1) "
+            "OR e.value > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 ELSE 0 "
+            "END)::BIGINT AS n_outliers, "
+            "round(any_value(q.q1 - 1.5 * (q.q3 - q.q1)), 4) AS fence_lo, "
+            "round(any_value(q.q3 + 1.5 * (q.q3 - q.q1)), 4) AS fence_hi "
+            "FROM events e JOIN q ON e.event_type = q.event_type "
+            "GROUP BY e.event_type",
+        "embedding_norm_stats":
+            "SELECT label, count(*)::BIGINT AS n, "
+            "round(avg(norm), 4) AS avg_norm, "
+            "round(max(norm), 4) AS max_norm FROM ("
+            "SELECT label, sqrt(list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm "
+            "FROM embeddings) GROUP BY label",
+        "minhash_cluster_sizes":
+            "WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all("
+            "translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+            "'abcdefghijklmnopqrstuvwxyz'), '[0-9a-z_]+') AS words "
+            "FROM documents), "
+            "g AS (SELECT doc_id, list_distinct(list_transform(range(1, "
+            "len(words)-1), i -> words[i] || ' ' || words[i+1] || ' ' || "
+            "words[i+2])) AS grams FROM w WHERE len(words) >= 3), "
+            "e AS (SELECT a.doc_id AS x, b.doc_id AS y FROM g a JOIN g b "
+            "ON a.doc_id != b.doc_id "
+            "WHERE len(list_intersect(a.grams, b.grams))::DOUBLE / "
+            "len(list_distinct(list_concat(a.grams, b.grams))) >= 0.5), "
+            "reach(x, y) AS (SELECT x, y FROM e "
+            "UNION SELECT r.x, e.y FROM reach r JOIN e ON r.y = e.x "
+            "WHERE e.y != r.x), "
+            "comp AS (SELECT d.doc_id AS doc_id, least(d.doc_id, "
+            "coalesce((SELECT min(y) FROM reach WHERE x = d.doc_id), "
+            "d.doc_id)) AS rep FROM documents d), "
+            "cs AS (SELECT rep, count(*) AS sz FROM comp GROUP BY rep "
+            "HAVING count(*) >= 2) "
+            "SELECT sz::BIGINT AS cluster_size, count(*)::BIGINT "
+            "AS n_clusters FROM cs GROUP BY sz",
     }
