@@ -2912,6 +2912,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "n_clusters": t.column("count()").cast(pa.int64())}),
             batch_format="pyarrow")
 
+    def embedding_covariance(sf_dir):
+        """Population covariance entries for the first 8 embedding dims —
+        the SQL-verifiable face of the one-pass moment-matrix reduction
+        that also powers fit_pca (stages/pca.py)."""
+        from ie_ray.stages.pca import covariance_rows
+        return covariance_rows(_tbl(sf_dir, "embeddings", blocks=8),
+                               dims=8)
+
+    def embedding_pca_project(sf_dir):
+        """Distributed PCA: block moment partials → driver d×d eigh →
+        broadcast top-2 projection.  No SQL oracle (eigendecomposition);
+        gated by tests/test_pca.py NumPy twins."""
+        from ie_ray.stages.pca import fit_pca, project
+        emb = _tbl(sf_dir, "embeddings", blocks=8)
+        comps, _, mean = fit_pca(emb, k=2)
+        return project(emb, comps, mean)
+
     # Ordering contract: the correctness driver checks the first N dict
     # entries (N=50 in rounds 1-2).  Oracle-backed operators that have not
     # yet earned a green CORRECTNESS row come FIRST, then the operators
@@ -2964,6 +2981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomaly_iqr": events_anomaly_iqr,
         "embedding_norm_stats": embedding_norm_stats,
         "minhash_cluster_sizes": minhash_cluster_sizes,
+        "embedding_covariance": embedding_covariance,
         # -- oracle-backed, green in CORRECTNESS_r02 --
         "exact_dedup_docs": exact_dedup_docs,
         "doc_token_counts": doc_token_counts,
@@ -3039,6 +3057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_drs": kg_drs,
         "kg_nominals": kg_nominals,
         "media_features": media_features,
+        "embedding_pca_project": embedding_pca_project,
     }
 
 
@@ -3606,4 +3625,12 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(*) >= 2) "
             "SELECT sz::BIGINT AS cluster_size, count(*)::BIGINT "
             "AS n_clusters FROM cs GROUP BY sz",
+        "embedding_covariance":
+            "WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) "
+            "AS i, CAST(unnest(embedding) AS DOUBLE) AS v "
+            "FROM embeddings) "
+            "SELECT a.i::BIGINT AS i, b.i::BIGINT AS j, "
+            "round(covar_pop(a.v, b.v), 6) AS cov "
+            "FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i "
+            "WHERE a.i <= 8 AND b.i <= 8 GROUP BY a.i, b.i",
     }

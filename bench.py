@@ -133,7 +133,14 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "docs_chunk_sliding", "events_latest_per_user",
                  "doc_compression_ratio", "events_quantile_digest",
                  "media_features", "events_cumulative_value",
-                 "events_value_ntile4"):
+                 "events_value_ntile4",
+                 # round-3 additions
+                 "substring_dup_frac", "word_triangles",
+                 "q4_priority_late", "q10_returned_customers",
+                 "q14_promo_revenue", "gopher_filter_docs",
+                 "docs_zipf_slope", "events_markov_transitions",
+                 "events_anomaly_iqr", "embedding_norm_stats",
+                 "minhash_cluster_sizes"):
         consume(name)
 
     total = round(time.time() - t0, 3)
