@@ -2468,16 +2468,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return part.group_by("l_orderkey").aggregate(
                 [("mx", "max")]).rename_columns(["l_orderkey", "mx"])
 
-        # block partials shrink lineitem to one row per (block, order);
-        # the global max then combines them so the join sees ONE row per
-        # order (a block-local max would fan the join out per block)
+        # block partials shrink lineitem to one row per (block, order) and
+        # join AS-IS: a per-block max late ⇒ the order is late (EXISTS
+        # semantics), and the tiny join fan-out (orders × blocks touching
+        # them) is far cheaper than a global per-order max aggregate
+        # (600k-key groupby measured 13 s — Ray's sort aggregate pays
+        # per-group Python overhead; see substring_dedup.py for the same
+        # finding).  Distinct late orders per priority then reduce via
+        # relational.distinct_count (5 groups, vectorized unique).
+        from ie_ray.stages.relational import distinct_count
         li = _tbl(sf_dir, "lineitem",
                   columns=["l_orderkey", "l_shipdate"]) \
-            .map_batches(li_prep, batch_format="pyarrow") \
-            .groupby("l_orderkey").max("mx") \
-            .map_batches(lambda t: pa.table({
-                "l_orderkey": t.column("l_orderkey"),
-                "mx": t.column("max(mx)")}), batch_format="pyarrow")
+            .map_batches(li_prep, batch_format="pyarrow")
         orders = _tbl(sf_dir, "orders",
                       columns=["o_orderkey", "o_orderdate",
                                "o_orderpriority"])
@@ -2486,22 +2488,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              on=("o_orderkey",), right_on=("l_orderkey",))
 
         def late(t: pa.Table) -> pa.Table:
-            # groupby-max re-granulates the timestamp (s vs µs) — normalize
             mx = np.asarray(t.column("mx").cast(
                 pa.timestamp("us")).cast(pa.int64()))
             od = np.asarray(t.column("o_orderdate").cast(
                 pa.timestamp("us")).cast(pa.int64()))
-            keep = mx > od + 60 * 86_400_000_000  # 60 days in µs
-            return pa.table({"o_orderpriority":
-                             t.column("o_orderpriority").filter(
-                                 pa.array(keep))})
+            keep = pa.array(mx > od + 60 * 86_400_000_000)  # 60 days
+            return pa.table({
+                "o_orderpriority": t.column("o_orderpriority").filter(keep),
+                "o_orderkey": t.column("o_orderkey").filter(keep)})
 
-        agg = joined.map_batches(late, batch_format="pyarrow") \
-            .groupby("o_orderpriority").count()
+        agg = distinct_count(joined.map_batches(late,
+                                                batch_format="pyarrow"),
+                             "o_orderpriority", "o_orderkey", out="n")
         return agg.map_batches(
             lambda t: pa.table({
                 "o_orderpriority": t.column("o_orderpriority"),
-                "n": t.column("count()").cast(pa.int64())}),
+                "n": t.column("n").cast(pa.int64())}),
             batch_format="pyarrow")
 
     def q10_returned_customers(sf_dir):

@@ -75,7 +75,14 @@ def triangles(edges, num_partitions=None):
     Suri–Vassilvitskii: wedges are generated only at each triangle's
     lowest-(degree, name) vertex, so per-vertex fan-out is bounded by
     oriented out-degree (<= graph degeneracy), not raw degree."""
+    from ie_ray.stages.relational import adaptive_join
+
     nparts = _join_partitions(num_partitions)
+    # the edge table feeds degree counts, orientation AND the closure
+    # probe — materialize once (it is the SMALL side by construction:
+    # vocab²/entity-graph-bounded, ~100× under the doc scan that built
+    # it) or every adaptive_join count() re-executes the corpus scan
+    edges = edges.materialize()
 
     def endpoints(t: pa.Table) -> pa.Table:
         # edge tables are vocab²-bounded — list concat is fine here
@@ -86,16 +93,16 @@ def triangles(edges, num_partitions=None):
     deg = edges.map_batches(endpoints, batch_format="pyarrow") \
         .groupby("node").count()
 
-    e1 = edges.join(deg.map_batches(
+    # degree decoration + closure probe are key-unique dimension joins —
+    # adaptive_join broadcasts them while they fit, hash-exchanges beyond
+    e1 = adaptive_join(edges, deg.map_batches(
         lambda t: pa.table({"w1": t.column("node"),
                             "d1": t.column("count()")}),
-        batch_format="pyarrow"), "inner", num_partitions=nparts,
-        on=("w1",))
-    e2 = e1.join(deg.map_batches(
+        batch_format="pyarrow"), on="w1", num_partitions=nparts)
+    e2 = adaptive_join(e1, deg.map_batches(
         lambda t: pa.table({"w2": t.column("node"),
                             "d2": t.column("count()")}),
-        batch_format="pyarrow"), "inner", num_partitions=nparts,
-        on=("w2",))
+        batch_format="pyarrow"), on="w2", num_partitions=nparts)
 
     def orient(t: pa.Table) -> pa.Table:
         w1 = np.asarray(t.column("w1").cast(pa.string()), dtype=object)
@@ -132,9 +139,10 @@ def triangles(edges, num_partitions=None):
         return pa.table({"key": pa.array(
             [a + "|" + b for a, b in zip(w1, w2)], type=pa.string())})
 
-    closed = wedged.map_batches(wedge_keys, batch_format="pyarrow").join(
-        edges.map_batches(edge_keys, batch_format="pyarrow"), "inner",
-        num_partitions=nparts, on=("key",))
+    closed = adaptive_join(
+        wedged.map_batches(wedge_keys, batch_format="pyarrow"),
+        edges.map_batches(edge_keys, batch_format="pyarrow"),
+        on="key", num_partitions=nparts)
 
     def emit(t: pa.Table) -> pa.Table:
         lo = t.column("lo").cast(pa.string()).to_pylist()

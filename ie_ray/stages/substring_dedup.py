@@ -13,23 +13,24 @@ robust contamination score.
 
 Pipeline shape (all streaming, no driver materialization):
 
-  docs --map_batches--> distinct (doc_id, gram) rows      [vectorized]
-       --groupby(gram).count()--> gram -> n_docs           [one shuffle]
-       --Dataset.join back on gram-->                      [hash join]
-       --groupby(doc_id).mean(dup flag)--> dup_frac        [small shuffle]
+  docs --map_batches--> distinct (doc_id, g1, g2) window-hash rows
+       --bucket by hash(g1) % parts, map_groups-->         [one shuffle]
+         vectorized per-bucket gram counts + dup flags,
+         pre-combined to (doc, n_dup, n_tot) partials
+       --groupby(doc_id).sum--> dup_frac                   [small shuffle]
 
-Scale notes (100 TB):
-- the gram rows are the big intermediate: ~len(text) rows/doc.  At web
-  scale swap the raw W-char string key for a 128-bit hash of the window
-  (collision odds ~n^2/2^128) and raise the stride: windows at stride
-  s < W still catch every shared span of length >= W + s - 1 when both
-  sides enumerate ALL offsets mod s — here we keep stride 1 so the DuckDB
-  oracle (pure SQL substring enumeration) can verify values exactly.
-- the gram groupby never builds giant groups: count() is a combining
-  aggregate, so a "the "-style universal gram costs one partial row per
-  block, not one group holding every doc.
-- the join back is Ray's hash join (`num_partitions` sized to the
-  cluster); nothing is broadcast.
+Window identity is a 128-bit position-weighted hash (two independent
+64-bit linear hashes over the UTF-32 codepoints, wraparound arithmetic):
+fully vectorized — no per-window Python strings — and collision odds are
+~n²/2¹²⁸, i.e. zero for any real corpus, so the result is value-identical
+to the raw-substring SQL oracle.  At web scale raise the stride: windows
+at stride s still catch every shared span of length >= W + s - 1 when
+both sides enumerate all offsets (here stride 1 keeps oracle exactness).
+
+A "the "-style universal window concentrates its rows in one bucket, but
+a bucket holds many grams and the per-bucket kernel is a vectorized sort,
+so a hot gram costs O(its rows · log) inside one task — size ``parts`` up
+if a single gram's row count approaches a worker's heap.
 """
 
 from __future__ import annotations
@@ -38,61 +39,101 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ie_ray.stages.dedup import _join_partitions
+_MAX_WIDTH = 64
+# deterministic odd multipliers, one pair of independent sets per position
+_rng = np.random.RandomState(0x5EED)
+_M1 = (_rng.randint(0, 2 ** 63, size=_MAX_WIDTH).astype(np.uint64)
+       * np.uint64(2) + np.uint64(1))
+_M2 = (_rng.randint(0, 2 ** 63, size=_MAX_WIDTH).astype(np.uint64)
+       * np.uint64(2) + np.uint64(1))
 
 
 def gram_rows_batch(batch: pa.Table, width: int) -> pa.Table:
-    """Distinct W-char windows per document, vectorized.
+    """Distinct W-char-window 128-bit hashes per document, vectorized.
 
     Uses a UTF-32 view so windows are *character* windows (DuckDB
-    ``substring`` semantics), not byte windows — identical for ASCII,
-    correct for multibyte text."""
-    ids_out = []
-    grams_out = []
+    ``substring`` semantics), not byte windows."""
+    assert width <= _MAX_WIDTH
+    m1, m2 = _M1[:width], _M2[:width]
+    ids_out, h1_out, h2_out = [], [], []
     for did, txt in zip(batch.column("doc_id").to_pylist(),
                         batch.column("text").to_pylist()):
-        n = len(txt)
-        if n < width:
+        if len(txt) < width:
             continue
-        cps = np.frombuffer(txt.encode("utf-32-le"), dtype=np.uint32)
+        cps = np.frombuffer(txt.encode("utf-32-le"),
+                            dtype=np.uint32).astype(np.uint64)
         win = np.lib.stride_tricks.sliding_window_view(cps, width)
-        flat = np.ascontiguousarray(win).view(
-            np.dtype((np.void, width * 4))).ravel()
-        uniq = np.unique(flat)
-        ids_out.append(np.full(len(uniq), did, dtype=np.int64))
-        grams_out.extend(
-            u.tobytes().decode("utf-32-le") for u in uniq)
+        with np.errstate(over="ignore"):
+            h1 = (win * m1).sum(axis=1)
+            h2 = (win * m2).sum(axis=1)
+        pair = np.ascontiguousarray(
+            np.stack([h1, h2], axis=1)).view(np.dtype((np.void, 16)))
+        uniq = np.unique(pair.ravel()).view(np.uint64).reshape(-1, 2)
+        ids_out.append(np.full(uniq.shape[0], did, dtype=np.int64))
+        h1_out.append(uniq[:, 0].view(np.int64))
+        h2_out.append(uniq[:, 1].view(np.int64))
     if not ids_out:
         return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                         "gram": pa.array([], type=pa.string())})
+                         "g1": pa.array([], type=pa.int64()),
+                         "g2": pa.array([], type=pa.int64())})
     return pa.table({
         "doc_id": pa.array(np.concatenate(ids_out), type=pa.int64()),
-        "gram": pa.array(grams_out, type=pa.string())})
+        "g1": pa.array(np.concatenate(h1_out), type=pa.int64()),
+        "g2": pa.array(np.concatenate(h2_out), type=pa.int64())})
 
 
-def substring_dup_frac(docs, width: int = 16, num_partitions=None):
+def substring_dup_frac(docs, width: int = 16, parts: int = 64):
     """Per-document fraction of distinct W-char windows that also occur in
     at least one OTHER document.  Returns Dataset (doc_id, dup_frac)
-    with dup_frac rounded to 4 places (DuckDB half-away-from-zero)."""
+    with dup_frac rounded to 4 places (DuckDB half-away-from-zero).
+
+    The gram-frequency step deliberately avoids
+    ``groupby(gram).count()``: Ray's sort-based aggregate pays per-group
+    Python overhead, and the gram key space is ~rows-sized (measured 27 s
+    for 1.4M rows / 600k groups at sf0.1).  Instead grams hash into
+    ``parts`` buckets; each bucket group holds ALL rows of its grams, so
+    one vectorized np.lexsort + run-length pass inside the bucket both
+    counts the gram and flags every (doc, gram) row, pre-combined to one
+    (doc, n_dup, n_tot) partial per (bucket, doc).  One shuffle total.
+    Size ``parts`` so a bucket (~corpus_chars × 24 B / parts) fits a
+    worker's heap — at web scale this is the knob, not the algorithm."""
     rows = docs.map_batches(
         lambda b, w=width: gram_rows_batch(b, w), batch_format="pyarrow")
-    counts = rows.groupby("gram").count()  # rows are distinct per doc
-    joined = rows.join(counts, "inner",
-                       num_partitions=_join_partitions(num_partitions),
-                       on=("gram",))
 
-    def flag(t: pa.Table) -> pa.Table:
-        dup = pc.cast(pc.greater_equal(t.column("count()"), 2),
-                      pa.float64())
-        return pa.table({"doc_id": t.column("doc_id"), "dup": dup})
+    def add_part(t: pa.Table) -> pa.Table:
+        g1 = np.asarray(t.column("g1")).view(np.uint64)
+        return t.append_column(
+            "part", pa.array((g1 % np.uint64(parts)).astype(np.int64)))
 
-    agg = joined.map_batches(flag, batch_format="pyarrow") \
-        .groupby("doc_id").mean("dup")
+    def per_bucket(g: pa.Table) -> pa.Table:
+        g1 = np.asarray(g.column("g1"))
+        g2 = np.asarray(g.column("g2"))
+        did = np.asarray(g.column("doc_id"))
+        order = np.lexsort((g2, g1))
+        g1s, g2s = g1[order], g2[order]
+        new = np.empty(len(g1s), dtype=bool)
+        new[0] = True
+        new[1:] = (g1s[1:] != g1s[:-1]) | (g2s[1:] != g2s[:-1])
+        gid = np.cumsum(new) - 1
+        dup = (np.bincount(gid)[gid] >= 2)
+        docs_sorted = did[order]
+        u, inv = np.unique(docs_sorted, return_inverse=True)
+        return pa.table({
+            "doc_id": pa.array(u, type=pa.int64()),
+            "n_dup": pa.array(np.bincount(
+                inv, weights=dup.astype(np.float64)), type=pa.float64()),
+            "n_tot": pa.array(np.bincount(inv).astype(np.float64),
+                              type=pa.float64())})
+
+    partials = rows.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(per_bucket, batch_format="pyarrow")
+    agg = partials.groupby("doc_id").sum(["n_dup", "n_tot"])
 
     def finish(t: pa.Table) -> pa.Table:
+        frac = pc.divide(t.column("sum(n_dup)"), t.column("sum(n_tot)"))
         return pa.table({
             "doc_id": t.column("doc_id"),
-            "dup_frac": pc.round(t.column("mean(dup)"), 4,
+            "dup_frac": pc.round(frac, 4,
                                  round_mode="half_towards_infinity")})
 
     return agg.map_batches(finish, batch_format="pyarrow")
