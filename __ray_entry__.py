@@ -2760,13 +2760,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "word": pa.array([k[1] for k, _ in items]),
                 "n": pa.array([v for _, v in items], type=pa.int64())})
 
-        counts = _docs(sf_dir).map_batches(partials,
-                                           batch_format="pyarrow") \
-            .groupby(["lang", "word"]).sum("n")
+        from ie_ray.stages.relational import bucketed_aggregate
+        counts = bucketed_aggregate(
+            _docs(sf_dir).map_batches(partials, batch_format="pyarrow"),
+            ["lang", "word"], [("n", "sum")], parts=16)
 
         def slope(g: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
-            f = np.asarray(g.column("sum(n)"), dtype=np.float64)
+            f = np.asarray(g.column("n_sum"), dtype=np.float64)
             w = np.asarray(g.column("word").to_pylist(), dtype=object)
             order = np.lexsort((w, -f))
             y = np.log(f[order])

@@ -54,15 +54,20 @@ def bigram_rows_batch(batch: pa.Table) -> pa.Table:
 
 def cooccur_edges(docs, df_min: int = 60):
     """Undirected co-occurrence edges (w1 < w2, document frequency >=
-    df_min).  Block partials keep the exchange vocab²-bounded regardless
-    of corpus size."""
+    df_min).  Block partials pre-combine per block; the global sum runs
+    through relational.bucketed_aggregate because the pair key space is
+    vocab²-sized — rows-sized key domains hit Ray sort-aggregate's
+    per-group Python overhead."""
+    from ie_ray.stages.relational import bucketed_aggregate
+
     partials = docs.map_batches(bigram_rows_batch, batch_format="pyarrow")
-    agg = partials.groupby(["w1", "w2"]).sum("df")
+    agg = bucketed_aggregate(partials, ["w1", "w2"], [("df", "sum")],
+                             parts=16)
 
     def finish(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.greater_equal(t.column("sum(df)"), df_min))
+        t = t.filter(pc.greater_equal(t.column("df_sum"), df_min))
         return pa.table({"w1": t.column("w1"), "w2": t.column("w2"),
-                         "df": t.column("sum(df)").cast(pa.int64())})
+                         "df": t.column("df_sum").cast(pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
 

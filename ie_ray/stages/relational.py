@@ -125,6 +125,62 @@ def lowcard_combine(ds, partial_fn, final_fn=None, combine_fn=None,
             .map_batches(final, batch_format="pyarrow", batch_size=None))
 
 
+def bucketed_aggregate(ds, keys, aggs, parts: int = 64,
+                       part_col: str = "__part"):
+    """High-cardinality groupby-aggregate that sidesteps Ray's sort-based
+    Aggregate: that path slices group boundaries in PYTHON, which costs
+    ~40µs per group and dominates once the key domain is rows-sized
+    (measured 27 s for a 600k-group count that Arrow's C++ hash
+    aggregation finishes in <1 s).  Here rows bucket by key hash into
+    ``parts`` groups (bounded — the sort groupby is cheap) and each
+    complete bucket aggregates with ``pyarrow.Table.group_by`` inside
+    one task.  Because buckets partition the KEY space, per-bucket
+    results are final — no second combine.
+
+    ``aggs`` is the pyarrow aggregate spec, e.g. ``[("n", "sum")]``;
+    output columns follow pyarrow naming (``n_sum``).  Size ``parts`` so
+    one bucket (~input_rows/parts) fits a worker's heap; a hot KEY still
+    lands in one bucket, but combining aggregates cost O(rows) there,
+    not O(rows²).  Int sums/counts are exact; float aggregates change
+    addition order vs a plain groupby (as any shuffle does).
+    """
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+
+    import zlib
+
+    def add_part(t: pa.Table) -> pa.Table:
+        h = np.zeros(len(t), dtype=np.uint64)
+        for k in key_list:
+            col = t.column(k)
+            if pa.types.is_integer(col.type):
+                v = np.asarray(col.cast(pa.int64())).view(np.uint64)
+            else:
+                # process-stable string hash: CRC over the dictionary
+                # (Python's hash() is per-process salted — workers would
+                # disagree on buckets), paid once per DISTINCT value
+                arr = col.combine_chunks()
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.chunk(0) if arr.num_chunks == 1 \
+                        else pa.concat_arrays(arr.chunks)
+                enc = arr.dictionary_encode()
+                dh = np.fromiter(
+                    (zlib.crc32(str(s).encode()) for s in
+                     enc.dictionary.to_pylist()),
+                    dtype=np.uint64, count=len(enc.dictionary))
+                v = dh[np.asarray(enc.indices)]
+            h = h * np.uint64(0x9E3779B97F4A7C15) + v
+        return t.append_column(
+            part_col,
+            pa.array((h % np.uint64(parts)).astype(np.int64)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return g.drop_columns([part_col]).group_by(key_list) \
+            .aggregate(aggs)
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby(part_col).map_groups(per_bucket, batch_format="pyarrow")
+
+
 def distinct_count(ds, group: str, value: str, out: str = "n_distinct"):
     """Exact ``count(DISTINCT value) AS out GROUP BY group``.
 
