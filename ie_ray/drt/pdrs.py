@@ -378,6 +378,174 @@ def parse_pdrs(text: str) -> "PDRS":
     return out
 
 
+# ---------------------------------------------------------------------------
+# PDRT merge algebra + purity predicates + modal-FOL discharge
+# (parity: ie/drt/pdrs.py amerge/pmerge/purify/ispure/isproper and the
+# behaviors pinned by ie/drt/test/pdrs_test.py test1-test3)
+# ---------------------------------------------------------------------------
+
+def _fresh_label(*pdrss: "PDRS") -> int:
+    mx = 0
+    for p in pdrss:
+        for sub in _sub_pdrss(p):
+            mx = max(mx, sub.label,
+                     *[x for ab in sub.maps for x in ab] or [0])
+    return mx + 1
+
+
+def amerge(d1: "PDRS", d2: "PDRS") -> "PDRS":
+    """Assertive merge: both arguments speak in the SAME outer context —
+    d2's outer label α-converts onto d1's and content unions (golden:
+    amerge(man, happy) == <1,{x},{(1,man(x)),(1,happy(x))},{}>,
+    pdrs_test.py test3_MergeHappyMan)."""
+    inner1 = {s.label for s in _sub_pdrss(d1)} - {d1.label}
+    ren = {d2.label: d1.label}
+    nxt = _fresh_label(d1, d2)
+    for sub in _sub_pdrss(d2):
+        if sub.label != d2.label and sub.label in inner1:
+            ren[sub.label] = nxt
+            nxt += 1
+    d2r = d2.alpha_labels(ren)
+    return PDRS(d1.label, d1.maps + d2r.maps, d1.refs + d2r.refs,
+                d1.conds + d2r.conds)
+
+
+def pmerge(d1: "PDRS", d2: "PDRS") -> "PDRS":
+    """Projective merge: d1 becomes PRESUPPOSED content — its outer label
+    moves to a fresh context weakly subordinated to the assertive outer
+    label via a MAP edge (golden: pmerge(man, happy) ==
+    <1,{(2,x)},{(2,man(x)),(1,happy(x))},{(1,2)}>,
+    pdrs_test.py test3_MergeHappyMan)."""
+    new = _fresh_label(d1, d2)
+    d1r = d1.alpha_labels({d1.label: new})
+    return PDRS(d2.label, d1r.maps + d2.maps + [(d2.label, new)],
+                d1r.refs + d2.refs, d1r.conds + d2.conds)
+
+
+def has_bound(root: "PDRS", label: int, name: str) -> bool:
+    """True iff a referent named ``name`` used in context ``label`` is
+    bound: some context accessible from ``label`` introduces it
+    (parity: PRef.has_bound, pdrs_test.py test2_NLTKRegressions)."""
+    return name in [_ref_name(r) for r in accessible_universe(root, label)]
+
+
+def ispure(root: "PDRS") -> bool:
+    """No referent is introduced twice across contexts (parity:
+    AbstractPDRS.ispure)."""
+    seen = set()
+    for sub in _sub_pdrss(root):
+        for r in sub.refs:
+            n = _ref_name(r.ref)
+            if n in seen:
+                return False
+            seen.add(n)
+    return True
+
+
+def isproper(root: "PDRS") -> bool:
+    """No free referents anywhere (parity: isproper)."""
+    return not get_freerefs(root)
+
+
+def isplain(root: "PDRS") -> bool:
+    """Every pointer equals its local label — no projections (parity:
+    isplain)."""
+    for sub in _sub_pdrss(root):
+        for item in list(sub.refs) + list(sub.conds):
+            if item.pointer != sub.label:
+                return False
+    return True
+
+
+def ispresup(root: "PDRS") -> bool:
+    """At least one projected (non-local) pointer — the structure carries
+    a presupposition (parity: ispresup)."""
+    return not isplain(root)
+
+
+def isresolved(root: "PDRS") -> bool:
+    """All pointers name known contexts and no referent is free
+    (parity: isresolved)."""
+    return not root.free_pointers() and isproper(root)
+
+
+def purify(root: "PDRS") -> "PDRS":
+    """Capture-avoiding rename of duplicate/clashing introductions: a
+    bound introduction whose name collides with a FREE referent (or with
+    an earlier introduction) is renamed to the first unused ``name<i>``,
+    and every use bound BY that introduction follows; free occurrences
+    keep their name (golden: universes {x,y,z1} with freerefs {c,z,a}
+    unchanged, pdrs_test.py test2_NLTKRegressions)."""
+    free = {_ref_name(r) for r in get_freerefs(root)}
+    taken = set(free) | {_ref_name(r) for r in get_universes(root)}
+    seen_intro = set()
+    out = root
+
+    def rename_in(p_label: int, old: Ref, new: Ref, p: "PDRS"):
+        """Swap ``old``→``new`` in every context from which the
+        introducing context ``p_label`` is accessible."""
+        for sub in _sub_pdrss(p):
+            if p_label not in accessible_labels(p, sub.label):
+                continue
+            sub.refs = [PRef(r.pointer, new) if r.ref is old else r
+                        for r in sub.refs]
+            for c in sub.conds:
+                if not isinstance(c.cond, PImp):
+                    c.cond.refs = [new if a is old else a
+                                   for a in c.cond.refs]
+
+    # work on a parsed copy so shared Ref identities can be split safely
+    out = parse_pdrs(show_set(root))
+    for sub in _sub_pdrss(out):
+        for pref in list(sub.refs):
+            n = _ref_name(pref.ref)
+            clash = n in free or n in seen_intro
+            seen_intro.add(n)
+            if not clash:
+                continue
+            i = 1
+            while "%s%d" % (n, i) in taken:
+                i += 1
+            nn = "%s%d" % (n, i)
+            taken.add(nn)
+            new_ref = Ref(nn[0], bound=True)
+            new_ref.name = nn
+            rename_in(sub.label, pref.ref, new_ref, out)
+    return out
+
+
+def to_fol_str(root: "PDRS", world: str = "w") -> str:
+    """Modal-FOL rendering with an explicit world argument (parity:
+    pdrs.to_fol; goldens '∃x(man(w,x) ∧ happy(w,x))' and '⊤' from
+    pdrs_test.py test0/test1)."""
+    def body(p: "PDRS") -> str:
+        parts = []
+        for c in p.conds:
+            if isinstance(c.cond, PImp):
+                ant, cons = c.cond.antecedent, c.cond.consequent
+                avars = [_ref_name(r.ref) for r in ant.refs]
+                inner = "%s → %s" % (body_only(ant), fol_p(cons))
+                for v in reversed(avars):
+                    inner = "∀%s(%s)" % (v, inner)
+                parts.append(inner)
+            else:
+                parts.append("%s(%s)" % (c.cond.pred, ",".join(
+                    [world] + [_ref_name(a) for a in c.cond.refs])))
+        return " ∧ ".join(parts)
+
+    def body_only(p: "PDRS") -> str:
+        b = body(p)
+        return b if b else "⊤"
+
+    def fol_p(p: "PDRS") -> str:
+        b = body_only(p)
+        for r in reversed(p.refs):
+            b = "∃%s(%s)" % (_ref_name(r.ref), b)
+        return b
+
+    return fol_p(root)
+
+
 def get_universes(root: "PDRS") -> List[Ref]:
     """Referents introduced anywhere in the structure (parity:
     get_universes)."""

@@ -113,3 +113,86 @@ def test_pdrs_maps_accessibility():
     from ie_ray.drt.pdrs import PDRS, accessible_labels
     d = PDRS(2, [(1, 2)], [], [])
     assert set(accessible_labels(d, 2)) == {1, 2}
+
+
+def test_pdrs_amerge_golden():
+    """Assertive merge golden (reference pdrs_test.py test3_MergeHappyMan):
+    amerge(man, happy) speaks in ONE context."""
+    from ie_ray.drt.pdrs import amerge, parse_pdrs, show_set
+    man = parse_pdrs("<1,{x},{(1,man(x))},{}>")
+    happy = parse_pdrs("<1,{},{(1,happy(x))},{}>")
+    assert show_set(amerge(man, happy)) == \
+        "<1,{x},{(1,man(x)),(1,happy(x))},{}>"
+
+
+def test_pdrs_pmerge_golden():
+    """Projective merge golden (test3_MergeHappyMan, 'The man is happy'):
+    the presupposed side moves to a fresh subordinated context."""
+    from ie_ray.drt.pdrs import parse_pdrs, pmerge, show_set
+    man = parse_pdrs("<1,{x},{(1,man(x))},{}>")
+    happy = parse_pdrs("<1,{},{(1,happy(x))},{}>")
+    assert show_set(pmerge(man, happy)) == \
+        "<1,{(2,x)},{(2,man(x)),(1,happy(x))},{(1,2)}>"
+
+
+def test_pdrs_predicates():
+    """ispure/isproper/isplain/ispresup/isresolved (reference
+    test1_HappyMan assertions)."""
+    from ie_ray.drt.pdrs import (isplain, ispresup, isproper, ispure,
+                                 isresolved, parse_pdrs, pmerge)
+    d = parse_pdrs("<1,{x},{(1,man(x)),(1,happy(x))},{}>")
+    assert ispure(d) and isproper(d) and isplain(d) and isresolved(d)
+    assert not ispresup(d)
+    # free referent -> not proper, not resolved
+    f = parse_pdrs("<1,{},{(1,happy(x))},{}>")
+    assert not isproper(f) and not isresolved(f)
+    # projected content -> presuppositional, not plain
+    p = pmerge(parse_pdrs("<1,{x},{(1,man(x))},{}>"), f)
+    assert ispresup(p) and not isplain(p)
+    # duplicate introduction -> impure
+    dup = parse_pdrs(
+        "<1,{x},{(2,<2,{(2,x)},{(2,B(x))},{}> -> <3,{},{(3,C(x))},{}>)},{}>")
+    assert not ispure(dup)
+
+
+def test_pdrs_has_bound_regressions():
+    """PRef.has_bound truth table from reference test2_NLTKRegressions."""
+    from ie_ray.drt.pdrs import has_bound, parse_pdrs
+    d = parse_pdrs(
+        "<1,{(1,x)},{(1,A(c)),(2,<2,{(2,y)},{(2,B(x,y,z,a))},{}>"
+        " -> <3,{(3,z)},{(3,C(x,yd,z,a))},{}>)},{}>")
+    assert not has_bound(d, 1, "a")
+    assert not has_bound(d, 2, "a")
+    assert not has_bound(d, 3, "a")
+    assert not has_bound(d, 1, "y")
+    assert not has_bound(d, 1, "c")
+    assert has_bound(d, 1, "x")
+    assert has_bound(d, 2, "y")
+    assert has_bound(d, 3, "y")
+    assert has_bound(d, 3, "z")
+
+
+def test_pdrs_purify_golden():
+    """purify() renames the bound z (clash with the free z used in the
+    antecedent) to z1, leaving free refs untouched (reference
+    test2_NLTKRegressions purify golden: universes x,y,z1; freerefs
+    c,z,a)."""
+    from ie_ray.drt.pdrs import get_freerefs, get_universes, parse_pdrs, \
+        purify
+    d = parse_pdrs(
+        "<1,{(1,x)},{(1,A(c)),(2,<2,{(2,y)},{(2,B(x,y,z,a))},{}>"
+        " -> <3,{(3,z)},{(3,C(x,yd,z,a))},{}>)},{}>")
+    names = lambda refs: sorted(r.name for r in refs)
+    dp = purify(d)
+    assert names(get_universes(dp)) == ["x", "y", "z1"]
+    assert names(get_freerefs(dp)) == ["a", "c", "z", "yd"] or \
+        names(get_freerefs(dp)) == ["a", "c", "yd", "z"]
+
+
+def test_pdrs_to_fol_goldens():
+    """Modal-FOL discharge goldens (reference test0_Empty/test1_HappyMan):
+    empty PDRS renders ⊤; 'A man is happy' renders with the world arg."""
+    from ie_ray.drt.pdrs import parse_pdrs, to_fol_str
+    assert to_fol_str(parse_pdrs("<1,{},{},{}>")) == "⊤"
+    d = parse_pdrs("<1,{x},{(1,man(x)),(1,happy(x))},{}>")
+    assert to_fol_str(d) == "∃x(man(w,x) ∧ happy(w,x))"
