@@ -2923,6 +2923,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return covariance_rows(_tbl(sf_dir, "embeddings", blocks=8),
                                dims=8)
 
+    def word_kcore(sf_dir):
+        """5-core of the co-occurrence graph via distributed iterative
+        peeling (degree groupby + survivor semi-filter per round, edge
+        set only shrinks).  No SQL oracle (iterative fixpoint — DuckDB
+        recursive CTEs forbid aggregates in the recursive term); gated by
+        the brute-force twin in tests/test_cooccur_substring.py."""
+        from ie_ray.stages.cooccur import cooccur_edges, k_core
+        return k_core(cooccur_edges(_docs(sf_dir), df_min=60), k=5)
+
     def embedding_pca_project(sf_dir):
         """Distributed PCA: block moment partials → driver d×d eigh →
         broadcast top-2 projection.  No SQL oracle (eigendecomposition);
@@ -3061,6 +3070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nominals": kg_nominals,
         "media_features": media_features,
         "embedding_pca_project": embedding_pca_project,
+        "word_kcore": word_kcore,
     }
 
 

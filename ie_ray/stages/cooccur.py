@@ -72,6 +72,93 @@ def cooccur_edges(docs, df_min: int = 60):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def k_core(edges, k: int, max_rounds: int = 100):
+    """Edges of the k-core: iteratively peel nodes with degree < k until
+    fixpoint (the standard distributed decomposition loop — each round is
+    one degree groupby + one survivor semi-filter, and the edge set only
+    shrinks).  The per-round survivor set is a node table; it broadcasts
+    while small and hash-joins beyond (adaptive_join), exactly like
+    PageRank's rank table in stages/pagerank.py.  Returns the surviving
+    edge Dataset (w1 < w2)."""
+    from ie_ray.stages.relational import adaptive_join
+
+    cur = edges.materialize()
+    n_edges = cur.count()
+    for _ in range(max_rounds):
+        if n_edges == 0:
+            break
+
+        def endpoints(t: pa.Table) -> pa.Table:
+            return pa.table({"node": pa.array(
+                t.column("w1").to_pylist() + t.column("w2").to_pylist(),
+                type=pa.string())})
+
+        deg = cur.map_batches(endpoints, batch_format="pyarrow") \
+            .groupby("node").count()
+        keep = deg.map_batches(
+            lambda t, k=k: pa.table({"node": t.column("node").filter(
+                pc.greater_equal(t.column("count()"), k))}),
+            batch_format="pyarrow")
+        nxt = adaptive_join(
+            cur.map_batches(lambda t: pa.table({
+                "w1": t.column("w1"), "w2": t.column("w2"),
+                "node": t.column("w1")}), batch_format="pyarrow"),
+            keep, on="node")
+        nxt = adaptive_join(
+            nxt.map_batches(lambda t: pa.table({
+                "w1": t.column("w1"), "w2": t.column("w2"),
+                "node": t.column("w2")}), batch_format="pyarrow"),
+            keep, on="node").map_batches(
+            lambda t: pa.table({"w1": t.column("w1"),
+                                "w2": t.column("w2")}),
+            batch_format="pyarrow").materialize()
+        n_next = nxt.count()
+        if n_next == n_edges:
+            break
+        cur, n_edges = nxt, n_next
+    return cur
+
+
+def core_numbers(edges, k_max: int = 64):
+    """Core number per node: the largest k for which the node survives
+    the k-core.  Runs the peeling loop with increasing k, reusing the
+    (k-1)-core as the start of round k — total work is the sum of the
+    shrinking cores, not k × edges.  Returns Dataset (node, core)."""
+    import ray.data
+
+    out = None
+    cur = edges.materialize()
+    for k in range(1, k_max + 1):
+        nxt = k_core(cur, k)
+        if nxt.count() == 0:
+            break
+
+        def endpoints(t: pa.Table, kk=k) -> pa.Table:
+            nodes = sorted(set(t.column("w1").to_pylist()) |
+                           set(t.column("w2").to_pylist()))
+            return pa.table({
+                "node": pa.array(nodes, type=pa.string()),
+                "core": pa.array([kk] * len(nodes), type=pa.int64())})
+
+        lvl = nxt.map_batches(endpoints, batch_format="pyarrow") \
+            .groupby("node").max("core").map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "core": t.column("max(core)")}),
+            batch_format="pyarrow")
+        out = lvl if out is None else out.union(lvl) \
+            .groupby("node").max("core").map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "core": t.column("max(core)")}),
+            batch_format="pyarrow")
+        out = out.materialize()
+        cur = nxt
+    if out is None:
+        return ray.data.from_arrow(pa.table({
+            "node": pa.array([], type=pa.string()),
+            "core": pa.array([], type=pa.int64())}))
+    return out
+
+
 def triangles(edges, num_partitions=None):
     """All triangles {a,b,c} in an undirected edge Dataset (w1 < w2
     lexicographically, one row per edge).  Returns Dataset (w1, w2, w3)

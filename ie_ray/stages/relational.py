@@ -368,7 +368,15 @@ def adaptive_join(left, right, on: str, broadcast_max_rows: int = 100_000,
 
     n_right = right.count()
     if n_right <= broadcast_max_rows:
-        tbl = pa.concat_tables(ray.get(right.to_arrow_refs()))
+        # a hash/aggregate partition that received zero keys produces a
+        # SCHEMA-LESS empty block (same Ray quirk _join_partitions
+        # documents) — drop those before concat
+        tbls = [t for t in ray.get(right.to_arrow_refs())
+                if t.num_columns > 0]
+        if not tbls:
+            return left.map_batches(lambda t: t.slice(0, 0),
+                                    batch_format="pyarrow")
+        tbl = pa.concat_tables(tbls)
         ref = ray.put(tbl)
 
         def probe(t: pa.Table) -> pa.Table:

@@ -87,3 +87,54 @@ def test_triangles_bruteforce_with_hub():
               if tri[1] in adj[tri[0]] and tri[2] in adj[tri[0]]
               and tri[2] in adj[tri[1]]}
     assert got == expect and len(expect) > 10
+
+
+def _brute_core_numbers(edges, n):
+    adj = {i: set() for i in range(n)}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    deg = {i: len(adj[i]) for i in range(n)}
+    core = dict(deg)
+    alive = set(i for i in range(n) if deg[i] > 0)
+    k = 0
+    while alive:
+        k = max(k, min(deg[i] for i in alive))
+        peel = [i for i in alive if deg[i] <= k]
+        while peel:
+            v = peel.pop()
+            if v not in alive:
+                continue
+            core[v] = k
+            alive.discard(v)
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        peel.append(u)
+    return {i: c for i, c in core.items() if i in adj and len(adj[i]) > 0}
+
+
+def test_k_core_and_core_numbers_bruteforce():
+    from ie_ray.stages.cooccur import core_numbers, k_core
+    rng = np.random.RandomState(9)
+    n = 24
+    edges = {tuple(sorted((int(a), int(b))))
+             for a, b in rng.randint(0, n, size=(90, 2)) if a != b}
+    names = ["n%02d" % i for i in range(n)]
+    et = pa.table({
+        "w1": pa.array([names[a] for a, b in sorted(edges)]),
+        "w2": pa.array([names[b] for a, b in sorted(edges)])})
+    ds = ray.data.from_arrow(et)
+
+    brute = _brute_core_numbers(edges, n)
+
+    got = {r["node"]: r["core"] for r in core_numbers(ds).take_all()}
+    expect = {names[i]: c for i, c in brute.items()}
+    assert got == expect
+
+    k = 3
+    surv = k_core(ds, k).take_all()
+    kept_nodes = {r["w1"] for r in surv} | {r["w2"] for r in surv}
+    expect_nodes = {names[i] for i, c in brute.items() if c >= k}
+    assert kept_nodes == expect_nodes
