@@ -140,7 +140,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "q14_promo_revenue", "gopher_filter_docs",
                  "docs_zipf_slope", "events_markov_transitions",
                  "events_anomaly_iqr", "embedding_norm_stats",
-                 "minhash_cluster_sizes"):
+                 "minhash_cluster_sizes", "embedding_covariance",
+                 "embedding_pca_project", "word_kcore"):
         consume(name)
 
     total = round(time.time() - t0, 3)
