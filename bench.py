@@ -137,6 +137,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  # round-3 additions
                  "substring_dup_frac", "word_triangles",
                  "q4_priority_late", "q10_returned_customers",
+                 "q12_returnflag_priority",
                  "q14_promo_revenue", "gopher_filter_docs",
                  "docs_zipf_slope", "events_markov_transitions",
                  "events_anomaly_iqr", "embedding_norm_stats",
