@@ -324,7 +324,14 @@ def extract_text(html: Union[bytes, str]) -> str:
         html = bytes(html)
         if html[:2] == b"\x1f\x8b":
             import gzip
-            html = gzip.decompress(html)
+            try:
+                html = gzip.decompress(html)
+            except (OSError, EOFError):
+                # corrupt/truncated gzip member (real crawl archives have
+                # them): treat the payload as raw bytes rather than
+                # killing the extraction task — the page then flows to
+                # the ordinary empty-text quarantine if undecodable
+                pass
         html = sniff_decode(html)
     fast = _fast_extract(html)
     if fast is not None:

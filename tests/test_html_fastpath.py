@@ -109,3 +109,23 @@ def test_charset_sniff_decode_identity():
     assert extract_text(bogus.encode("utf-8")) == extract_text(bogus)
     # utf-16 BOM
     assert sniff_decode(html.encode("utf-16")) == html
+
+
+def test_extract_text_never_raises_on_junk():
+    """Real crawl archives contain truncated gzip members, binary junk
+    and mangled markup — the extractor must quarantine (empty/short
+    text), never crash the task."""
+    import numpy as np
+
+    from ie_ray.sources.html import extract_text
+
+    rng = np.random.RandomState(0)
+    for i in range(300):
+        n = int(rng.randint(0, 3000))
+        junk = bytes(rng.randint(0, 256, size=n, dtype=np.uint8))
+        if i % 5 == 0:
+            junk = b"\x1f\x8b" + junk          # corrupt gzip magic
+        if i % 7 == 0:
+            junk = b"<html><article>" + junk   # half-valid markup
+        out = extract_text(junk)
+        assert isinstance(out, str)
