@@ -2923,6 +2923,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return covariance_rows(_tbl(sf_dir, "embeddings", blocks=8),
                                dims=8)
 
+    def docs_bpe_encode(sf_dir):
+        """Full BPE tokenize flow: distributed word counts → driver-side
+        merge training on the O(vocab) table (Sennrich 2016) → merge
+        list broadcast into an actor pool (ranks + per-distinct-word
+        memo built once per actor).  No SQL oracle (iterative merges);
+        gated by the sequential-merge twin in tests/test_bpe_encode.py."""
+        from ie_ray.stages.tokenizer import bpe_encode_counts
+        return bpe_encode_counts(_docs(sf_dir), n_merges=30)
+
     def word_kcore(sf_dir):
         """5-core of the co-occurrence graph via distributed iterative
         peeling (degree groupby + survivor semi-filter per round, edge
@@ -3071,6 +3080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features,
         "embedding_pca_project": embedding_pca_project,
         "word_kcore": word_kcore,
+        "docs_bpe_encode": docs_bpe_encode,
     }
 
 

@@ -142,7 +142,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "docs_zipf_slope", "events_markov_transitions",
                  "events_anomaly_iqr", "embedding_norm_stats",
                  "minhash_cluster_sizes", "embedding_covariance",
-                 "embedding_pca_project", "word_kcore"):
+                 "embedding_pca_project", "word_kcore",
+                 "docs_bpe_encode"):
         consume(name)
 
     total = round(time.time() - t0, 3)
