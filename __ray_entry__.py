@@ -2703,38 +2703,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def gopher_filter_docs(sf_dir):
         """Gopher-style document quality rules (Rae et al. 2021, public):
         word-count band, mean-word-length band, stopword floor, top-word
-        repetition ceiling.  Pure per-doc map — no shuffle; rules verified
-        value-for-value by the SQL oracle (all ratios are exact integer
-        ratios in float64, so there is no fp-association risk)."""
-        from collections import Counter
+        repetition ceiling.  Pure per-doc map — no shuffle, vectorized
+        in polars (explode + two group_bys, Rust kernels — no Python
+        row loop); all ratios are exact integer ratios in float64, so
+        the SQL oracle is value-exact with no fp-association risk."""
 
         def rules(t: pa.Table) -> pa.Table:
+            import polars as pl
             import pyarrow.compute as pc
-            ids, nw, ml, sf, tf = [], [], [], [], []
-            for did, txt in zip(t.column("doc_id").to_pylist(),
-                                t.column("text").to_pylist()):
-                words = txt.split(" ")
-                n = len(words)
-                if n == 0:
-                    continue
-                c = Counter(words)
-                mean_wl = sum(len(w) for w in words) / n
-                stop = (c.get("a", 0) + c.get("the", 0)) / n
-                top = max(c.values()) / n
-                if (40 <= n <= 90 and 4.0 <= mean_wl <= 5.0
-                        and stop >= 0.03 and top <= 0.2):
-                    ids.append(did)
-                    nw.append(n)
-                    ml.append(mean_wl)
-                    sf.append(stop)
-                    tf.append(top)
-            r4 = lambda xs: pc.round(pa.array(xs, type=pa.float64()), 4,
-                                     round_mode="half_towards_infinity")
+            df = pl.from_arrow(t.select(["doc_id", "text"]))
+            e = (df.with_columns(pl.col("text").str.split(" ").alias("w"))
+                   .drop("text").explode("w"))
+            per = e.group_by("doc_id").agg(
+                pl.len().alias("n_words"),
+                pl.col("w").str.len_chars().sum().alias("sum_len"),
+                pl.col("w").is_in(["a", "the"]).sum().alias("n_stop"))
+            top = (e.group_by(["doc_id", "w"]).len().group_by("doc_id")
+                    .agg(pl.col("len").max().alias("top_count")))
+            j = (per.join(top, on="doc_id").with_columns(
+                (pl.col("sum_len").cast(pl.Float64)
+                 / pl.col("n_words")).alias("mean_wlen"),
+                (pl.col("n_stop").cast(pl.Float64)
+                 / pl.col("n_words")).alias("stop_frac"),
+                (pl.col("top_count").cast(pl.Float64)
+                 / pl.col("n_words")).alias("top_frac"))
+                .filter((pl.col("n_words") >= 40)
+                        & (pl.col("n_words") <= 90)
+                        & (pl.col("mean_wlen") >= 4.0)
+                        & (pl.col("mean_wlen") <= 5.0)
+                        & (pl.col("stop_frac") >= 0.03)
+                        & (pl.col("top_frac") <= 0.2))
+                .sort("doc_id"))
+            out = j.select(["doc_id", "n_words", "mean_wlen",
+                            "stop_frac", "top_frac"]).to_arrow()
+            r4 = lambda col: pc.round(
+                out.column(col).cast(pa.float64()), 4,
+                round_mode="half_towards_infinity")
             return pa.table({
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "n_words": pa.array(nw, type=pa.int64()),
-                "mean_wlen": r4(ml), "stop_frac": r4(sf),
-                "top_frac": r4(tf)})
+                "doc_id": out.column("doc_id").cast(pa.int64()),
+                "n_words": out.column("n_words").cast(pa.int64()),
+                "mean_wlen": r4("mean_wlen"),
+                "stop_frac": r4("stop_frac"),
+                "top_frac": r4("top_frac")})
 
         return _docs(sf_dir).map_batches(rules, batch_format="pyarrow")
 
@@ -2743,22 +2753,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ln(frequency rank).  Word counts are block partials summed by one
         vocab-bounded groupby; the per-language rank+slope group is
         vocab-sized, never corpus-sized."""
-        from collections import Counter
-
         import numpy as np
 
         def partials(t: pa.Table) -> pa.Table:
-            c = Counter()
-            for lang, txt in zip(t.column("lang").to_pylist(),
-                                 t.column("text").to_pylist()):
-                for w in txt.split(" "):
-                    if w:
-                        c[(lang, w)] += 1
-            items = sorted(c.items())
+            import polars as pl
+            df = pl.from_arrow(t.select(["lang", "text"]))
+            c = (df.with_columns(pl.col("text").str.split(" ").alias("w"))
+                   .drop("text").explode("w")
+                   .filter(pl.col("w") != "")
+                   .group_by(["lang", "w"]).len())
+            out = c.to_arrow()
             return pa.table({
-                "lang": pa.array([k[0] for k, _ in items]),
-                "word": pa.array([k[1] for k, _ in items]),
-                "n": pa.array([v for _, v in items], type=pa.int64())})
+                "lang": out.column("lang").cast(pa.string()),
+                "word": out.column("w").cast(pa.string()),
+                "n": out.column("len").cast(pa.int64())})
 
         from ie_ray.stages.relational import bucketed_aggregate
         counts = bucketed_aggregate(
