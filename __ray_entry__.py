@@ -2803,18 +2803,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   columns=["user_id", "ts", "event_id", "event_type"])
 
         def trans(g: pa.Table) -> pa.Table:
-            from collections import Counter
             ts = np.asarray(g.column("ts").cast(pa.int64()))
             eid = np.asarray(g.column("event_id"))
             order = np.lexsort((eid, ts))
             et = np.asarray(g.column("event_type").to_pylist(),
                             dtype=object)[order]
-            c = Counter(zip(et[:-1], et[1:]))
-            items = sorted(c.items())
+            # vectorized bigram count: dictionary-encode, pack the pair
+            # into one int, bincount
+            u, inv = np.unique(et, return_inverse=True)
+            if len(et) < 2:
+                return pa.table({
+                    "prev_type": pa.array([], type=pa.string()),
+                    "next_type": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64())})
+            k = len(u)
+            packed = inv[:-1] * k + inv[1:]
+            counts = np.bincount(packed, minlength=k * k)
+            nz = np.nonzero(counts)[0]
             return pa.table({
-                "prev_type": pa.array([k[0] for k, _ in items]),
-                "next_type": pa.array([k[1] for k, _ in items]),
-                "n": pa.array([v for _, v in items], type=pa.int64())})
+                "prev_type": pa.array(u[nz // k], type=pa.string()),
+                "next_type": pa.array(u[nz % k], type=pa.string()),
+                "n": pa.array(counts[nz], type=pa.int64())})
 
         return ev.groupby("user_id") \
             .map_groups(trans, batch_format="pyarrow") \

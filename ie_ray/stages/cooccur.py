@@ -31,25 +31,28 @@ from ie_ray.stages.dedup import _join_partitions
 
 def bigram_rows_batch(batch: pa.Table) -> pa.Table:
     """Distinct unordered adjacent-word pairs per document, pre-combined
-    to (w1, w2, n_docs-in-block) partials inside the block."""
-    seen: dict[tuple, int] = {}
-    for txt in batch.column("text").to_pylist():
-        words = txt.split(" ")
-        doc_pairs = set()
-        for a, b in zip(words, words[1:]):
-            if a and b and a != b:
-                doc_pairs.add((a, b) if a < b else (b, a))
-        for p in doc_pairs:
-            seen[p] = seen.get(p, 0) + 1
-    if not seen:
-        return pa.table({"w1": pa.array([], type=pa.string()),
-                         "w2": pa.array([], type=pa.string()),
-                         "df": pa.array([], type=pa.int64())})
-    items = sorted(seen.items())
+    to (w1, w2, n_docs-in-block) partials inside the block.  Vectorized
+    in polars: explode + shift-within-doc builds the adjacency, a
+    per-(doc, pair) unique dedups, one group_by counts."""
+    import polars as pl
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    e = (df.with_columns(pl.col("text").str.split(" ").alias("w"))
+           .drop("text").explode("w")
+           .with_columns(pl.col("w").shift(-1).over("doc_id")
+                         .alias("nxt"))
+           .drop_nulls("nxt")
+           .filter((pl.col("w") != "") & (pl.col("nxt") != "")
+                   & (pl.col("w") != pl.col("nxt"))))
+    pairs = (e.with_columns(
+        pl.min_horizontal("w", "nxt").alias("w1"),
+        pl.max_horizontal("w", "nxt").alias("w2"))
+        .unique(subset=["doc_id", "w1", "w2"])
+        .group_by(["w1", "w2"]).len())
+    out = pairs.to_arrow()
     return pa.table({
-        "w1": pa.array([k[0] for k, _ in items], type=pa.string()),
-        "w2": pa.array([k[1] for k, _ in items], type=pa.string()),
-        "df": pa.array([v for _, v in items], type=pa.int64())})
+        "w1": out.column("w1").cast(pa.string()),
+        "w2": out.column("w2").cast(pa.string()),
+        "df": out.column("len").cast(pa.int64())})
 
 
 def cooccur_edges(docs, df_min: int = 60):
