@@ -2967,6 +2967,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         comps, _, mean = fit_pca(emb, k=2)
         return project(emb, comps, mean)
 
+    def docs_split_assign(sf_dir):
+        """Deterministic train/val/test assignment by content hash
+        (80/10/10) — the reproducible split every training pipeline
+        needs: no RNG state, no coordination, stable across reruns and
+        cluster sizes.  Pure map, same md5 convention as
+        docs_sample_10pct."""
+        import hashlib
+
+        def assign(b: pa.Table) -> pa.Table:
+            splits = []
+            for t in b.column("text").to_pylist():
+                h = int.from_bytes(
+                    hashlib.md5(t.encode("utf-8")).digest()[:4],
+                    "big") % 10
+                splits.append("train" if h < 8 else
+                              "val" if h == 8 else "test")
+            return pa.table({
+                "doc_id": b.column("doc_id"),
+                "split": pa.array(splits, type=pa.string())})
+
+        return _docs(sf_dir).map_batches(assign, batch_format="pyarrow")
+
+    def events_hourly_distinct_users(sf_dir):
+        """Distinct users per hour — the classic streaming engagement
+        metric as an exact batch re-expression: block-local (hour, user)
+        pair dedup → one exchange → per-hour unique
+        (relational.distinct_count)."""
+        from ie_ray.stages.relational import distinct_count
+
+        def prep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "window": pc.strftime(
+                    pc.floor_temporal(t.column("ts"), unit="hour"),
+                    format="%Y-%m-%d %H:00:00"),
+                "user_id": t.column("user_id").cast(pa.int64())})
+
+        ds = _tbl(sf_dir, "events", columns=["ts", "user_id"]) \
+            .map_batches(prep, batch_format="pyarrow")
+        agg = distinct_count(ds, "window", "user_id", out="n_users")
+        return agg.map_batches(
+            lambda t: pa.table({
+                "window": t.column("window"),
+                "n_users": t.column("n_users").cast(pa.int64())}),
+            batch_format="pyarrow")
+
     # Ordering contract: the correctness driver checks the first N dict
     # entries (N=50 in rounds 1-2).  Oracle-backed operators that have not
     # yet earned a green CORRECTNESS row come FIRST, then the operators
@@ -3020,6 +3066,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_stats": embedding_norm_stats,
         "minhash_cluster_sizes": minhash_cluster_sizes,
         "embedding_covariance": embedding_covariance,
+        "docs_split_assign": docs_split_assign,
+        "events_hourly_distinct_users": events_hourly_distinct_users,
         # -- oracle-backed, green in CORRECTNESS_r02 --
         "exact_dedup_docs": exact_dedup_docs,
         "doc_token_counts": doc_token_counts,
@@ -3665,6 +3713,16 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(*) >= 2) "
             "SELECT sz::BIGINT AS cluster_size, count(*)::BIGINT "
             "AS n_clusters FROM cs GROUP BY sz",
+        "docs_split_assign":
+            "SELECT doc_id, CASE WHEN h < 8 THEN 'train' WHEN h = 8 "
+            "THEN 'val' ELSE 'test' END AS split FROM (SELECT doc_id, "
+            "('0x' || substr(md5(text), 1, 8))::BIGINT % 10 AS h "
+            "FROM documents)",
+        "events_hourly_distinct_users":
+            "SELECT strftime(date_trunc('hour', ts), "
+            "'%Y-%m-%d %H:00:00') AS window, "
+            "count(DISTINCT user_id)::BIGINT AS n_users "
+            "FROM events GROUP BY 1",
         "embedding_covariance":
             "WITH x AS (SELECT vec_id, generate_subscripts(embedding, 1) "
             "AS i, CAST(unnest(embedding) AS DOUBLE) AS v "

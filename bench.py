@@ -143,7 +143,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_anomaly_iqr", "embedding_norm_stats",
                  "minhash_cluster_sizes", "embedding_covariance",
                  "embedding_pca_project", "word_kcore",
-                 "docs_bpe_encode"):
+                 "docs_bpe_encode", "docs_split_assign",
+                 "events_hourly_distinct_users"):
         consume(name)
 
     total = round(time.time() - t0, 3)
