@@ -2919,12 +2919,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                for x in b.column("doc_b").to_pylist()],
                               type=pa.string())})
 
+        from ie_ray.stages.relational import bucketed_aggregate
         labels = connected_components(
             pairs.map_batches(as_edges, batch_format="pyarrow"))
-        sizes = labels.groupby("component").count()
+        # component is a rows-sized key domain at web scale (one per dup
+        # cluster) — count through the bucketed path
+        sizes = bucketed_aggregate(labels, "component",
+                                   [("node", "count")], parts=16)
         hist = sizes.map_batches(
             lambda t: pa.table({
-                "cluster_size": t.column("count()").cast(pa.int64())}),
+                "cluster_size": t.column("node_count").cast(pa.int64())}),
             batch_format="pyarrow").groupby("cluster_size").count()
         return hist.map_batches(
             lambda t: pa.table({

@@ -125,12 +125,18 @@ def substring_dup_frac(docs, width: int = 16, parts: int = 64):
             "n_tot": pa.array(np.bincount(inv).astype(np.float64),
                               type=pa.float64())})
 
+    from ie_ray.stages.relational import bucketed_aggregate
+
     partials = rows.map_batches(add_part, batch_format="pyarrow") \
         .groupby("part").map_groups(per_bucket, batch_format="pyarrow")
-    agg = partials.groupby("doc_id").sum(["n_dup", "n_tot"])
+    # doc_id is a rows-sized key domain — the final sum also goes through
+    # the bucketed path (Ray's sort groupby pays per-group Python cost)
+    agg = bucketed_aggregate(partials, "doc_id",
+                             [("n_dup", "sum"), ("n_tot", "sum")],
+                             parts=parts)
 
     def finish(t: pa.Table) -> pa.Table:
-        frac = pc.divide(t.column("sum(n_dup)"), t.column("sum(n_tot)"))
+        frac = pc.divide(t.column("n_dup_sum"), t.column("n_tot_sum"))
         return pa.table({
             "doc_id": t.column("doc_id"),
             "dup_frac": pc.round(frac, 4,
