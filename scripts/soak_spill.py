@@ -4,7 +4,12 @@ Streams a multi-million-page fixture through the flagship pipeline and
 reports peak object-store usage + spill counters from Ray's memory
 summary, so BASELINE.md can document spill behavior at soak scale.
 
-Usage: python scripts/soak_spill.py [n_pages] [num_cpus]
+Usage: python scripts/soak_spill.py [n_pages] [num_cpus] [store_gb]
+
+The optional ``store_gb`` caps the object store far below the working
+set, to demonstrate the OTHER half of the spill story: the run must
+COMPLETE (with spill lines) under a constrained store, not only stay
+spill-free under the default one.
 """
 
 import json
@@ -15,11 +20,15 @@ import time
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    store_gb = float(sys.argv[3]) if len(sys.argv) > 3 else None
 
     import ray
     if not ray.is_initialized():
+        kw = {}
+        if store_gb:
+            kw["object_store_memory"] = int(store_gb * (1 << 30))
         ray.init(address="local", num_cpus=cpus, include_dashboard=False,
-                 logging_level="ERROR")
+                 logging_level="ERROR", **kw)
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
 
