@@ -1418,14 +1418,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def finish(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
-            frac = pc.divide(pc.cast(t.column("sum(dup)"), pa.float64()),
-                             pc.cast(t.column("sum(one)"), pa.float64()))
+            frac = pc.divide(pc.cast(t.column("dup_sum"), pa.float64()),
+                             pc.cast(t.column("one_sum"), pa.float64()))
             return pa.table({"doc_id": t.column("doc_id"),
                              "dup_gram_frac": frac})
 
-        return (joined.map_batches(flag, batch_format="pyarrow")
-                .groupby("doc_id").sum(["dup", "one"])
-                .map_batches(finish, batch_format="pyarrow"))
+        from ie_ray.stages.relational import bucketed_aggregate
+        return (bucketed_aggregate(
+            joined.map_batches(flag, batch_format="pyarrow"),
+            "doc_id", [("dup", "sum"), ("one", "sum")])
+            .map_batches(finish, batch_format="pyarrow"))
 
     def normalize_docs(sf_dir):
         """Stopword-stripped normalization fingerprint per doc — the
@@ -1959,16 +1961,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "word": b.column("word"),
                              "score": s})
 
-        def top3(g: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            idx = pc.sort_indices(g, sort_keys=[("score", "descending"),
-                                                ("word", "ascending")])
-            t = g.take(idx[:3])
-            return t.append_column(
-                "rk", pa.array(range(1, t.num_rows + 1), type=pa.int64()))
+        def bucket_top3(g: pa.Table) -> pa.Table:
+            # one vectorized sort+window per BUCKET (all docs hashed
+            # there), not one Python-sliced group per doc
+            import polars as pl
+            df = pl.from_arrow(g)
+            out = (df.sort(["doc_id", "score", "word"],
+                           descending=[False, True, False])
+                     .with_columns(pl.col("word").cum_count()
+                                   .over("doc_id").alias("rk"))
+                     .filter(pl.col("rk") <= 3))
+            t = out.to_arrow()
+            return pa.table({
+                "doc_id": t.column("doc_id").cast(pa.int64()),
+                "word": t.column("word").cast(pa.string()),
+                "score": t.column("score").cast(pa.float64()),
+                "rk": t.column("rk").cast(pa.int64())})
 
-        return (joined.map_batches(score, batch_format="pyarrow")
-                .groupby("doc_id").map_groups(top3, batch_format="pyarrow"))
+        from ie_ray.stages.relational import bucketed_map_groups
+        return bucketed_map_groups(
+            joined.map_batches(score, batch_format="pyarrow"),
+            "doc_id", bucket_top3)
 
     def inverted_index(sf_dir):
         """Sharded inverted index: word × doc-range shard → sorted posting
@@ -2551,7 +2564,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         joined = li.join(orders, "inner",
                          num_partitions=_join_partitions(),
                          on=("l_orderkey",), right_on=("o_orderkey",))
-        percust = joined.groupby("o_custkey").sum("rev")
+        from ie_ray.stages.relational import bucketed_aggregate
+        percust = bucketed_aggregate(
+            joined.map_batches(lambda t: t.select(["o_custkey", "rev"]),
+                               batch_format="pyarrow"),
+            "o_custkey", [("rev", "sum")])
 
         cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                              columns=["c_custkey", "c_name", "c_nationkey"])
@@ -2576,7 +2593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "c_custkey": t.column("o_custkey").cast(pa.int64()),
                 "c_name": pa.array(names[pos], type=pa.string()),
                 "n_name": pa.array(nats[pos], type=pa.string()),
-                "revenue": t.column("sum(rev)")})
+                "revenue": t.column("rev_sum")})
 
         top = percust.map_batches(decorate, batch_format="pyarrow") \
             .sort(["revenue", "c_custkey"], descending=[True, False]) \

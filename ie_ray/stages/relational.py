@@ -145,7 +145,35 @@ def bucketed_aggregate(ds, keys, aggs, parts: int = 64,
     addition order vs a plain groupby (as any shuffle does).
     """
     key_list = [keys] if isinstance(keys, str) else list(keys)
+    add_part = _make_add_part(key_list, parts, part_col)
 
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return g.drop_columns([part_col]).group_by(key_list) \
+            .aggregate(aggs)
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby(part_col).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def bucketed_map_groups(ds, keys, bucket_fn, parts: int = 64,
+                        part_col: str = "__part"):
+    """Sibling of bucketed_aggregate for non-aggregate per-key kernels
+    (top-k per key, per-key ranking): rows bucket by key hash, and
+    ``bucket_fn`` receives each COMPLETE bucket (all rows of every key
+    hashed there, ``part_col`` already dropped) to process with one
+    vectorized pass — e.g. a polars sort + window over the whole bucket
+    instead of one Python-sliced group per key."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    add_part = _make_add_part(key_list, parts, part_col)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        return bucket_fn(g.drop_columns([part_col]))
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby(part_col).map_groups(per_bucket, batch_format="pyarrow")
+
+
+def _make_add_part(key_list, parts: int, part_col: str):
     import zlib
 
     def add_part(t: pa.Table) -> pa.Table:
@@ -173,12 +201,7 @@ def bucketed_aggregate(ds, keys, aggs, parts: int = 64,
             part_col,
             pa.array((h % np.uint64(parts)).astype(np.int64)))
 
-    def per_bucket(g: pa.Table) -> pa.Table:
-        return g.drop_columns([part_col]).group_by(key_list) \
-            .aggregate(aggs)
-
-    return ds.map_batches(add_part, batch_format="pyarrow") \
-        .groupby(part_col).map_groups(per_bucket, batch_format="pyarrow")
+    return add_part
 
 
 def distinct_count(ds, group: str, value: str, out: str = "n_distinct"):

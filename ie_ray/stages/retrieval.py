@@ -221,12 +221,16 @@ def unigram_logprob(docs):
                             float(total))))
         return pa.table({"doc_id": t.column("doc_id"), "lp": lp})
 
-    out = (joined.map_batches(contrib, batch_format="pyarrow")
-           .groupby("doc_id").sum("lp")
-           .map_batches(lambda t: pa.table({
-               "doc_id": t.column("doc_id"),
-               "logprob": pc.round(t.column("sum(lp)"), 4)}),
-               batch_format="pyarrow"))
+    # doc_id is a rows-sized key domain — sum through the bucketed path
+    # (Ray's sort groupby pays per-group Python cost at that cardinality)
+    from ie_ray.stages.relational import bucketed_aggregate
+    out = (bucketed_aggregate(
+        joined.map_batches(contrib, batch_format="pyarrow"),
+        "doc_id", [("lp", "sum")])
+        .map_batches(lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "logprob": pc.round(t.column("lp_sum"), 4)}),
+            batch_format="pyarrow"))
     return out
 
 
