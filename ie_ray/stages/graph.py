@@ -37,9 +37,11 @@ def _agg_count(group: pa.Table, keys: List[str]) -> pa.Table:
 def build_edges(triples_ds):
     """(subj_id, pred, obj_id) → deduplicated with counts.
 
-    The count aggregation pre-combines inside each block before the
-    shuffle (Ray's sort-shuffle partial aggregation), so a hot entity's
-    billions of mentions reduce to one row per (block × key).
+    Counts pre-combine inside each block (Arrow C++ hash aggregation),
+    so a hot entity's billions of mentions reduce to one row per
+    (block × key) before the exchange; the global sum then runs through
+    the bucketed path because the distinct-triple key domain is
+    corpus-sized.
     """
     def prep(batch: pa.Table) -> pa.Table:
         mask = [s is not None and o is not None and k in ("arg", "aka", "poss")
@@ -53,11 +55,25 @@ def build_edges(triples_ds):
             "obj_id": t.column("obj_id"),
         })
 
-    prepped = triples_ds.map_batches(prep, batch_format="pyarrow")
-    return (prepped.groupby(["subj_id", "pred", "obj_id"])
-            .count()
-            .map_batches(lambda t: t.rename_columns(
-                ["subj_id", "pred", "obj_id", "n"]), batch_format="pyarrow"))
+    def block_counts(t: pa.Table) -> pa.Table:
+        # pre-combine per block (Arrow C++ hash agg) so a hot entity's
+        # mentions reduce to one row per (block × key) before the shuffle
+        g = t.group_by(["subj_id", "pred", "obj_id"]).aggregate(
+            [("pred", "count")])
+        return g.rename_columns(["subj_id", "pred", "obj_id", "n"])
+
+    from ie_ray.stages.relational import bucketed_aggregate
+    prepped = triples_ds.map_batches(prep, batch_format="pyarrow") \
+        .map_batches(block_counts, batch_format="pyarrow")
+    # the distinct-triple key domain is corpus-sized — sum through the
+    # bucketed path (Ray's sort groupby pays per-group Python cost there)
+    return bucketed_aggregate(
+        prepped, ["subj_id", "pred", "obj_id"], [("n", "sum")]) \
+        .map_batches(lambda t: pa.table({
+            "subj_id": t.column("subj_id"), "pred": t.column("pred"),
+            "obj_id": t.column("obj_id"),
+            "n": t.column("n_sum").cast(pa.int64())}),
+            batch_format="pyarrow")
 
 
 def build_nodes(triples_ds):
@@ -87,23 +103,29 @@ def build_nodes(triples_ds):
             "n": pa.array([counts[k] for k in keys], type=pa.int64()),
         })
 
-    per_label = (triples_ds.map_batches(partial_counts, batch_format="pyarrow")
-                 .groupby(["entity_id", "label"]).sum("n")
-                 .map_batches(lambda t: t.rename_columns(
-                     ["entity_id", "label", "n"]), batch_format="pyarrow"))
-    return per_label.groupby("entity_id").map_groups(_node_row,
-                                                     batch_format="pyarrow")
+    from ie_ray.stages.relational import (bucketed_aggregate,
+                                          bucketed_map_groups)
+    per_label = bucketed_aggregate(
+        triples_ds.map_batches(partial_counts, batch_format="pyarrow"),
+        ["entity_id", "label"], [("n", "sum")])
 
+    def bucket_nodes(g: pa.Table) -> pa.Table:
+        # vectorized per-bucket argmax: best label = max (count, label),
+        # identical tie-break to the previous per-group reducer
+        import polars as pl
+        df = pl.from_arrow(g)
+        out = df.group_by("entity_id").agg(
+            pl.col("label").sort_by(["n_sum", "label"],
+                                    descending=[True, True]).first()
+            .alias("label"),
+            pl.col("n_sum").sum().alias("mentions"))
+        t = out.to_arrow()
+        return pa.table({
+            "entity_id": t.column("entity_id").cast(pa.string()),
+            "label": t.column("label").cast(pa.string()),
+            "mentions": t.column("mentions").cast(pa.int64())})
 
-def _node_row(group: pa.Table) -> pa.Table:
-    labels = group.column("label").to_pylist()
-    counts = group.column("n").to_pylist()
-    best = max(zip(counts, labels))[1] if labels else ""
-    return pa.table({
-        "entity_id": group.slice(0, 1).column("entity_id"),
-        "label": pa.array([best], type=pa.string()),
-        "mentions": pa.array([sum(counts)], type=pa.int64()),
-    })
+    return bucketed_map_groups(per_label, "entity_id", bucket_nodes)
 
 
 _ORG_SUFFIXES = {"Corp", "Corp.", "Inc", "Inc.", "Ltd", "Ltd.", "Co",
@@ -161,23 +183,27 @@ def type_entities(triples_ds):
             "n": pa.array([counts[k] for k in keys], type=pa.int64()),
         })
 
-    per_type = (triples_ds.map_batches(votes, batch_format="pyarrow")
-                .groupby(["entity_id", "etype"]).sum("n")
-                .map_batches(lambda t: t.rename_columns(
-                    ["entity_id", "etype", "n"]), batch_format="pyarrow"))
+    from ie_ray.stages.relational import (bucketed_aggregate,
+                                          bucketed_map_groups)
+    per_type = bucketed_aggregate(
+        triples_ds.map_batches(votes, batch_format="pyarrow"),
+        ["entity_id", "etype"], [("n", "sum")])
 
-    def decide(group: pa.Table) -> pa.Table:
-        types = group.column("etype").to_pylist()
-        counts = group.column("n").to_pylist()
-        best = max(zip(counts, types))[1]
+    def bucket_decide(g: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(g)
+        out = df.group_by("entity_id").agg(
+            pl.col("etype").sort_by(["n_sum", "etype"],
+                                    descending=[True, True]).first()
+            .alias("etype"),
+            pl.col("n_sum").sum().alias("evidence"))
+        t = out.to_arrow()
         return pa.table({
-            "entity_id": group.slice(0, 1).column("entity_id"),
-            "etype": pa.array([best], type=pa.string()),
-            "evidence": pa.array([sum(counts)], type=pa.int64()),
-        })
+            "entity_id": t.column("entity_id").cast(pa.string()),
+            "etype": t.column("etype").cast(pa.string()),
+            "evidence": t.column("evidence").cast(pa.int64())})
 
-    return per_type.groupby("entity_id").map_groups(decide,
-                                                    batch_format="pyarrow")
+    return bucketed_map_groups(per_type, "entity_id", bucket_decide)
 
 
 # ---------------------------------------------------------------------------
@@ -313,9 +339,13 @@ def co_mention_pairs(triples_ds, k: int = 50):
             "ent_b": pa.array([x[1] for x in keys], type=pa.string()),
             "n": pa.array([counts[x] for x in keys], type=pa.int64())})
 
-    agg = (triples_ds.map_batches(pairs, batch_format="pyarrow")
-           .groupby(["ent_a", "ent_b"]).sum("n")
-           .map_batches(lambda t: t.rename_columns(["ent_a", "ent_b", "n"]),
-                        batch_format="pyarrow"))
+    from ie_ray.stages.relational import bucketed_aggregate
+    agg = bucketed_aggregate(
+        triples_ds.map_batches(pairs, batch_format="pyarrow"),
+        ["ent_a", "ent_b"], [("n", "sum")]) \
+        .map_batches(lambda t: pa.table({
+            "ent_a": t.column("ent_a"), "ent_b": t.column("ent_b"),
+            "n": t.column("n_sum").cast(pa.int64())}),
+            batch_format="pyarrow")
     return agg.sort(["n", "ent_a", "ent_b"],
                     descending=[True, False, False]).limit(k)
