@@ -87,11 +87,16 @@ def add_text_hash(batch: pa.Table, col: str = "text") -> pa.Table:
 def exact_dedup_docs(ds):
     """One row per distinct text: (text_hash, doc_id=min).  Equivalent SQL:
     SELECT md5(text), min(doc_id) FROM documents GROUP BY 1."""
+    from ie_ray.stages.relational import bucketed_aggregate
     ds = ds.map_batches(add_text_hash, batch_format="pyarrow")
     ds = ds.select_columns(["text_hash", "doc_id"])
-    return (ds.groupby("text_hash").min("doc_id")
-            .map_batches(lambda t: t.rename_columns(["text_hash", "doc_id"]),
-                         batch_format="pyarrow"))
+    # text_hash is a rows-sized key domain (≈ one per distinct doc) —
+    # reduce through the bucketed path
+    return bucketed_aggregate(ds, "text_hash", [("doc_id", "min")]) \
+        .map_batches(lambda t: pa.table({
+            "text_hash": t.column("text_hash"),
+            "doc_id": t.column("doc_id_min").cast(pa.int64())}),
+            batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -67,7 +67,18 @@ def _first_row(group: pa.Table) -> pa.Table:
 
 
 def exact_dedup(ds, key: str = "page_hash"):
-    """Keep one row per content hash (hash-partition shuffle + per-group
-    first).  At cluster scale this is Ray Data's all-to-all on ``key``; the
-    combiner-less form is fine because groups are tiny (dup factor ≈ 1)."""
-    return ds.groupby(key).map_groups(_first_row, batch_format="pyarrow")
+    """Keep one row per content hash.  The key domain is ≈ rows-sized, so
+    the shuffle goes through relational.bucketed_map_groups (hash
+    buckets, one vectorized first-per-key pass per bucket) rather than
+    Ray's sort groupby whose per-group Python cost dominates at that
+    cardinality; groups are tiny (dup factor ≈ 1) so no combiner is
+    needed."""
+    from ie_ray.stages.relational import bucketed_map_groups
+
+    def bucket_first(g: pa.Table, _k=key) -> pa.Table:
+        import polars as pl
+        return pl.from_arrow(g).unique(subset=[_k], keep="first",
+                                       maintain_order=True).to_arrow() \
+            .cast(g.schema)
+
+    return bucketed_map_groups(ds, key, bucket_first)

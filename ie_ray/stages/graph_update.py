@@ -98,24 +98,32 @@ def _read_state(out_dir: str, version: str, name: str):
 
 
 def _sum_merge(ds, keys, out_names):
-    merged = ds.groupby(keys).sum("n")
+    # entity/edge key domains are graph-sized — bucketed reduce
+    from ie_ray.stages.relational import bucketed_aggregate
+    merged = bucketed_aggregate(ds, keys, [("n", "sum")])
     return merged.map_batches(lambda t: t.rename_columns(out_names),
                               batch_format="pyarrow")
 
 
 def _node_view(label_counts_ds):
     """Majority surface form + total mentions, derived per entity."""
-    def best(group: pa.Table) -> pa.Table:
-        labels = group.column("label").to_pylist()
-        counts = group.column("n").to_pylist()
-        top = max(zip(counts, labels))[1] if labels else ""
+    from ie_ray.stages.relational import bucketed_map_groups
+
+    def bucket_best(g: pa.Table) -> pa.Table:
+        # vectorized per-bucket argmax, same (count, label) tie-break as
+        # the previous per-group reducer
+        import polars as pl
+        out = pl.from_arrow(g).group_by("entity_id").agg(
+            pl.col("label").sort_by(["n", "label"],
+                                    descending=[True, True]).first()
+            .alias("label"),
+            pl.col("n").sum().alias("mentions")).to_arrow()
         return pa.table({
-            "entity_id": group.slice(0, 1).column("entity_id"),
-            "label": pa.array([top], type=pa.string()),
-            "mentions": pa.array([sum(counts)], type=pa.int64()),
-        })
-    return label_counts_ds.groupby("entity_id").map_groups(
-        best, batch_format="pyarrow")
+            "entity_id": out.column("entity_id").cast(pa.string()),
+            "label": out.column("label").cast(pa.string()),
+            "mentions": out.column("mentions").cast(pa.int64())})
+
+    return bucketed_map_groups(label_counts_ds, "entity_id", bucket_best)
 
 
 def update_graph(out_dir: str, delta_triples_ds,

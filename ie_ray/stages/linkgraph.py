@@ -53,10 +53,16 @@ def page_link_edges(pages):
             pa.field(f.name, pa.string() if f.type == pa.large_string()
                      else f.type) for f in out.schema]))
 
-    agg = (pages.map_batches(partial, batch_format="pyarrow")
-           .groupby(["src_host", "dst_host"]).sum("n"))
+    from ie_ray.stages.relational import bucketed_aggregate
+    # host-pair key domain is web-scale-large — bucketed reduce
+    agg = bucketed_aggregate(
+        pages.map_batches(partial, batch_format="pyarrow"),
+        ["src_host", "dst_host"], [("n", "sum")])
     return agg.map_batches(
-        lambda t: t.rename_columns(["src_host", "dst_host", "n"]),
+        lambda t: pa.table({
+            "src_host": t.column("src_host"),
+            "dst_host": t.column("dst_host"),
+            "n": t.column("n_sum").cast(pa.int64())}),
         batch_format="pyarrow")
 
 

@@ -52,13 +52,17 @@ def pagerank(edges, iters: int = 10, damping: float = 0.85,
         return (edges.select_columns([col])
                 .map_batches(_rename(["node"]), batch_format="pyarrow"))
 
-    nodes = (side("subj_id").union(side("obj_id"))
-             .groupby("node").count()
+    from ie_ray.stages.relational import bucketed_aggregate
+    # node/out-degree key domains are graph-sized — reduce through the
+    # bucketed path (Ray's sort groupby pays per-group Python cost there)
+    nodes = (bucketed_aggregate(side("subj_id").union(side("obj_id")),
+                                "node", [("node", "count")])
              .map_batches(lambda t: t.select(["node"]),
                           batch_format="pyarrow")).materialize()
     n = nodes.count()
 
-    outdeg = (edges.select_columns(["subj_id"]).groupby("subj_id").count()
+    outdeg = (bucketed_aggregate(edges.select_columns(["subj_id"]),
+                                 "subj_id", [("subj_id", "count")])
               .map_batches(_rename(["subj_id", "outdeg"]),
                            batch_format="pyarrow"))
 
@@ -102,10 +106,11 @@ def pagerank(edges, iters: int = 10, damping: float = 0.85,
 
         def finish(t: pa.Table, base=base) -> pa.Table:
             import pyarrow.compute as pc
-            r = pc.add(pc.multiply(t.column("sum(c)"), damping), base)
+            r = pc.add(pc.multiply(t.column("c_sum"), damping), base)
             return pa.table({"node": t.column("node"), "rank": r})
 
-        ranks = (contribs.union(zeros).groupby("node").sum("c")
+        ranks = (bucketed_aggregate(contribs.union(zeros), "node",
+                                    [("c", "sum")])
                  .map_batches(finish, batch_format="pyarrow")).materialize()
 
     return ranks
@@ -123,14 +128,17 @@ def pagerank_weighted(edges, iters: int = 10, damping: float = 0.85,
         return (edges.select_columns([col])
                 .map_batches(_rename(["node"]), batch_format="pyarrow"))
 
-    nodes = (side("subj_id").union(side("obj_id"))
-             .groupby("node").count()
+    from ie_ray.stages.relational import bucketed_aggregate
+    # node/out-degree key domains are graph-sized — reduce through the
+    # bucketed path (Ray's sort groupby pays per-group Python cost there)
+    nodes = (bucketed_aggregate(side("subj_id").union(side("obj_id")),
+                                "node", [("node", "count")])
              .map_batches(lambda t: t.select(["node"]),
                           batch_format="pyarrow")).materialize()
     n = nodes.count()
 
-    outw = (edges.select_columns(["subj_id", "w"]).groupby("subj_id")
-            .sum("w")
+    outw = (bucketed_aggregate(edges.select_columns(["subj_id", "w"]),
+                               "subj_id", [("w", "sum")])
             .map_batches(_rename(["subj_id", "outw"]),
                          batch_format="pyarrow"))
     edges_w = (edges.select_columns(["subj_id", "obj_id", "w"])
@@ -172,10 +180,11 @@ def pagerank_weighted(edges, iters: int = 10, damping: float = 0.85,
 
         def finish(t: pa.Table, base=base) -> pa.Table:
             import pyarrow.compute as pc
-            r = pc.add(pc.multiply(t.column("sum(c)"), damping), base)
+            r = pc.add(pc.multiply(t.column("c_sum"), damping), base)
             return pa.table({"node": t.column("node"), "rank": r})
 
-        ranks = (contribs.union(zeros).groupby("node").sum("c")
+        ranks = (bucketed_aggregate(contribs.union(zeros), "node",
+                                    [("c", "sum")])
                  .map_batches(finish, batch_format="pyarrow")).materialize()
 
     return ranks
