@@ -138,13 +138,15 @@ def _salt_hubs(adj, hub_degree: int):
     import pyarrow.compute as pc
     import ray
 
-    deg = adj.groupby("node").count()
+    from ie_ray.stages.relational import bucketed_aggregate
+    deg = bucketed_aggregate(adj.select_columns(["node"]), "node",
+                             [("node", "count")])
     hubs = deg.map_batches(
-        lambda t: t.filter(pc.greater(t.column("count()"), hub_degree)),
+        lambda t: t.filter(pc.greater(t.column("node_count"), hub_degree)),
         batch_format="pyarrow").take_all()
     if not hubs:
         return adj, 0
-    hub_k = {r["node"]: -(-r["count()"] // hub_degree) for r in hubs}
+    hub_k = {r["node"]: -(-r["node_count"] // hub_degree) for r in hubs}
     hub_ref = ray.put(hub_k)
     hub_arr = pa.array(list(hub_k), type=pa.string())
 
@@ -228,8 +230,14 @@ def connected_components(edges_ds, max_iters: int = 25,
                                          batch.column("peer")),
         })
 
-    labels = (adj.map_batches(self_label, batch_format="pyarrow")
-              .groupby("node").min("label")
+    from ie_ray.stages.relational import (bucketed_aggregate,
+                                          bucketed_map_groups)
+    # node key domain is graph-sized: all label reduces and the push
+    # fan-out run through the bucketed path (one vectorized kernel per
+    # complete hash bucket, not one Python-sliced group per node)
+    labels = (bucketed_aggregate(
+        adj.map_batches(self_label, batch_format="pyarrow"),
+        "node", [("label", "min")])
               .map_batches(lambda t: t.rename_columns(["node", "label"]),
                            batch_format="pyarrow")).materialize()
     cur_sig = _label_sig(labels)
@@ -248,26 +256,31 @@ def connected_components(edges_ds, max_iters: int = 25,
             "label": t.column("label"),
         })
 
-    def push(group: pa.Table) -> pa.Table:
-        # vectorized: min over the label rows, broadcast to all peer rows
-        node = group.column("node")[0]
-        lab = pc.min(group.column("label"))
-        if not lab.is_valid or node.as_py() < lab.as_py():
-            lab = node
-        peers = pc.drop_null(group.column("peer"))
-        n_out = len(peers) + 1
+    def bucket_push(g: pa.Table) -> pa.Table:
+        # one vectorized pass per bucket: per-node candidate label =
+        # min(own label rows, node id), broadcast to every peer row +
+        # one self row — same semantics as the old per-group push
+        import polars as pl
+        df = pl.from_arrow(g)
+        lab = (df.group_by("node").agg(pl.col("label").min().alias("lm"))
+                 .with_columns(pl.min_horizontal("node", "lm")
+                               .alias("lab")))
+        msgs = (df.drop_nulls("peer").select(["node", "peer"])
+                  .join(lab.select(["node", "lab"]), on="node")
+                  .select(pl.col("peer").alias("node"),
+                          pl.col("lab").alias("label")))
+        selfs = lab.select(pl.col("node"), pl.col("lab").alias("label"))
+        out = pl.concat([msgs, selfs]).to_arrow()
         return pa.table({
-            "node": pa.chunked_array([peers.combine_chunks(),
-                                      pa.array([node.as_py()])]),
-            "label": pa.array([lab.as_py()] * n_out, type=pa.string()),
-        })
+            "node": out.column("node").cast(pa.string()),
+            "label": out.column("label").cast(pa.string())})
 
     for _ in range(max_iters - 1):
         merged = adj.map_batches(tag_adj, batch_format="pyarrow").union(
             labels.map_batches(tag_labels, batch_format="pyarrow"))
-        messages = merged.groupby("node").map_groups(push,
-                                                     batch_format="pyarrow")
-        new_labels = (messages.groupby("node").min("label")
+        messages = bucketed_map_groups(merged, "node", bucket_push)
+        new_labels = (bucketed_aggregate(messages, "node",
+                                         [("label", "min")])
                       .map_batches(lambda t: t.rename_columns(
                           ["node", "label"]), batch_format="pyarrow")
                       ).materialize()
