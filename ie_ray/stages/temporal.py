@@ -64,24 +64,39 @@ def asof_join_prior(left_ds, right_ds, by: str = "user_id",
     tagged = left_ds.map_batches(prep(0), batch_format="pyarrow").union(
         right_ds.map_batches(prep(1), batch_format="pyarrow"))
 
-    def merge(g: pa.Table) -> pa.Table:
+    def bucket_merge(g: pa.Table) -> pa.Table:
+        # vectorized across ALL keys in the bucket: right rows sort by
+        # the composite (grp, t) — numpy compares structured dtypes
+        # lexicographically — so one global searchsorted finds each left
+        # row's greatest same-group prior time
         side = np.asarray(g.column("side"))
         t = np.asarray(g.column("on_us"))
+        grp = np.asarray(g.column("grp"))
         lmask = side == 0
-        lt, rt = t[lmask], np.sort(t[~lmask])
+        lt, lgrp = t[lmask], grp[lmask]
         lid = np.asarray(g.column("row_id"))[lmask]
-        idx = np.searchsorted(rt, lt, side="right") - 1
-        keep = idx >= 0
-        grp = g.column("grp")[0].as_py()
-        nk = int(keep.sum())
+        dt = np.dtype([("g", "<i8"), ("t", "<i8")])
+        rrec = np.empty(int((~lmask).sum()), dtype=dt)
+        rrec["g"], rrec["t"] = grp[~lmask], t[~lmask]
+        rrec.sort()
+        lrec = np.empty(len(lt), dtype=dt)
+        lrec["g"], lrec["t"] = lgrp, lt
+        if len(rrec) == 0:
+            keep = np.zeros(len(lt), dtype=bool)
+            idx = np.zeros(len(lt), dtype=np.int64)
+        else:
+            idx = np.searchsorted(rrec, lrec, side="right") - 1
+            keep = (idx >= 0) & (rrec["g"][np.maximum(idx, 0)] == lgrp)
         return pa.table({
             id_col: pa.array(lid[keep], type=pa.int64()),
-            by: pa.array(np.full(nk, grp, dtype=np.int64)),
+            by: pa.array(lgrp[keep], type=pa.int64()),
             "on_us": pa.array(lt[keep], type=pa.int64()),
-            "prior_on_us": pa.array(rt[idx[keep]], type=pa.int64()),
+            "prior_on_us": pa.array(rrec["t"][idx[keep]],
+                                    type=pa.int64()),
         })
 
-    return tagged.groupby("grp").map_groups(merge, batch_format="pyarrow")
+    from ie_ray.stages.relational import bucketed_map_groups
+    return bucketed_map_groups(tagged, "grp", bucket_merge)
 
 
 def range_join_forward(left_ds, right_ds, by: str = "user_id",
@@ -118,31 +133,42 @@ def range_join_forward(left_ds, right_ds, by: str = "user_id",
     tagged = left_ds.map_batches(prep(0), batch_format="pyarrow").union(
         right_ds.map_batches(prep(1), batch_format="pyarrow"))
 
-    def merge(g: pa.Table) -> pa.Table:
+    def bucket_merge(g: pa.Table) -> pa.Table:
+        # vectorized across all keys in the bucket: composite (grp, t)
+        # sort + two global searchsorted calls give each left row its
+        # same-group (lo, hi] slice — both bounds share the grp field,
+        # so the slice can never leak into a neighbouring group
         side = np.asarray(g.column("side"))
         t = np.asarray(g.column("on_us"))
+        grp = np.asarray(g.column("grp"))
         ids = np.asarray(g.column("row_id"))
         lmask = side == 0
-        lt, lid = t[lmask], ids[lmask]
-        rorder = np.argsort(t[~lmask], kind="stable")
-        rt, rid = t[~lmask][rorder], ids[~lmask][rorder]
-        lo = np.searchsorted(rt, lt, side="right")
-        hi = np.searchsorted(rt, lt + window_us, side="right")
+        lt, lid, lgrp = t[lmask], ids[lmask], grp[lmask]
+        dt = np.dtype([("g", "<i8"), ("t", "<i8")])
+        rorder = np.lexsort((t[~lmask], grp[~lmask]))
+        rt = t[~lmask][rorder]
+        rid = ids[~lmask][rorder]
+        rrec = np.empty(len(rt), dtype=dt)
+        rrec["g"], rrec["t"] = grp[~lmask][rorder], rt
+        lrec = np.empty(len(lt), dtype=dt)
+        lrec["g"], lrec["t"] = lgrp, lt
+        lo = np.searchsorted(rrec, lrec, side="right")
+        lrec["t"] = lt + window_us
+        hi = np.searchsorted(rrec, lrec, side="right")
         cnt = hi - lo
         lrep = np.repeat(np.arange(len(lt)), cnt)
-        # for left row i, right slice positions lo[i] .. hi[i]-1
         rpos = np.arange(len(lrep)) - np.repeat(
             np.cumsum(cnt) - cnt, cnt) + np.repeat(lo, cnt)
-        grp = g.column("grp")[0].as_py()
         return pa.table({
             id_col: pa.array(lid[lrep], type=pa.int64()),
             "right_" + id_col: pa.array(rid[rpos], type=pa.int64()),
-            by: pa.array(np.full(len(lrep), grp, dtype=np.int64)),
+            by: pa.array(lgrp[lrep], type=pa.int64()),
             "on_us": pa.array(lt[lrep], type=pa.int64()),
             "right_on_us": pa.array(rt[rpos], type=pa.int64()),
         })
 
-    return tagged.groupby("grp").map_groups(merge, batch_format="pyarrow")
+    from ie_ray.stages.relational import bucketed_map_groups
+    return bucketed_map_groups(tagged, "grp", bucket_merge)
 
 
 def top_k_per_group(ds, key: str, value: str, k: int = 3,
@@ -168,12 +194,21 @@ def top_k_per_group(ds, key: str, value: str, k: int = 3,
             np.r_[starts, len(keys)]))
         return t.filter(pa.array(pos < k))
 
-    def final(g: pa.Table) -> pa.Table:
+    def bucket_final(g: pa.Table) -> pa.Table:
+        # same head-k-per-run trick as the block partial, per bucket
         order = pc.sort_indices(g, sort_keys=[
-            (value, "descending"), (tie_col, "ascending")])
-        g = g.take(order[:k])
+            (key, "ascending"), (value, "descending"),
+            (tie_col, "ascending")])
+        g = g.take(order)
+        keys = np.asarray(g.column(key))
+        starts = np.r_[0, np.flatnonzero(keys[1:] != keys[:-1]) + 1]
+        pos = np.arange(len(keys)) - np.repeat(starts, np.diff(
+            np.r_[starts, len(keys)]))
+        g = g.filter(pa.array(pos < k))
         return g.append_column(
-            "rn", pa.array(np.arange(1, g.num_rows + 1), type=pa.int64()))
+            "rn", pa.array(pos[pos < k] + 1, type=pa.int64()))
 
-    return (ds.map_batches(partial, batch_format="pyarrow")
-            .groupby(key).map_groups(final, batch_format="pyarrow"))
+    from ie_ray.stages.relational import bucketed_map_groups
+    return bucketed_map_groups(
+        ds.map_batches(partial, batch_format="pyarrow"), key,
+        bucket_final)
