@@ -366,8 +366,10 @@ def latest_per_group(ds, key: str, order_col: str, tiebreak: str):
             pa.field(f.name, pa.string() if f.type == pa.large_string()
                      else f.type) for f in out.schema]))
 
+    # the key domain is rows-sized (every URL/user) — the final reduce
+    # runs the SAME multi-key polars kernel once per hash bucket
     partial = ds.map_batches(pick, batch_format="pyarrow")
-    return partial.groupby(key).map_groups(pick, batch_format="pyarrow")
+    return bucketed_map_groups(partial, key, pick)
 
 
 def adaptive_join(left, right, on: str, broadcast_max_rows: int = 100_000,
