@@ -462,17 +462,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             combine_fn=combine)
 
     def events_user_stats(sf_dir):
+        from ie_ray.stages.relational import bucketed_aggregate
         ds = _tbl(sf_dir, "events", columns=["user_id", "value"])
-        agg = ds.groupby("user_id").aggregate(
-            ray.data.aggregate.Count(alias_name="n_events"),
-            ray.data.aggregate.Mean("value", alias_name="avg_value"))
+        # user_id is a rows-sized key domain — bucketed reduce
+        agg = bucketed_aggregate(ds, "user_id",
+                                 [("value", "count"), ("value", "mean")])
 
         def finish(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
             return pa.table({
                 "user_id": t.column("user_id"),
-                "n_events": t.column("n_events"),
-                "avg_value": pc.round(t.column("avg_value"), 4)})
+                "n_events": t.column("value_count").cast(pa.int64()),
+                "avg_value": pc.round(t.column("value_mean"), 4)})
         return agg.map_batches(finish, batch_format="pyarrow")
 
     def events_sessions(sf_dir):
@@ -481,20 +482,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sort (event-time order is only ever needed within one user)."""
         ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
 
-        def sessions(group: pa.Table) -> pa.Table:
+        def bucket_sessions(g: pa.Table) -> pa.Table:
+            # one vectorized pass for ALL users in the bucket: a session
+            # starts at each user's first event and after every >30-min
+            # same-user gap; counting starts per user = bincount
             import numpy as np
-            # tz-naive UTC micros straight off the Arrow buffer — epoch
-            # seconds match the oracle's epoch(ts) on any host timezone
-            us = np.sort(group.column("ts").cast(
-                pa.timestamp("us")).to_numpy(zero_copy_only=False)
-                .astype("datetime64[us]").astype(np.int64))
-            n = 1 + int((np.diff(us) > 1800 * 1_000_000).sum())
+            uid = np.asarray(g.column("user_id"), dtype=np.int64)
+            us = np.asarray(g.column("ts").cast(pa.timestamp("us"))
+                            .cast(pa.int64()), dtype=np.int64)
+            order = np.lexsort((us, uid))
+            u, t = uid[order], us[order]
+            new_user = np.r_[True, u[1:] != u[:-1]]
+            start = new_user | np.r_[
+                False, (t[1:] - t[:-1] > 1800 * 1_000_000) & ~new_user[1:]]
+            uu, inv = np.unique(u, return_inverse=True)
+            n = np.bincount(inv, weights=start.astype(np.float64))
             return pa.table({
-                "user_id": group.slice(0, 1).column("user_id"),
-                "n_sessions": pa.array([n], type=pa.int64())})
+                "user_id": pa.array(uu, type=pa.int64()),
+                "n_sessions": pa.array(n.astype(np.int64))})
 
-        return ds.groupby("user_id").map_groups(sessions,
-                                                batch_format="pyarrow")
+        from ie_ray.stages.relational import bucketed_map_groups
+        return bucketed_map_groups(ds, "user_id", bucket_sessions)
 
     def events_asof_purchase_click(sf_dir):
         """AS-OF join: each purchase matched to the same user's most
@@ -874,38 +882,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         exchange; the per-group kernel is three sorted-array probes."""
         import numpy as np
 
-        def stages(g: pa.Table) -> pa.Table:
+        def bucket_stages(g: pa.Table) -> pa.Table:
+            # vectorized staged mins for every user in the bucket:
+            # np.minimum.at scatter-reduces each stage's earliest
+            # qualifying time per user, each stage gated by the previous
             et = np.asarray(g.column("event_type").cast(pa.string())
                             .to_pylist())
             t = np.asarray(g.column("ts").cast(pa.timestamp("us"))
                            .cast(pa.int64()))
-            empty = pa.table({"user_id": pa.array([], pa.int64()),
-                              "view_us": pa.array([], pa.int64()),
-                              "click_us": pa.array([], pa.int64()),
-                              "purchase_us": pa.array([], pa.int64())})
-            vt = t[et == "view"]
-            if not len(vt):
-                return empty
-            t1 = vt.min()
-            ct = t[(et == "click") & (t > t1)]
-            if not len(ct):
-                return empty
-            t2 = ct.min()
-            pt = t[(et == "purchase") & (t > t2)]
-            if not len(pt):
-                return empty
-            return pa.table({
-                "user_id": pa.array([g.column("user_id")[0].as_py()],
-                                    type=pa.int64()),
-                "view_us": pa.array([int(t1)], type=pa.int64()),
-                "click_us": pa.array([int(t2)], type=pa.int64()),
-                "purchase_us": pa.array([int(pt.min())],
-                                        type=pa.int64())})
+            uid = np.asarray(g.column("user_id"), dtype=np.int64)
+            uu, inv = np.unique(uid, return_inverse=True)
+            big = np.iinfo(np.int64).max
 
-        return (_tbl(sf_dir, "events",
-                     columns=["user_id", "event_type", "ts"])
-                .groupby("user_id")
-                .map_groups(stages, batch_format="pyarrow"))
+            def stage_min(mask):
+                out = np.full(len(uu), big, dtype=np.int64)
+                np.minimum.at(out, inv[mask], t[mask])
+                return out
+
+            t1 = stage_min(et == "view")
+            t2 = stage_min((et == "click") & (t > t1[inv]))
+            t3 = stage_min((et == "purchase") & (t > t2[inv]))
+            keep = t3 < big
+            return pa.table({
+                "user_id": pa.array(uu[keep], type=pa.int64()),
+                "view_us": pa.array(t1[keep], type=pa.int64()),
+                "click_us": pa.array(t2[keep], type=pa.int64()),
+                "purchase_us": pa.array(t3[keep], type=pa.int64())})
+
+        from ie_ray.stages.relational import bucketed_map_groups
+        return bucketed_map_groups(
+            _tbl(sf_dir, "events",
+                 columns=["user_id", "event_type", "ts"]),
+            "user_id", bucket_stages)
 
     def events_cohort_retention(sf_dir):
         """Cohort retention matrix: users grouped by first-activity day,
@@ -927,8 +935,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return part.group_by("user_id").aggregate(
                 [("day", "min")]).rename_columns(["user_id", "day"])
 
-        first = (ev.map_batches(day_partial, batch_format="pyarrow")
-                 .groupby("user_id").min("day")
+        from ie_ray.stages.relational import bucketed_aggregate
+        first = (bucketed_aggregate(
+            ev.map_batches(day_partial, batch_format="pyarrow"),
+            "user_id", [("day", "min")])
                  .map_batches(lambda t: t.rename_columns(
                      ["user_id", "cohort_day"]), batch_format="pyarrow"))
 
@@ -955,19 +965,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return part.group_by(
                 ["cohort_day", "day_offset", "user_id"]).aggregate([])
 
-        def cnt(g: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            u = len(pc.unique(g.column("user_id")))
-            return pa.table({
-                "cohort_day": pa.array([g.column("cohort_day")[0].as_py()],
-                                       type=pa.int64()),
-                "day_offset": pa.array([g.column("day_offset")[0].as_py()],
-                                       type=pa.int64()),
-                "n_users": pa.array([u], type=pa.int64())})
-
-        return (joined.map_batches(offs, batch_format="pyarrow")
-                .groupby(["cohort_day", "day_offset"])
-                .map_groups(cnt, batch_format="pyarrow"))
+        # rows are already distinct per (cohort, offset, user), so the
+        # distinct-user count is a plain bucketed count on a key domain
+        # that grows as days² — no per-group Python
+        return bucketed_aggregate(
+            joined.map_batches(offs, batch_format="pyarrow"),
+            ["cohort_day", "day_offset"], [("user_id", "count")]) \
+            .map_batches(lambda t: pa.table({
+                "cohort_day": t.column("cohort_day").cast(pa.int64()),
+                "day_offset": t.column("day_offset").cast(pa.int64()),
+                "n_users": t.column("user_id_count").cast(pa.int64())}),
+                batch_format="pyarrow")
 
     _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount",
                      "l_tax")
@@ -1264,20 +1272,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _tbl(sf_dir, "events",
                   columns=["user_id", "ts", "event_id", "value"])
 
-        def cum(g: pa.Table) -> pa.Table:
+        def bucket_cum(g: pa.Table) -> pa.Table:
+            # segmented prefix sum for all users in the bucket: global
+            # cumsum minus each user-segment's starting offset
+            uid = np.asarray(g.column("user_id"), dtype=np.int64)
             ts = np.asarray(g.column("ts").cast(pa.timestamp("us"))
                             .cast(pa.int64()), dtype=np.int64)
             eid = np.asarray(g.column("event_id"), dtype=np.int64)
             val = np.asarray(g.column("value"), dtype=np.float64)
-            order = np.lexsort((eid, ts))
-            run = np.cumsum(val[order])
+            order = np.lexsort((eid, ts, uid))
+            u, v = uid[order], val[order]
+            cs = np.cumsum(v)
+            starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
+            seg = np.repeat(np.arange(len(starts)), np.diff(
+                np.r_[starts, len(u)]))
+            base = np.r_[0.0, cs[starts[1:] - 1]]
+            run = cs - base[seg]
             return pa.table({
                 "event_id": pa.array(eid[order], type=pa.int64()),
                 "cum_value": pa.array(np.round(run, 4),
                                       type=pa.float64())})
 
-        return ds.groupby("user_id").map_groups(cum,
-                                                batch_format="pyarrow")
+        from ie_ray.stages.relational import bucketed_map_groups
+        return bucketed_map_groups(ds, "user_id", bucket_cum)
 
     def events_interarrival(sf_dir):
         """Per-user mean inter-event gap (seconds): key-partitioned
@@ -1287,24 +1304,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _tbl(sf_dir, "events",
                   columns=["user_id", "ts", "event_id"])
 
-        def gaps(g: pa.Table) -> pa.Table:
+        def bucket_gaps(g: pa.Table) -> pa.Table:
+            # same-user consecutive diffs for every user in the bucket
+            uid = np.asarray(g.column("user_id"), dtype=np.int64)
             ts = np.asarray(g.column("ts").cast(pa.timestamp("us"))
                             .cast(pa.int64()), dtype=np.int64)
             eid = np.asarray(g.column("event_id"), dtype=np.int64)
-            order = np.lexsort((eid, ts))
-            d = np.diff(ts[order]) / 1e6
-            if not len(d):
-                return pa.table({
-                    "user_id": g.slice(0, 1).column("user_id"),
-                    "avg_gap_s": pa.array([None], type=pa.float64()),
-                    "n_gaps": pa.array([0], type=pa.int64())})
+            order = np.lexsort((eid, ts, uid))
+            u, t = uid[order], ts[order]
+            same = u[1:] == u[:-1]
+            d = (t[1:] - t[:-1])[same] / 1e6
+            du = u[1:][same]
+            uu, inv_all = np.unique(u, return_inverse=True)
+            pos = np.searchsorted(uu, du)
+            n_gaps = np.bincount(pos, minlength=len(uu)).astype(np.int64)
+            sums = np.bincount(pos, weights=d, minlength=len(uu))
+            avg = np.where(n_gaps > 0, np.round(
+                sums / np.maximum(n_gaps, 1), 4), np.nan)
             return pa.table({
-                "user_id": g.slice(0, 1).column("user_id"),
-                "avg_gap_s": pa.array([round(float(d.mean()), 4)]),
-                "n_gaps": pa.array([len(d)], type=pa.int64())})
+                "user_id": pa.array(uu, type=pa.int64()),
+                "avg_gap_s": pa.array(
+                    [None if n == 0 else float(a)
+                     for a, n in zip(avg, n_gaps)], type=pa.float64()),
+                "n_gaps": pa.array(n_gaps)})
 
-        return ds.groupby("user_id").map_groups(gaps,
-                                                batch_format="pyarrow")
+        from ie_ray.stages.relational import bucketed_map_groups
+        return bucketed_map_groups(ds, "user_id", bucket_gaps)
 
     def events_quantile_digest(sf_dir):
         """Mergeable t-digest-style per-group quantiles (the unbounded-
