@@ -820,22 +820,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     columns=["c_custkey", "c_mktsegment"]).map_batches(
             cust_tag, batch_format="pyarrow")
 
-        def merge(g: pa.Table) -> pa.Table:
-            seg = g.column("c_mktsegment").drop_null()
-            if len(seg) == 0:      # events from a non-customer key
-                return pa.table({"c_custkey": pa.array([], pa.int64()),
-                                 "c_mktsegment": pa.array([], pa.string()),
-                                 "n_events": pa.array([], pa.int64())})
-            n = int(sum(x.as_py() or 0
-                        for x in g.column("n_events")))
+        def bucket_merge(g: pa.Table) -> pa.Table:
+            # vectorized left-outer merge for every customer key in the
+            # bucket; keys with no customer row (non-customer events)
+            # drop via the segment filter
+            import polars as pl
+            df = pl.from_arrow(g)
+            out = (df.group_by("__k").agg(
+                pl.col("c_mktsegment").drop_nulls().first()
+                .alias("c_mktsegment"),
+                pl.col("n_events").fill_null(0).sum().alias("n_events"))
+                .filter(pl.col("c_mktsegment").is_not_null()))
+            t = out.to_arrow()
             return pa.table({
-                "c_custkey": pa.array([g.column("__k")[0].as_py()],
-                                      type=pa.int64()),
-                "c_mktsegment": pa.array([seg[0].as_py()]),
-                "n_events": pa.array([n], type=pa.int64())})
+                "c_custkey": t.column("__k").cast(pa.int64()),
+                "c_mktsegment":
+                    t.column("c_mktsegment").cast(pa.string()),
+                "n_events": t.column("n_events").cast(pa.int64())})
 
-        return cust.union(ev).groupby("__k").map_groups(
-            merge, batch_format="pyarrow")
+        from ie_ray.stages.relational import bucketed_map_groups
+        return bucketed_map_groups(cust.union(ev), "__k", bucket_merge)
 
     def q6_forecast_revenue(sf_dir):
         """TPC-H Q6 shape: pure filter + global sum — pruned 4-column
