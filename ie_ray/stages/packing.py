@@ -55,9 +55,13 @@ def pack_sequences(ds: "ray.data.Dataset", seq_len: int = 2048,
     """
     counts = ds.map_batches(lambda b: _counts_batch(b, bucket_size),
                             batch_format="pyarrow")
-    # stage 2: bucket totals (small: N / bucket_size rows)
-    totals = counts.groupby("bucket").sum("n_tokens")
-    rows = sorted((r["bucket"], r["sum(n_tokens)"])
+    # stage 2: bucket totals (N / bucket_size rows — still rows-sized,
+    # so the sum runs through the bucketed path)
+    from ie_ray.stages.relational import (bucketed_aggregate,
+                                          bucketed_map_groups)
+    totals = bucketed_aggregate(counts.select_columns(
+        ["bucket", "n_tokens"]), "bucket", [("n_tokens", "sum")])
+    rows = sorted((r["bucket"], r["n_tokens_sum"])
                   for r in totals.take_all())
     base = {}
     acc = 0
@@ -66,19 +70,28 @@ def pack_sequences(ds: "ray.data.Dataset", seq_len: int = 2048,
         acc += tot
     base_ref = ray.put(base)
 
-    def pack_group(g: pa.Table) -> pa.Table:
+    def bucket_pack(g: pa.Table) -> pa.Table:
+        # segmented prefix sum across all prefix-buckets hashed here
         bases = ray.get(base_ref)
-        g = g.sort_by("doc_id")
-        n = g.column("n_tokens").to_numpy()
-        start = int(bases[g.column("bucket")[0].as_py()])
-        off = start + np.concatenate(([0], np.cumsum(n)[:-1])).astype(
-            np.int64)
+        bkt = np.asarray(g.column("bucket"), dtype=np.int64)
+        doc = np.asarray(g.column("doc_id"), dtype=np.int64)
+        n = np.asarray(g.column("n_tokens"), dtype=np.int64)
+        order = np.lexsort((doc, bkt))
+        b, nn = bkt[order], n[order]
+        cs = np.cumsum(nn)
+        starts = np.r_[0, np.flatnonzero(b[1:] != b[:-1]) + 1]
+        seg = np.repeat(np.arange(len(starts)), np.diff(
+            np.r_[starts, len(b)]))
+        seg_base = np.r_[0, cs[starts[1:] - 1]]
+        within = cs - nn - seg_base[seg]
+        glob = np.array([bases[int(x)] for x in b[starts]],
+                        dtype=np.int64)
+        off = glob[seg] + within
         return pa.table({
-            "doc_id": g.column("doc_id"),
-            "n_tokens": g.column("n_tokens"),
+            "doc_id": pa.array(doc[order], type=pa.int64()),
+            "n_tokens": pa.array(nn, type=pa.int64()),
             "tok_offset": pa.array(off, type=pa.int64()),
             "chunk_id": pa.array(off // seq_len, type=pa.int64()),
         })
 
-    return counts.groupby("bucket").map_groups(pack_group,
-                                               batch_format="pyarrow")
+    return bucketed_map_groups(counts, "bucket", bucket_pack)

@@ -25,9 +25,10 @@ streaming executor pipelines, no driver state):
 - ``distinct_count`` pre-dedups (group, x) pairs inside every block,
   exchanges the surviving pairs once, dedups again per partition, and
   only then counts — the wide step moves O(distinct pairs), not O(rows).
-- Hot keys: one group = one key's rows (same caveat as temporal.py);
-  a pathological key that exceeds a block should be salted by the
-  caller.
+- Hot keys: the wide steps run through the bucketed kernels below (a
+  bucket holds MANY keys and is processed by one vectorized pass), so a
+  hot key costs O(its rows) inside one task rather than one
+  Python-sliced group; size ``parts`` so a bucket fits a worker's heap.
 """
 
 from __future__ import annotations
@@ -74,15 +75,20 @@ def _exists_join(left_ds, right_ds, left_key: str, right_key: str,
         left_schema[name] = typ
     rt = right_ds.map_batches(tag_right, batch_format="pyarrow")
 
-    def decide(g: pa.Table) -> pa.Table:
+    def bucket_decide(g: pa.Table) -> pa.Table:
+        # vectorized for all keys in the bucket: a key "exists" iff any
+        # of its rows is a probe row — scatter the flag with np.maximum
+        k = np.asarray(g.column("__k"), dtype=np.int64)
         probe = np.asarray(g.column("__probe"))
-        exists = bool((probe == 1).any())
-        keep = g.filter(pa.array(probe == 0)) if exists == keep_if_exists \
-            else g.slice(0, 0)
-        return keep.drop_columns(["__k", "__probe"])
+        uk, inv = np.unique(k, return_inverse=True)
+        has = np.zeros(len(uk), dtype=np.int8)
+        np.maximum.at(has, inv, probe)
+        row_exists = has[inv].astype(bool)
+        keep_mask = (probe == 0) & (row_exists == keep_if_exists)
+        return g.filter(pa.array(keep_mask)) \
+            .drop_columns(["__k", "__probe"])
 
-    return lt.union(rt).groupby("__k").map_groups(
-        decide, batch_format="pyarrow")
+    return bucketed_map_groups(lt.union(rt), "__k", bucket_decide)
 
 
 def semi_join(left_ds, right_ds, left_key: str, right_key: str):
@@ -218,14 +224,18 @@ def distinct_count(ds, group: str, value: str, out: str = "n_distinct"):
             [group, value]).aggregate([])
         return pairs
 
-    def count(g: pa.Table) -> pa.Table:
-        k = g.column(group)[0]
-        n = len(pc.unique(g.column(value)))
-        return pa.table({group: pa.array([k.as_py()], type=g.column(group).type),
-                         out: pa.array([n], type=pa.int64())})
+    def bucket_count(g: pa.Table) -> pa.Table:
+        # per-bucket: dedup (group, value) pairs once, then count rows
+        # per group — both Arrow C++ kernels, no per-group Python
+        pairs = g.group_by([group, value]).aggregate([])
+        cnt = pairs.group_by(group).aggregate([(value, "count")])
+        return pa.table({group: cnt.column(group),
+                         out: cnt.column(value + "_count")
+                         .cast(pa.int64())})
 
-    return (ds.map_batches(block_pairs, batch_format="pyarrow")
-            .groupby(group).map_groups(count, batch_format="pyarrow"))
+    return bucketed_map_groups(
+        ds.map_batches(block_pairs, batch_format="pyarrow"), group,
+        bucket_count)
 
 
 def global_quantiles(ds, col: str, qs, bins: int = 1024,
