@@ -1366,12 +1366,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 ["window_start"]).aggregate([([], "count_all")])
             return g.rename_columns(["window_start", "n"])
 
-        agg = (ds.map_batches(explode, batch_format="pyarrow")
-               .groupby("window_start").sum("n"))
+        from ie_ray.stages.relational import bucketed_aggregate
+        # the window key domain grows with the time range — bucketed sum
+        agg = bucketed_aggregate(
+            ds.map_batches(explode, batch_format="pyarrow"),
+            "window_start", [("n", "sum")])
         return agg.map_batches(
             lambda t: pa.table({
                 "window_start": t.column("window_start"),
-                "n": t.column("sum(n)").cast(pa.int64())}),
+                "n": t.column("n_sum").cast(pa.int64())}),
             batch_format="pyarrow")
 
     def boilerplate_ngrams(sf_dir):
@@ -1394,9 +1397,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "df": pa.array([counts[k] for k in keys],
                                type=pa.int64())})
 
-        agg = (docs.map_batches(grams, batch_format="pyarrow")
-               .groupby("gram").sum("df")
-               .map_batches(lambda t: t.rename_columns(["gram", "df"]),
+        from ie_ray.stages.relational import bucketed_aggregate
+        agg = (bucketed_aggregate(
+            docs.map_batches(grams, batch_format="pyarrow"),
+            "gram", [("df", "sum")])
+               .map_batches(lambda t: pa.table({
+                   "gram": t.column("gram"),
+                   "df": t.column("df_sum").cast(pa.int64())}),
                             batch_format="pyarrow"))
         import pyarrow.compute as pc
         filt = agg.map_batches(
@@ -1430,8 +1437,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # e feeds the df count AND the join probe — materialize once
         e = docs.map_batches(gram_rows,
                              batch_format="pyarrow").materialize()
-        dfreq = (e.select_columns(["gram"]).groupby("gram").count()
-                 .map_batches(lambda t: t.rename_columns(["gram", "df"]),
+        from ie_ray.stages.relational import bucketed_aggregate
+        dfreq = (bucketed_aggregate(e.select_columns(["gram"]), "gram",
+                                    [("gram", "count")])
+                 .map_batches(lambda t: pa.table({
+                     "gram": t.column("gram"),
+                     "df": t.column("gram_count").cast(pa.int64())}),
                               batch_format="pyarrow"))
         joined = e.join(dfreq, "inner",
                         num_partitions=dedup._join_partitions(),
@@ -1660,13 +1671,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          num_partitions=_join_partitions(),
                          on=("l_orderkey",), right_on=("o_orderkey",))
 
-        agg = joined.groupby(["l_orderkey", "o_orderdate"]).sum("revenue")
+        from ie_ray.stages.relational import bucketed_aggregate
+        agg = bucketed_aggregate(joined.map_batches(
+            lambda t: t.select(["l_orderkey", "o_orderdate", "revenue"]),
+            batch_format="pyarrow"),
+            ["l_orderkey", "o_orderdate"], [("revenue", "sum")])
 
         def finish(t: pa.Table) -> pa.Table:
             return pa.table({
                 "l_orderkey": t.column("l_orderkey"),
                 "o_orderdate": t.column("o_orderdate"),
-                "revenue": pc.round(t.column("sum(revenue)"), 2)})
+                "revenue": pc.round(t.column("revenue_sum"), 2)})
 
         return (agg.map_batches(finish, batch_format="pyarrow")
                 .sort(["revenue", "l_orderkey"], descending=[True, False])
@@ -1972,8 +1987,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tf = docs.map_batches(tf_batch,
                               batch_format="pyarrow").materialize()
         # tf is unique per (doc_id, word) → row count per word == df(word)
-        dfreq = (tf.select_columns(["word"]).groupby("word").count()
-                 .map_batches(lambda t: t.rename_columns(["word", "dfreq"]),
+        from ie_ray.stages.relational import bucketed_aggregate
+        dfreq = (bucketed_aggregate(tf.select_columns(["word"]), "word",
+                                    [("word", "count")])
+                 .map_batches(lambda t: pa.table({
+                     "word": t.column("word"),
+                     "dfreq": t.column("word_count").cast(pa.int64())}),
                               batch_format="pyarrow"))
         joined = tf.join(dfreq, "inner",
                          num_partitions=dedup._join_partitions(),
@@ -2035,20 +2054,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pa.field(f.name, pa.string() if f.type == pa.large_string()
                          else f.type) for f in out.schema]))
 
-        def postings(g: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-            ids = pc.sort_indices(g.column("doc_id"))
-            sorted_ids = g.column("doc_id").take(ids).to_pylist()
+        def bucket_postings(g: pa.Table) -> pa.Table:
+            # all (word, shard) lists in the bucket built by one polars
+            # sort + group_by (posting order = sorted doc ids)
+            import polars as pl
+            df = pl.from_arrow(g)
+            out = (df.sort(["word", "shard", "doc_id"])
+                     .group_by(["word", "shard"], maintain_order=True)
+                     .agg(pl.len().alias("n_docs"),
+                          pl.col("doc_id").cast(pl.String)
+                          .str.join(",").alias("postings")))
+            t = out.to_arrow()
             return pa.table({
-                "word": [g.column("word")[0].as_py()],
-                "shard": pa.array([g.column("shard")[0].as_py()],
-                                  type=pa.int64()),
-                "n_docs": pa.array([g.num_rows], type=pa.int64()),
-                "postings": [",".join(str(i) for i in sorted_ids)]})
+                "word": t.column("word").cast(pa.string()),
+                "shard": t.column("shard").cast(pa.int64()),
+                "n_docs": t.column("n_docs").cast(pa.int64()),
+                "postings": t.column("postings").cast(pa.string())})
 
-        return (docs.map_batches(tok_batch, batch_format="pyarrow")
-                .groupby(["word", "shard"])
-                .map_groups(postings, batch_format="pyarrow"))
+        from ie_ray.stages.relational import bucketed_map_groups
+        return bucketed_map_groups(
+            docs.map_batches(tok_batch, batch_format="pyarrow"),
+            ["word", "shard"], bucket_postings)
 
     def label_centroids(sf_dir):
         """Per-label mean embedding as (label, dim, mean_v) rows — the
@@ -2848,31 +2874,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _tbl(sf_dir, "events",
                   columns=["user_id", "ts", "event_id", "event_type"])
 
-        def trans(g: pa.Table) -> pa.Table:
+        def bucket_trans(g: pa.Table) -> pa.Table:
+            # vectorized bigram count for every user in the bucket:
+            # lexsort by (user, ts, id), drop cross-user adjacencies,
+            # dictionary-encode types, pack pairs into ints, bincount
+            uid = np.asarray(g.column("user_id"), dtype=np.int64)
             ts = np.asarray(g.column("ts").cast(pa.int64()))
             eid = np.asarray(g.column("event_id"))
-            order = np.lexsort((eid, ts))
+            order = np.lexsort((eid, ts, uid))
+            u = uid[order]
             et = np.asarray(g.column("event_type").to_pylist(),
                             dtype=object)[order]
-            # vectorized bigram count: dictionary-encode, pack the pair
-            # into one int, bincount
-            u, inv = np.unique(et, return_inverse=True)
             if len(et) < 2:
                 return pa.table({
                     "prev_type": pa.array([], type=pa.string()),
                     "next_type": pa.array([], type=pa.string()),
                     "n": pa.array([], type=pa.int64())})
-            k = len(u)
-            packed = inv[:-1] * k + inv[1:]
+            same = u[1:] == u[:-1]
+            ut, inv = np.unique(et, return_inverse=True)
+            k = len(ut)
+            packed = (inv[:-1] * k + inv[1:])[same]
             counts = np.bincount(packed, minlength=k * k)
             nz = np.nonzero(counts)[0]
             return pa.table({
-                "prev_type": pa.array(u[nz // k], type=pa.string()),
-                "next_type": pa.array(u[nz % k], type=pa.string()),
+                "prev_type": pa.array(ut[nz // k], type=pa.string()),
+                "next_type": pa.array(ut[nz % k], type=pa.string()),
                 "n": pa.array(counts[nz], type=pa.int64())})
 
-        return ev.groupby("user_id") \
-            .map_groups(trans, batch_format="pyarrow") \
+        from ie_ray.stages.relational import bucketed_map_groups
+        return bucketed_map_groups(ev, "user_id", bucket_trans) \
             .groupby(["prev_type", "next_type"]).sum("n") \
             .map_batches(lambda t: pa.table({
                 "prev_type": t.column("prev_type"),

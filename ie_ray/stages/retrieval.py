@@ -171,8 +171,12 @@ def unigram_logprob(docs):
     # (measured 2× the stage cost at sf0.1).  tf is O(distinct
     # (doc,word)) and spills via the object store at scale.
     tf = docs.map_batches(_tf_batch, batch_format="pyarrow").materialize()
-    cnt = (tf.groupby("word").sum("c")
-           .map_batches(lambda t: t.rename_columns(["word", "cnt"]),
+    from ie_ray.stages.relational import bucketed_aggregate
+    cnt = (bucketed_aggregate(tf.select_columns(["word", "c"]), "word",
+                              [("c", "sum")])
+           .map_batches(lambda t: pa.table({
+               "word": t.column("word"),
+               "cnt": t.column("c_sum").cast(pa.int64())}),
                         batch_format="pyarrow")).materialize()
     total = cnt.sum("cnt")
     n_vocab = cnt.count()
@@ -275,9 +279,13 @@ def pmi_bigrams(docs, k: int = 20, min_count: int = 50):
             "n": pa.array([big[g] for g in rows_b]
                           + [uni[u] for u in rows_u], type=pa.int64())})
 
-    cnt = (docs.map_batches(grams, batch_format="pyarrow")
-           .groupby("gram").sum("n")
-           .map_batches(lambda t: t.rename_columns(["gram", "n"]),
+    from ie_ray.stages.relational import bucketed_aggregate
+    cnt = (bucketed_aggregate(docs.map_batches(grams,
+                                               batch_format="pyarrow"),
+                              "gram", [("n", "sum")])
+           .map_batches(lambda t: pa.table({
+               "gram": t.column("gram"),
+               "n": t.column("n_sum").cast(pa.int64())}),
                         batch_format="pyarrow")).materialize()
 
     def split_side(prefix, cols):
