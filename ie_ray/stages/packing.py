@@ -71,6 +71,13 @@ def pack_sequences(ds: "ray.data.Dataset", seq_len: int = 2048,
     base_ref = ray.put(base)
 
     def bucket_pack(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            # empty zero-key partition block: b[starts] would IndexError
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "tok_offset": pa.array([], type=pa.int64()),
+                "chunk_id": pa.array([], type=pa.int64())})
         # segmented prefix sum across all prefix-buckets hashed here
         bases = ray.get(base_ref)
         bkt = np.asarray(g.column("bucket"), dtype=np.int64)

@@ -106,6 +106,13 @@ def substring_dup_frac(docs, width: int = 16, parts: int = 64):
             "part", pa.array((g1 % np.uint64(parts)).astype(np.int64)))
 
     def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            # Ray map_groups can hand an empty block to a zero-key
+            # partition — new[0] below would IndexError
+            return pa.table({
+                "doc_id": pa.array([], type=pa.int64()),
+                "n_dup": pa.array([], type=pa.float64()),
+                "n_tot": pa.array([], type=pa.float64())})
         g1 = np.asarray(g.column("g1"))
         g2 = np.asarray(g.column("g2"))
         did = np.asarray(g.column("doc_id"))

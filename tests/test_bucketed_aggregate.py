@@ -58,3 +58,29 @@ def test_every_key_in_exactly_one_bucket():
                ["s"])
     assert got["s"].is_unique
     assert got.loc[got["s"] == "dup", "v_sum"].iloc[0] == 5000
+
+
+def test_null_keys_partition_stably():
+    # nulls in a key column must neither crash (string-key dictionary
+    # indices) nor re-hash OTHER keys differently in null-containing
+    # blocks (int-key float64 coercion) — ADVICE r3 medium
+    rng = np.random.RandomState(3)
+    n = 6000
+    s = pd.Series(["w%02d" % i for i in rng.randint(0, 40, size=n)],
+                  dtype=object)
+    s[rng.rand(n) < 0.1] = None
+    k = pd.Series(rng.randint(0, 40, size=n)).astype("Int64")
+    k[rng.rand(n) < 0.1] = pd.NA
+    df = pd.DataFrame({"s": s, "k": k,
+                       "v": np.ones(n, dtype=np.int64)})
+
+    for keys in (["s"], ["k"], ["s", "k"]):
+        got = _got(bucketed_aggregate(_ds(df), keys, [("v", "sum")]),
+                   keys)
+        exp = df.groupby(keys, as_index=False, dropna=False)["v"].sum()
+        # one output row per distinct key tuple (incl. the null group):
+        # a key split across buckets would duplicate rows
+        assert len(got) == len(exp), keys
+        assert int(got["v_sum"].sum()) == n
+        merged = got.merge(exp, on=keys, how="inner")
+        assert (merged["v_sum"].to_numpy() == merged["v"].to_numpy()).all()
