@@ -678,47 +678,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                partial, finish)
 
     def events_corr_value_time(sf_dir):
-        """Pearson corr(value, event time) per event type via sufficient
-        statistics: each block contributes (n, Σx, Σy, Σx², Σy², Σxy) —
-        six doubles per (block × type) through the exchange.  Time is
-        shifted to seconds-since-2024 before squaring so the sums stay
-        inside double precision at any corpus size (corr is invariant
-        under affine shifts)."""
+        """Pearson corr(value, event time) per event type via CENTERED
+        co-moments: each block contributes one
+        (n, mean_x, mean_y, M2x, M2y, Cxy) row per type, and the single
+        final task folds them with the Chan pairwise merge
+        (ie_ray/stages/moments.py) — numerically stable at ANY value
+        offset, unlike raw Σx²/Σxy sufficient statistics which cancel
+        catastrophically once the data sit far from zero (round-4
+        fp-hygiene sweep; tests/test_moments.py drives 1e9 offsets)."""
         import numpy as np
-        import pyarrow.compute as pc
-        SHIFT = 1_704_067_200.0  # 2024-01-01 UTC, seconds
+
+        from ie_ray.stages.moments import (block_comoments_by,
+                                           reduce_grouped_comoments)
 
         def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({
+                    "event_type": pa.array([], type=pa.string()),
+                    **{c: pa.array([], type=pa.float64())
+                       for c in ("n", "mx", "my", "m2x", "m2y", "cxy")}})
             y = np.asarray(t.column("value"), dtype=np.float64)
             x = np.asarray(
                 t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
-                dtype=np.float64) / 1e6 - SHIFT
-            et = t.column("event_type")
-            part = pa.table({
-                "event_type": et,
-                "n": pa.array(np.ones(len(y)), type=pa.float64()),
-                "sx": pa.array(x), "sy": pa.array(y),
-                "sxx": pa.array(x * x), "syy": pa.array(y * y),
-                "sxy": pa.array(x * y)})
-            return part.group_by("event_type").aggregate(
-                [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy",
-                                      "sxy")]).rename_columns(
-                ["event_type", "n", "sx", "sy", "sxx", "syy", "sxy"])
+                dtype=np.float64) / 1e6
+            return block_comoments_by(t, "event_type", x, y)
 
         def finish(t: pa.Table) -> pa.Table:
-            import numpy as np
-            t = t.group_by("event_type").aggregate(
-                [(c, "sum") for c in ("n", "sx", "sy", "sxx", "syy",
-                                      "sxy")])
-            g = {c: np.asarray(t.column("%s_sum" % c))
-                 for c in ("n", "sx", "sy", "sxx", "syy", "sxy")}
-            n = g["n"]
-            cov = n * g["sxy"] - g["sx"] * g["sy"]
-            vx = n * g["sxx"] - g["sx"] ** 2
-            vy = n * g["syy"] - g["sy"] ** 2
-            r = cov / np.sqrt(vx * vy)
+            agg = reduce_grouped_comoments(
+                zip(t.column("event_type").to_pylist(),
+                    *(np.asarray(t.column(c)) for c in
+                      ("n", "mx", "my", "m2x", "m2y", "cxy"))))
+            types = sorted(agg)
+            r = [agg[k][5] / np.sqrt(agg[k][3] * agg[k][4])
+                 for k in types]
             return pa.table({
-                "event_type": t.column("event_type"),
+                "event_type": pa.array(types, type=pa.string()),
                 "corr_vt": pa.array(np.round(r, 4), type=pa.float64())})
 
         return lowcard_combine(
@@ -1215,25 +1209,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lowcard_combine(ds, partial, final)
 
     def events_value_zscore(sf_dir):
-        """Global z-score normalization: one shift-centered sufficient-
-        statistics pass (n, Σ, Σ²) → broadcast scalars → streaming map.
-        The feature-scaling shape of every training pipeline."""
+        """Global z-score normalization: one CENTERED-moments pass
+        (n, mean, M2 per block, Chan pairwise merge — stable at any
+        value offset, ie_ray/stages/moments.py) → broadcast scalars →
+        streaming map.  The feature-scaling shape of every training
+        pipeline."""
         import numpy as np
+
+        from ie_ray.stages.moments import merge_moments
         ds = _tbl(sf_dir, "events", columns=["event_id", "value"])
-        shift = 250.0   # mid-range; keeps Σ² well-conditioned
 
         def stats(t: pa.Table) -> pa.Table:
-            v = np.asarray(t.column("value"), dtype=np.float64) - shift
+            v = np.asarray(t.column("value"), dtype=np.float64)
+            if not len(v):
+                return pa.table({c: pa.array([], type=pa.float64())
+                                 for c in ("n", "mean", "m2")})
+            m = v.mean()
             return pa.table({
-                "n": pa.array([len(v)], type=pa.int64()),
-                "s1": pa.array([float(v.sum())]),
-                "s2": pa.array([float((v * v).sum())])})
+                "n": pa.array([float(len(v))]),
+                "mean": pa.array([m]),
+                "m2": pa.array([float(((v - m) ** 2).sum())])})
 
-        n = s1 = s2 = 0.0
+        agg = (0.0, 0.0, 0.0)
         for r in ds.map_batches(stats, batch_format="pyarrow").iter_rows():
-            n += r["n"]; s1 += r["s1"]; s2 += r["s2"]
-        mean = shift + s1 / n
-        std = float(np.sqrt((s2 - s1 * s1 / n) / n))
+            agg = merge_moments(agg, (r["n"], r["mean"], r["m2"]))
+        n, mean, m2 = agg
+        std = float(np.sqrt(m2 / n))
 
         def z(t: pa.Table) -> pa.Table:
             v = np.asarray(t.column("value"), dtype=np.float64)
@@ -1244,35 +1245,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(z, batch_format="pyarrow")
 
     def events_zscore_by_type(sf_dir):
-        """Per-GROUP z-score: one combiner pass reduces (n, Σ, Σ²) per
-        event_type (bounded key domain → ≤|types| rows/block), the tiny
-        stats table broadcasts in the closure, and normalization is a
-        streaming map.  The grouped feature-scaling shape."""
+        """Per-GROUP z-score: one combiner pass reduces CENTERED moments
+        (n, mean, M2) per event_type (bounded key domain → ≤|types|
+        rows/block), the driver folds the tiny moment rows with the
+        Chan pairwise merge (stable at any value offset,
+        ie_ray/stages/moments.py), and normalization is a streaming
+        map.  The grouped feature-scaling shape."""
         import numpy as np
+
+        from ie_ray.stages.moments import (block_moments_by,
+                                           reduce_grouped_moments)
         ds = _tbl(sf_dir, "events",
                   columns=["event_id", "event_type", "value"])
-        shift = 250.0
 
         def stats(t: pa.Table) -> pa.Table:
-            import polars as pl
-            df = (pl.from_arrow(t.select(["event_type", "value"]))
-                  .with_columns((pl.col("value") - shift).alias("v"))
-                  .group_by("event_type")
-                  .agg([pl.len().alias("n"), pl.col("v").sum().alias("s1"),
-                        (pl.col("v") ** 2).sum().alias("s2")]))
-            out = df.to_arrow()
-            return out.cast(pa.schema([
-                pa.field(f.name, pa.string() if f.type == pa.large_string()
-                         else f.type) for f in out.schema]))
+            if t.num_rows == 0:
+                return pa.table({
+                    "event_type": pa.array([], type=pa.string()),
+                    **{c: pa.array([], type=pa.float64())
+                       for c in ("n", "mean", "m2")}})
+            return block_moments_by(t, "event_type", "value")
 
-        agg = {}
+        rows = []
         for r in (ds.map_batches(stats, batch_format="pyarrow")
-                  .groupby("event_type")
-                  .sum(["n", "s1", "s2"]).iter_rows()):
-            n, s1, s2 = r["sum(n)"], r["sum(s1)"], r["sum(s2)"]
-            mean = shift + s1 / n
-            std = float(np.sqrt((s2 - s1 * s1 / n) / n))
-            agg[r["event_type"]] = (mean, std)
+                  .iter_rows()):
+            rows.append((r["event_type"], r["n"], r["mean"], r["m2"]))
+        agg = {}
+        for k, (n, mean, m2) in reduce_grouped_moments(rows).items():
+            agg[k] = (mean, float(np.sqrt(m2 / n)))
 
         def z(t: pa.Table) -> pa.Table:
             v = np.asarray(t.column("value"), dtype=np.float64)

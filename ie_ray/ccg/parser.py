@@ -134,7 +134,14 @@ _CLOSED_CATS: Dict[str, list] = {
     "n't": [(r"(S\NP)\(S\NP)", "RB", 0.0)],
     "there": [(r"NP", "EX", -0.1)],
     "because": [(r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.2),
-                (r"(S/S)/S[dcl]", "IN", -0.25)],
+                (r"(S/S)/S[dcl]", "IN", -0.25),
+                # compound preposition "because of NP" (of := PP/NP)
+                (r"((S\NP)\(S\NP))/PP", "IN", -0.28),
+                (r"(S/S)/PP", "IN", -0.33)],
+    # "For now, …" / "until now" need a nominal reading; plain adverb
+    # readings come first so ordinary "now" placement is unaffected
+    "now": [(r"(S\NP)\(S\NP)", "RB", -0.05), (r"(S\NP)/(S\NP)", "RB", -0.15),
+            (r"S/S", "RB", -0.2), (r"NP", "RB", -0.5)],
     "while": [(r"((S\NP)\(S\NP))/S[dcl]", "IN", -0.2),
               (r"(S/S)/S[dcl]", "IN", -0.25),
               (r"((S\NP)\(S\NP))/(S[ng]\NP)", "IN", -0.3),
@@ -180,6 +187,21 @@ _CLOSED_CATS: Dict[str, list] = {
     "what": [(r"NP/(S[dcl]\NP)", "WP", -0.15),
              (r"NP/(S[dcl]/NP)", "WP", -0.2),
              (r"NP", "WP", -0.45)],
+    # embedded questions: "reveal who IT is", "wonders whom she saw" —
+    # relative readings stay primary (the POS default), these only fire
+    # under an S[em]-taking verb
+    "who": [(r"(NP\NP)/(S[dcl]\NP)", "WP", 0.0),
+            (r"(NP\NP)/(S[dcl]/NP)", "WP", -0.2),
+            (r"S[em]/(S[dcl]/NP)", "WP", -0.3),
+            (r"S[em]/(S[dcl]\NP)", "WP", -0.35),
+            (r"NP", "WP", -0.5)],
+    "whom": [(r"(NP\NP)/(S[dcl]/NP)", "WP", -0.1),
+             (r"S[em]/(S[dcl]/NP)", "WP", -0.3),
+             # pied-piping: "no one on whom to depend" — the fronted
+             # PP/NP preposition pivots into a noun-postmodifying
+             # relative over an infinitival (or finite) PP-gap clause
+             (r"((NP\NP)/((S[to]\NP)/PP))\(PP/NP)", "WP", -0.35),
+             (r"((NP\NP)/(S[dcl]/PP))\(PP/NP)", "WP", -0.4)],
     "more": [(r"(S[adj]\NP)/(S[adj]\NP)", "RBR", -0.1),
              (r"N/N", "JJR", -0.15), (r"(S\NP)\(S\NP)", "RBR", -0.25),
              (r"NP", "JJR", -0.55)],
@@ -388,20 +410,46 @@ _IMPERATIVE_HEDGE = [(r"(S[b]\NP)/NP", "VB", -0.65),
                      (r"((S[b]\NP)/PP)/NP", "VB", -0.7)]
 
 
+# POS tags that already carry verb readings — the VerbNet hedge below
+# only fires when the tagger did NOT read the token as a verb
+_VERBAL_TAGS = frozenset(("VB", "VBD", "VBG", "VBN", "VBP", "VBZ", "MD"))
+
+
 def supertag(words: List[str],
              hedge: bool = True) -> List[List[Tuple[str, str, float]]]:
-    """Candidate (category, POS, weight) lists per token."""
+    """Candidate (category, POS, weight) lists per token.
+
+    The hedge pass extends open-class candidates from two public-data
+    sources (:mod:`ie_ray.ccg.supertagger`): VerbNet-lemma-gated verb
+    frames (a mis-tagged verb like "reveal"/JJ or "storms"/NNS still
+    reaches the chart with verb readings — the failure mode one hard
+    POS guess creates and EasySRL's beam-0.01 supertagger avoids), and
+    MLE (word → category) counts learned from derivation corpora."""
+    from .supertagger import load_default_model, verbnet_verb_cats
     tags = pos_tag(words)
     out = []
+    model = load_default_model() if hedge else None
     for i, (w, t) in enumerate(zip(words, tags)):
         lower = w.lower()
         cands = _CLOSED_CATS.get(lower)
         if cands is None:
             cands = _POS_CATS.get(t) or [("N", "NN", -0.2)]
-            if hedge and t in _NOUN_VERB_HEDGE:
-                cands = cands + _NOUN_VERB_HEDGE[t]
-            if hedge and i == 0 and t in ("NNP", "NN"):
-                cands = cands + _IMPERATIVE_HEDGE
+            if hedge:
+                extra = list(_NOUN_VERB_HEDGE.get(t, ()))
+                if t not in _VERBAL_TAGS:
+                    extra += verbnet_verb_cats(lower)
+                if model is not None:
+                    extra += model.word_extras(lower)
+                if i == 0 and t in ("NNP", "NN"):
+                    extra += _IMPERATIVE_HEDGE
+                if extra:
+                    have = {c for c, _p, _w in cands}
+                    add = []
+                    for cand in extra:
+                        if cand[0] not in have:
+                            have.add(cand[0])
+                            add.append(cand)
+                    cands = cands + add
         elif i == 0 and lower in ("and", "or", "but", "nor", "so", "yet"):
             # sentence-initial discourse connective: "And I don't have …"
             cands = _SENT_INITIAL_CC + cands

@@ -57,9 +57,22 @@ def kg_triples(fixture_dir: Optional[str] = None,
                pages_ds: Optional["ray.data.Dataset"] = None,
                concurrency=None,
                dedup: bool = True,
-               link: bool = True) -> "ray.data.Dataset":
-    """pages → linked triples Dataset (lazy; caller consumes/writes)."""
+               link: bool = True,
+               alias_table_path: Optional[str] = None) -> "ray.data.Dataset":
+    """pages → linked triples Dataset (lazy; caller consumes/writes).
+
+    ``alias_table_path``: external entity-KB alias table for linking —
+    any parquet with columns ``alias`` (normalized surface form),
+    ``entity_id``, ``prior`` (disambiguation weight, highest wins) and
+    ``title`` (canonical title for the reference's prefix-score rule,
+    ccg.py:1887-1917).  Swap in a real KB (e.g. a Wikipedia
+    anchor-text dump reduced to that schema) without touching the
+    pipeline; defaults to ``<fixture_dir>/alias_table.parquet``.  Env
+    override: ``IE_RAY_ALIAS_TABLE``."""
     fixture_dir = fixture_dir or default_fixture_dir()
+    alias_table_path = (alias_table_path
+                        or os.environ.get("IE_RAY_ALIAS_TABLE")
+                        or os.path.join(fixture_dir, "alias_table.parquet"))
     if concurrency is None:
         # elastic pools: each heavy stage may grow to a third of the cluster
         # (three heavy stages — parse, compose, link); a moderate prestart
@@ -119,7 +132,7 @@ def kg_triples(fixture_dir: Optional[str] = None,
     fused_kwargs = {"derivations": derivations_ref}
     if link:
         fused_kwargs["alias_map"] = ray.put(load_alias_map(
-            os.path.join(fixture_dir, "alias_table.parquet")))
+            alias_table_path))
     fused_cap = max(concurrency[1], int(
         ray.cluster_resources().get("CPU", 4)) // 2)
     ds = ds.map_batches(

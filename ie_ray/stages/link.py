@@ -49,6 +49,12 @@ class LinkActor:
         if isinstance(alias_map, ray.ObjectRef):
             alias_map = ray.get(alias_map)
         self.alias_map: Dict[str, Tuple[str, float]] = alias_map
+        # vectorized exact-hit path: alias keys + aligned entity ids as
+        # Arrow arrays, built ONCE per actor — per batch the probe is a
+        # single pc.index_in, Python only touches the miss tail
+        self._keys = pa.array(list(alias_map.keys()), type=pa.string())
+        self._ids = pa.array([v[0] for v in alias_map.values()],
+                             type=pa.string())
 
     def _link_one(self, label):
         if not label:
@@ -73,14 +79,28 @@ class LinkActor:
         # common nouns / verbs become concept nodes keyed by surface form
         return "c:" + m
 
+    def _link_col(self, col: pa.ChunkedArray) -> pa.Array:
+        import pyarrow.compute as pc
+        labels = col.combine_chunks()
+        # normalize_mention, vectorized (hyphen→space, trim, lower)
+        norm = pc.utf8_lower(pc.utf8_trim_whitespace(
+            pc.replace_substring(labels, "-", " ")))
+        idx = pc.index_in(norm, value_set=self._keys)
+        exact = pc.take(self._ids, idx)          # null where missed
+        miss = pc.and_(pc.is_null(idx), pc.is_valid(labels))
+        if pc.any(miss).as_py():
+            # Python only for the miss tail (prefix-score fallback,
+            # md5 surface ids, concept nodes)
+            out = exact.to_pylist()
+            for i in (j for j, f in enumerate(miss.to_pylist()) if f):
+                out[i] = self._link_one(labels[i].as_py())
+            return pa.array(out, type=pa.string())
+        return exact.cast(pa.string())
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        subj = batch.column("subj").to_pylist()
-        obj = batch.column("obj").to_pylist()
         return batch.append_column(
-            "subj_id", pa.array([self._link_one(x) for x in subj],
-                                type=pa.string())).append_column(
-            "obj_id", pa.array([self._link_one(x) for x in obj],
-                               type=pa.string()))
+            "subj_id", self._link_col(batch.column("subj"))) \
+            .append_column("obj_id", self._link_col(batch.column("obj")))
 
 
 def load_alias_map(path: str) -> Dict[str, tuple]:

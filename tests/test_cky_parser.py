@@ -150,7 +150,7 @@ CLIFFS_PATH = "/root/reference/data/books/Speak-cliffsnotes-summary.txt"
 @pytest.mark.skipif(not __import__("os").path.exists(CLIFFS_PATH),
                     reason="reference data absent")
 def test_held_out_prose_coverage(parser):
-    """≥0.9 parse+compose rate on genuinely held-out expository prose
+    """≥0.95 parse+compose rate on genuinely held-out expository prose
     (every 6th sentence of the cliffsnotes corpus — none are fixtures)."""
     from ie_ray.nlp.text import split_sentences
     sents = []
@@ -169,7 +169,7 @@ def test_held_out_prose_coverage(parser):
         c.compose_ccgbank(d)      # must not raise on a produced parse
         ok += 1
     assert not c.missing_rules, c.missing_rules
-    assert ok / len(pool) >= 0.9, (ok, len(pool))
+    assert ok / len(pool) >= 0.95, (ok, len(pool))
 
 
 BOOKS = ["/root/reference/data/books/Speak-cliffsnotes-summary.txt",
@@ -183,7 +183,7 @@ BOOKS = ["/root/reference/data/books/Speak-cliffsnotes-summary.txt",
 def test_long_sentence_coverage(parser):
     """48-150-word sentences (the reference service cap is 250,
     CcgServiceHandler.java:56-57) must parse+compose with quarantine
-    rate < 20% under the punctuation-constrained chart: natural long
+    rate < 10% under the punctuation-constrained chart: natural long
     sentences from held-out prose plus coordinations of consecutive
     real mid-length sentences."""
     import os
@@ -224,7 +224,7 @@ def test_long_sentence_coverage(parser):
         c.compose_ccgbank(d).get_drs()  # must not raise on a parse
         ok += 1
     assert not c.missing_rules, c.missing_rules
-    assert ok / len(pool) >= 0.8, (ok, len(pool))
+    assert ok / len(pool) >= 0.9, (ok, len(pool))
 
 
 def test_chunk_layout_constraints():
