@@ -3150,9 +3150,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # oracle-less entries (sketches, kg_* / CCG family, iterative algos —
     # each gated by named pytest suites in its docstring) come last.
     return {
-        # -- oracle-backed, not yet driver-checked (r02 budget cut at 50) --
+        # -- round-4 driver prefix: entries whose kernel or oracle
+        #    changed this round (exact int64 money, centered moments,
+        #    null-stable bucketing, de-materialized ntile, empty-block
+        #    guards) first, then the stalest green rows (last checked
+        #    in CORRECTNESS_r02) for re-confirmation under current code --
         "q3_shipping": q3_shipping,
         "q5_local_supplier": q5_local_supplier,
+        "q10_returned_customers": q10_returned_customers,
+        "q14_promo_revenue": q14_promo_revenue,
+        "events_cumulative_value": events_cumulative_value,
+        "word_cooccur_edges": word_cooccur_edges,
+        "word_triangles": word_triangles,
+        "events_value_ntile4": events_value_ntile4,
+        "minhash_cluster_sizes": minhash_cluster_sizes,
+        "docs_pack_sequences": docs_pack_sequences,
+        "substring_dup_frac": substring_dup_frac,
+        "events_value_zscore": events_value_zscore,
+        "events_zscore_by_type": events_zscore_by_type,
+        "events_corr_value_time": events_corr_value_time,
+        "exact_dedup_docs": exact_dedup_docs,
+        "q4_priority_late": q4_priority_late,
+        "q12_returnflag_priority": q12_returnflag_priority,
+        "customer_event_counts": customer_event_counts,
+        "customers_without_events": customers_without_events,
+        "decontaminate_docs": decontaminate_docs,
+        "doc_char_entropy": doc_char_entropy,
+        "doc_fingerprints": doc_fingerprints,
+        "doc_md5": doc_md5,
+        "doc_repetition": doc_repetition,
+        "docs_lang_pivot": docs_lang_pivot,
+        "docs_longest100": docs_longest100,
+        "embedding_dup_pairs": embedding_dup_pairs,
+        "embedding_sim_pairs": embedding_sim_pairs,
+        "events_asof_purchase_click": events_asof_purchase_click,
+        "events_by_type": events_by_type,
+        "events_cohort_retention": events_cohort_retention,
+        "events_distinct_users": events_distinct_users,
+        "events_dq_report": events_dq_report,
+        "events_funnel": events_funnel,
+        "events_global_quantiles": events_global_quantiles,
+        "events_hourly_window": events_hourly_window,
+        "events_latest_per_user": events_latest_per_user,
+        "events_props_stats": events_props_stats,
+        "events_range_click_purchase": events_range_click_purchase,
+        "events_rollup": events_rollup,
+        "events_sessions": events_sessions,
+        "events_top3_per_user": events_top3_per_user,
+        "events_user_stats": events_user_stats,
+        "events_value_histogram": events_value_histogram,
+        "events_value_quantiles": events_value_quantiles,
+        "knn_top1": knn_top1,
+        "langid": langid,
+        "lineitem_profile": lineitem_profile,
+        "minhash_dedup_keep": minhash_dedup_keep,
+        "minhash_dedup_pairs": minhash_dedup_pairs,
+        # -- oracle-backed, driver-green in CORRECTNESS_r03 --
         "top_words": top_words,
         "bm25_top10": bm25_top10,
         "bpe_top_pairs": bpe_top_pairs,
@@ -3165,11 +3218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": inverted_index,
         "label_centroids": label_centroids,
         "embedding_outliers": embedding_outliers,
-        "events_value_ntile4": events_value_ntile4,
-        "events_cumulative_value": events_cumulative_value,
         "events_interarrival": events_interarrival,
         "events_sliding_3h": events_sliding_3h,
-        "events_zscore_by_type": events_zscore_by_type,
         "boilerplate_ngrams": boilerplate_ngrams,
         "doc_dup_ngram_frac": doc_dup_ngram_frac,
         "normalize_docs": normalize_docs,
@@ -3177,76 +3227,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_sample_exact100": docs_sample_exact100,
         "docs_weighted_mix": docs_weighted_mix,
         "docs_new_vs_seen": docs_new_vs_seen,
-        "docs_pack_sequences": docs_pack_sequences,
         "events_stratified_sample": events_stratified_sample,
         "nation_region": nation_region,
         "order_status_counts": order_status_counts,
-        # -- oracle-backed, new in round 3 --
-        "substring_dup_frac": substring_dup_frac,
-        "word_cooccur_edges": word_cooccur_edges,
-        "word_triangles": word_triangles,
-        "q4_priority_late": q4_priority_late,
-        "q10_returned_customers": q10_returned_customers,
-        "q12_returnflag_priority": q12_returnflag_priority,
-        "q14_promo_revenue": q14_promo_revenue,
         "gopher_filter_docs": gopher_filter_docs,
         "docs_zipf_slope": docs_zipf_slope,
         "events_markov_transitions": events_markov_transitions,
         "events_anomaly_iqr": events_anomaly_iqr,
         "embedding_norm_stats": embedding_norm_stats,
-        "minhash_cluster_sizes": minhash_cluster_sizes,
         "embedding_covariance": embedding_covariance,
         "docs_split_assign": docs_split_assign,
         "events_hourly_distinct_users": events_hourly_distinct_users,
-        # -- oracle-backed, green in CORRECTNESS_r02 --
-        "exact_dedup_docs": exact_dedup_docs,
         "doc_token_counts": doc_token_counts,
         "doc_quality": doc_quality,
         "lang_counts": lang_counts,
         "paragraph_counts": paragraph_counts,
-        "doc_md5": doc_md5,
-        "langid": langid,
-        "doc_fingerprints": doc_fingerprints,
-        "minhash_dedup_pairs": minhash_dedup_pairs,
-        "minhash_dedup_keep": minhash_dedup_keep,
         "quality_filter_docs": quality_filter_docs,
-        "doc_repetition": doc_repetition,
         "repetition_filter_docs": repetition_filter_docs,
         "simhash_pairs": simhash_pairs,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
-        "embedding_dup_pairs": embedding_dup_pairs,
-        "embedding_sim_pairs": embedding_sim_pairs,
-        "knn_top1": knn_top1,
         "q1_pricing": q1_pricing,
         "orders_per_segment": orders_per_segment,
         "top10_parts": top10_parts,
-        "events_by_type": events_by_type,
-        "events_hourly_window": events_hourly_window,
-        "events_user_stats": events_user_stats,
-        "events_sessions": events_sessions,
-        "events_asof_purchase_click": events_asof_purchase_click,
-        "events_range_click_purchase": events_range_click_purchase,
-        "customers_without_events": customers_without_events,
-        "events_distinct_users": events_distinct_users,
-        "docs_lang_pivot": docs_lang_pivot,
-        "docs_longest100": docs_longest100,
-        "events_value_histogram": events_value_histogram,
-        "events_corr_value_time": events_corr_value_time,
-        "events_rollup": events_rollup,
-        "doc_char_entropy": doc_char_entropy,
-        "customer_event_counts": customer_event_counts,
         "q6_forecast_revenue": q6_forecast_revenue,
-        "events_funnel": events_funnel,
-        "events_cohort_retention": events_cohort_retention,
-        "lineitem_profile": lineitem_profile,
-        "events_top3_per_user": events_top3_per_user,
-        "decontaminate_docs": decontaminate_docs,
-        "events_props_stats": events_props_stats,
-        "events_value_quantiles": events_value_quantiles,
-        "events_global_quantiles": events_global_quantiles,
-        "events_latest_per_user": events_latest_per_user,
-        "events_dq_report": events_dq_report,
-        "events_value_zscore": events_value_zscore,
         # -- inherently oracle-less (sketches / kg / CCG / iterative);
         #    each names its pytest gate in the callable's docstring --
         "events_users_approx": events_users_approx,

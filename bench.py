@@ -223,6 +223,12 @@ def scaling(sf_dir: str, reps: int = 2, levels=None) -> dict:
     are free measures contention with the external load, not this
     engine's scaling (a real dedicated cluster owns its nodes).
     """
+    if levels is None and os.environ.get("IE_RAY_SCALING_LEVELS"):
+        # explicit "8,32"-style override: measure the driver's own
+        # N→4N levels even when the shared host is busy (the probe in
+        # each rep records how many cores were actually available)
+        levels = tuple(int(x) for x in
+                       os.environ["IE_RAY_SCALING_LEVELS"].split(","))
     if levels is None:
         free = _effective_cores()
         n = 6 if free >= 26.5 else (5 if free >= 22.5 else 4)

@@ -66,3 +66,33 @@ def test_triples_survive_verbnet(vn_enabled):
     tr = {(t["subj"], t["pred"], t["obj"])
           for t in Composer().compose_ccgbank(DRV % "supports").triples()}
     assert ("boy", "support", "plan") in tr
+
+
+VNXML_DIR = "/root/reference/src/python/marbles/ie/kb/data/vnxml"
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir(VNXML_DIR),
+                    reason="vnxml data absent")
+def test_vnxml_member_breadth(db):
+    """Round-4 breadth sweep: every MEMBER lemma of the reference's full
+    VerbNet class XML must be in the index (SemLink alone covered only
+    87.4%); SemLink role maps must survive the merge."""
+    import os
+    import xml.etree.ElementTree as ET
+    members = set()
+    for f in os.listdir(VNXML_DIR):
+        if f.endswith(".xml"):
+            try:
+                root = ET.parse(os.path.join(VNXML_DIR, f)).getroot()
+            except ET.ParseError:
+                continue
+            for m in root.iter("MEMBER"):
+                n = m.get("name")
+                if n:
+                    members.add(n.replace("_", " "))
+    assert len(members) > 4000
+    missing = members - set(db.name_index)
+    assert not missing, sorted(missing)[:10]
+    # vnxml-only lemma got classes; SemLink entry kept its role map
+    assert db.classes("absorb")
+    assert db.thematic_roles("reveal", "29.2-1-2")
