@@ -2822,6 +2822,718 @@ def queries() -> dict[str, Callable[[str], Any]]:
                           "l_discount"]),
             partial, finish)
 
+    # -- TPC-H Q7/Q8/Q9/Q13/Q15/Q17/Q18/Q19/Q22 shapes (round 4) -------
+    # All money flows as exact scaled int64 through every shuffle
+    # (associative — aggregation order can never flip a rounded digit vs
+    # the oracle, the VERDICT r3 #1 rule); nation/supplier/part are
+    # broadcast dimensions (ray.put once, read per task), lineitem and
+    # orders are the streamed fact tables that pre-combine per block
+    # before any exchange.
+
+    def _nation_names(sf_dir):
+        import pyarrow.parquet as pq
+        nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        return dict(zip(nat.column("n_nationkey").to_pylist(),
+                        nat.column("n_name").to_pylist()))
+
+    def _dense_str(keys, values):
+        """key→string dense lookup array (keys are dense TPC-H ids)."""
+        import numpy as np
+        keys = np.asarray(keys, dtype=np.int64)
+        out = np.empty(int(keys.max()) + 2 if len(keys) else 1,
+                       dtype=object)
+        out[:] = ""
+        out[keys] = np.asarray(values, dtype=object)
+        return out
+
+    def q7_nation_volume(sf_dir):
+        """TPC-H Q7 shape: shipping volume between two nations by ship
+        year, either direction.  supplier/customer nations are broadcast
+        dense lookups; lineitem pre-combines to one row per
+        (orderkey, supp_nation, year) before the single big hash join
+        with orders; the final (2×2×years)-key aggregate is a
+        lowcard_combine — no rows-sized groupby anywhere."""
+        import datetime
+
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray as _ray
+        from ie_ray.stages.dedup import _join_partitions
+
+        N1, N2 = "NATION_3", "NATION_7"
+        nname = _nation_names(sf_dir)
+        sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_nationkey"])
+        supp_nat = _dense_str(
+            sup.column("s_suppkey").to_pylist(),
+            [nname[k] for k in sup.column("s_nationkey").to_pylist()])
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+        cust_nat = _dense_str(
+            cust.column("c_custkey").to_pylist(),
+            [nname[k] for k in cust.column("c_nationkey").to_pylist()])
+        dims_ref = _ray.put((supp_nat, cust_nat))
+        lo = pa.scalar(datetime.datetime(1999, 1, 1))
+        hi = pa.scalar(datetime.datetime(2001, 1, 1))
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            sn, _ = _ray.get(dims_ref)
+            t = t.filter(pc.and_(
+                pc.greater_equal(t.column("l_shipdate"), lo),
+                pc.less(t.column("l_shipdate"), hi)))
+            sk = np.asarray(t.column("l_suppkey").cast(pa.int64()))
+            snat = sn[np.minimum(sk, len(sn) - 1)]
+            keep = (snat == N1) | (snat == N2)
+            part = pa.table({
+                "l_orderkey":
+                    t.column("l_orderkey").cast(pa.int64()).filter(
+                        pa.array(keep)),
+                "supp_nation": pa.array(snat[keep], type=pa.string()),
+                "l_year": pc.year(t.column("l_shipdate")).cast(
+                    pa.int64()).filter(pa.array(keep)),
+                "rev": pa.array(_rev_scaled(t)[keep], type=pa.int64())})
+            return part.group_by(
+                ["l_orderkey", "supp_nation", "l_year"]).aggregate(
+                [("rev", "sum")]).rename_columns(
+                ["l_orderkey", "supp_nation", "l_year", "rev"])
+
+        li = _tbl(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_shipdate",
+                           "l_extendedprice", "l_discount"]) \
+            .map_batches(li_prep, batch_format="pyarrow")
+        orders = _tbl(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey"])
+        joined = li.join(orders, "inner",
+                         num_partitions=_join_partitions(),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def partial(t: pa.Table) -> pa.Table:
+            _, cn = _ray.get(dims_ref)
+            ck = np.asarray(t.column("o_custkey").cast(pa.int64()))
+            cnat = cn[np.minimum(ck, len(cn) - 1)]
+            snat = np.asarray(t.column("supp_nation"), dtype=object)
+            keep = ((snat == N1) & (cnat == N2)) | \
+                   ((snat == N2) & (cnat == N1))
+            part = pa.table({
+                "supp_nation": pa.array(snat[keep], type=pa.string()),
+                "cust_nation": pa.array(cnat[keep], type=pa.string()),
+                "l_year": t.column("l_year").filter(pa.array(keep)),
+                "rev": t.column("rev").filter(pa.array(keep))})
+            return part.group_by(
+                ["supp_nation", "cust_nation", "l_year"]).aggregate(
+                [("rev", "sum")]).rename_columns(
+                ["supp_nation", "cust_nation", "l_year", "rev"])
+
+        def final(t: pa.Table) -> pa.Table:
+            g = t.group_by(
+                ["supp_nation", "cust_nation", "l_year"]).aggregate(
+                [("rev", "sum")]).rename_columns(
+                ["supp_nation", "cust_nation", "l_year", "rev"])
+            g = g.sort_by([("supp_nation", "ascending"),
+                           ("cust_nation", "ascending"),
+                           ("l_year", "ascending")])
+            return pa.table({
+                "supp_nation": g.column("supp_nation"),
+                "cust_nation": g.column("cust_nation"),
+                "l_year": g.column("l_year"),
+                "revenue": pc.round(
+                    pc.divide(g.column("rev").cast(pa.float64()),
+                              pa.scalar(10000.0)),
+                    2, round_mode="half_towards_infinity")})
+
+        return lowcard_combine(joined, partial, final)
+
+    def q8_market_share(sf_dir):
+        """TPC-H Q8 shape: one nation's share of STANDARD-part revenue
+        sold into one region's market, by order year.  part-type and
+        supplier-nation are broadcast dense lookups applied in the
+        lineitem pre-combine; customer-region decides market membership
+        after the orders join; the (year)-key finish is lowcard."""
+        import datetime
+
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray as _ray
+        from ie_ray.stages.dedup import _join_partitions
+
+        TARGET, REGION, PTYPE = "NATION_8", "ASIA", "STANDARD"
+        nname = _nation_names(sf_dir)
+        nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+        rname = dict(zip(reg.column("r_regionkey").to_pylist(),
+                         reg.column("r_name").to_pylist()))
+        nat_region = {k: rname[r] for k, r in zip(
+            nat.column("n_nationkey").to_pylist(),
+            nat.column("n_regionkey").to_pylist())}
+
+        pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_type"])
+        pk = np.asarray(pt.column("p_partkey").cast(pa.int64()))
+        is_type = np.zeros(int(pk.max()) + 2 if len(pk) else 1,
+                           dtype=bool)
+        is_type[pk] = np.asarray(
+            pc.equal(pt.column("p_type"), PTYPE).combine_chunks(),
+            dtype=bool)
+        sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_nationkey"])
+        sk = np.asarray(sup.column("s_suppkey").cast(pa.int64()))
+        is_target = np.zeros(int(sk.max()) + 2 if len(sk) else 1,
+                             dtype=bool)
+        is_target[sk] = np.asarray(
+            [nname[k] == TARGET
+             for k in sup.column("s_nationkey").to_pylist()], dtype=bool)
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+        ck = np.asarray(cust.column("c_custkey").cast(pa.int64()))
+        in_region = np.zeros(int(ck.max()) + 2 if len(ck) else 1,
+                             dtype=bool)
+        in_region[ck] = np.asarray(
+            [nat_region[k] == REGION
+             for k in cust.column("c_nationkey").to_pylist()], dtype=bool)
+        dims_ref = _ray.put((is_type, is_target, in_region))
+        lo = pa.scalar(datetime.datetime(1996, 1, 1))
+        hi = pa.scalar(datetime.datetime(1998, 1, 1))
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            ptyp, tgt, _ = _ray.get(dims_ref)
+            pkk = np.asarray(t.column("l_partkey").cast(pa.int64()))
+            keep = ptyp[np.minimum(pkk, len(ptyp) - 1)]
+            rev = _rev_scaled(t)[keep]
+            skk = np.asarray(t.column("l_suppkey").cast(
+                pa.int64()))[keep]
+            target = tgt[np.minimum(skk, len(tgt) - 1)]
+            part = pa.table({
+                "l_orderkey": t.column("l_orderkey").cast(
+                    pa.int64()).filter(pa.array(keep)),
+                "rev": pa.array(rev, type=pa.int64()),
+                "trev": pa.array(np.where(target, rev, 0),
+                                 type=pa.int64())})
+            return part.group_by("l_orderkey").aggregate(
+                [("rev", "sum"), ("trev", "sum")]).rename_columns(
+                ["l_orderkey", "rev", "trev"])
+
+        def ord_prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(
+                pc.greater_equal(t.column("o_orderdate"), lo),
+                pc.less(t.column("o_orderdate"), hi)))
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "o_year": pc.year(t.column("o_orderdate")).cast(
+                    pa.int64())})
+
+        li = _tbl(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_partkey", "l_suppkey",
+                           "l_extendedprice", "l_discount"]) \
+            .map_batches(li_prep, batch_format="pyarrow")
+        orders = _tbl(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey",
+                               "o_orderdate"]) \
+            .map_batches(ord_prep, batch_format="pyarrow")
+        joined = li.join(orders, "inner",
+                         num_partitions=_join_partitions(),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def partial(t: pa.Table) -> pa.Table:
+            _, _, inr = _ray.get(dims_ref)
+            ckk = np.asarray(t.column("o_custkey").cast(pa.int64()))
+            keep = inr[np.minimum(ckk, len(inr) - 1)]
+            part = pa.table({
+                "o_year": t.column("o_year").filter(pa.array(keep)),
+                "rev": t.column("rev").filter(pa.array(keep)),
+                "trev": t.column("trev").filter(pa.array(keep))})
+            return part.group_by("o_year").aggregate(
+                [("rev", "sum"), ("trev", "sum")]).rename_columns(
+                ["o_year", "rev", "trev"])
+
+        def final(t: pa.Table) -> pa.Table:
+            # input = concatenated partials (o_year, rev, trev)
+            g = t.group_by("o_year").aggregate(
+                [("rev", "sum"), ("trev", "sum")]).rename_columns(
+                ["o_year", "rev", "trev"]).sort_by("o_year")
+            rev = np.asarray(g.column("rev"), dtype=np.float64)
+            trev = np.asarray(g.column("trev"), dtype=np.float64)
+            return pa.table({
+                "o_year": g.column("o_year"),
+                "mkt_share": pc.round(
+                    pa.array(trev / np.maximum(rev, 1.0)),
+                    4, round_mode="half_towards_infinity")})
+
+        return lowcard_combine(joined, partial, final)
+
+    def q9_profit_by_nation(sf_dir):
+        """TPC-H Q9 shape (adapted — no partsupp table in this corpus, so
+        profit = discounted revenue): revenue on parts whose name
+        contains 'red', per supplier nation per order year.  Part match
+        + supplier nation are broadcast lookups in the lineitem
+        pre-combine; (nation × year) finish is lowcard."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray as _ray
+        from ie_ray.stages.dedup import _join_partitions
+
+        nname = _nation_names(sf_dir)
+        pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_name"])
+        pk = np.asarray(pt.column("p_partkey").cast(pa.int64()))
+        is_red = np.zeros(int(pk.max()) + 2 if len(pk) else 1,
+                          dtype=bool)
+        is_red[pk] = np.asarray(
+            pc.match_substring(pt.column("p_name"),
+                               "red").combine_chunks(), dtype=bool)
+        sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_nationkey"])
+        supp_nat = _dense_str(
+            sup.column("s_suppkey").to_pylist(),
+            [nname[k] for k in sup.column("s_nationkey").to_pylist()])
+        dims_ref = _ray.put((is_red, supp_nat))
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            red, sn = _ray.get(dims_ref)
+            pkk = np.asarray(t.column("l_partkey").cast(pa.int64()))
+            keep = red[np.minimum(pkk, len(red) - 1)]
+            skk = np.asarray(t.column("l_suppkey").cast(
+                pa.int64()))[keep]
+            part = pa.table({
+                "l_orderkey": t.column("l_orderkey").cast(
+                    pa.int64()).filter(pa.array(keep)),
+                "nation": pa.array(sn[np.minimum(skk, len(sn) - 1)],
+                                   type=pa.string()),
+                "amount": pa.array(_rev_scaled(t)[keep],
+                                   type=pa.int64())})
+            return part.group_by(["l_orderkey", "nation"]).aggregate(
+                [("amount", "sum")]).rename_columns(
+                ["l_orderkey", "nation", "amount"])
+
+        def ord_prep(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as _pc
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey").cast(pa.int64()),
+                "o_year": _pc.year(t.column("o_orderdate")).cast(
+                    pa.int64())})
+
+        li = _tbl(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_partkey", "l_suppkey",
+                           "l_extendedprice", "l_discount"]) \
+            .map_batches(li_prep, batch_format="pyarrow")
+        orders = _tbl(sf_dir, "orders",
+                      columns=["o_orderkey", "o_orderdate"]) \
+            .map_batches(ord_prep, batch_format="pyarrow")
+        joined = li.join(orders, "inner",
+                         num_partitions=_join_partitions(),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def partial(t: pa.Table) -> pa.Table:
+            return t.select(["nation", "o_year", "amount"]).group_by(
+                ["nation", "o_year"]).aggregate(
+                [("amount", "sum")]).rename_columns(
+                ["nation", "o_year", "amount"])
+
+        def final(t: pa.Table) -> pa.Table:
+            g = partial(t).sort_by([("nation", "ascending"),
+                                    ("o_year", "descending")])
+            return pa.table({
+                "nation": g.column("nation"),
+                "o_year": g.column("o_year"),
+                "sum_profit": pc.round(
+                    pc.divide(g.column("amount").cast(pa.float64()),
+                              pa.scalar(10000.0)),
+                    2, round_mode="half_towards_infinity")})
+
+        return lowcard_combine(joined, partial, final)
+
+    def q13_order_distribution(sf_dir):
+        """TPC-H Q13 shape: distribution of customers by order count,
+        including zero-order customers.  Per-customer counts run through
+        the bucketed (Arrow hash-agg) path — customer-sized key domain;
+        the count→custdist histogram domain is tiny (≤ max orders per
+        customer) so it finishes in a lowcard_combine, and the zero row
+        is total-customers − customers-with-orders (parquet metadata,
+        no extra scan)."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from ie_ray.stages.relational import bucketed_aggregate
+
+        n_cust = pq.ParquetFile(
+            os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+
+        orders = _tbl(sf_dir, "orders", columns=["o_custkey"]) \
+            .map_batches(lambda t: pa.table({
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "n": pa.array(np.ones(len(t), dtype=np.int64))}),
+                batch_format="pyarrow")
+        percust = bucketed_aggregate(orders, "o_custkey", [("n", "sum")])
+
+        def partial(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "c_count": t.column("n_sum").cast(pa.int64()),
+                "custdist": pa.array(
+                    np.ones(len(t), dtype=np.int64))}).group_by(
+                "c_count").aggregate([("custdist", "sum")]) \
+                .rename_columns(["c_count", "custdist"])
+
+        def final(t: pa.Table) -> pa.Table:
+            # input = concatenated partials (c_count, custdist)
+            g = t.group_by("c_count").aggregate(
+                [("custdist", "sum")]).rename_columns(
+                ["c_count", "custdist"])
+            seen = int(pc.sum(g.column("custdist")).as_py() or 0)
+            if n_cust > seen:
+                g = pa.concat_tables([g, pa.table({
+                    "c_count": pa.array([0], type=pa.int64()),
+                    "custdist": pa.array([n_cust - seen],
+                                         type=pa.int64())})])
+            return g.sort_by([("custdist", "descending"),
+                              ("c_count", "descending")])
+
+        return lowcard_combine(percust, partial, final)
+
+    def q15_top_supplier(sf_dir):
+        """TPC-H Q15 shape: supplier(s) with the maximum revenue over one
+        quarter.  Per-supplier revenue goes through the bucketed path
+        (supplier-sized key domain), the small result materializes once,
+        its global max comes from a streaming aggregate over that small
+        table, and the name decoration is a broadcast lookup."""
+        import datetime
+
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray as _ray
+        from ie_ray.stages.relational import bucketed_aggregate
+
+        lo = pa.scalar(datetime.datetime(1999, 1, 1))
+        hi = pa.scalar(datetime.datetime(1999, 4, 1))
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.and_(
+                pc.greater_equal(t.column("l_shipdate"), lo),
+                pc.less(t.column("l_shipdate"), hi)))
+            return pa.table({
+                "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                "rev": pa.array(_rev_scaled(t), type=pa.int64())})
+
+        li = _tbl(sf_dir, "lineitem",
+                  columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                           "l_discount"]) \
+            .map_batches(li_prep, batch_format="pyarrow")
+        # supplier-bounded result — materialize once (it feeds both the
+        # max aggregate and the filter; re-executing lineage would scan
+        # lineitem twice)
+        persupp = bucketed_aggregate(li, "l_suppkey",
+                                     [("rev", "sum")]).materialize()
+        mx = persupp.max("rev_sum")
+
+        sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_name"])
+        sname = _dense_str(sup.column("s_suppkey").to_pylist(),
+                           sup.column("s_name").to_pylist())
+        name_ref = _ray.put(sname)
+
+        def decorate(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("rev_sum"), pa.scalar(mx)))
+            nm = _ray.get(name_ref)
+            sk = np.asarray(t.column("l_suppkey").cast(pa.int64()))
+            return pa.table({
+                "s_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                "s_name": pa.array(nm[np.minimum(sk, len(nm) - 1)],
+                                   type=pa.string()),
+                "total_revenue": pc.round(
+                    pc.divide(t.column("rev_sum").cast(pa.float64()),
+                              pa.scalar(10000.0)),
+                    2, round_mode="half_towards_infinity")})
+
+        return persupp.map_batches(
+            decorate, batch_format="pyarrow").sort("s_suppkey")
+
+    def q17_small_quantity_revenue(sf_dir):
+        """TPC-H Q17 shape: yearly-averaged revenue lost to small-quantity
+        orders of one brand.  Per-part quantity stats for the brand are a
+        bounded dimension (|parts|/25) computed in pass 1 through the
+        bucketed path and broadcast; pass 2 compares each lineitem
+        vectorized against its part's mean — the 'l_quantity < 0.2*avg'
+        predicate runs as the EXACT integer cross-multiplication
+        5·qty·count < sum_qty, so both sides agree bit-for-bit."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray as _ray
+        from ie_ray.stages.relational import bucketed_aggregate
+
+        BRAND = "Brand#23"
+        pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_brand"])
+        pk = np.asarray(pt.column("p_partkey").cast(pa.int64()))
+        in_brand = np.zeros(int(pk.max()) + 2 if len(pk) else 1,
+                            dtype=bool)
+        in_brand[pk] = np.asarray(
+            pc.equal(pt.column("p_brand"), BRAND).combine_chunks(),
+            dtype=bool)
+        brand_ref = _ray.put(in_brand)
+
+        def li_brand(t: pa.Table) -> pa.Table:
+            br = _ray.get(brand_ref)
+            pkk = np.asarray(t.column("l_partkey").cast(pa.int64()))
+            keep = br[np.minimum(pkk, len(br) - 1)]
+            qty = np.round(np.asarray(t.column("l_quantity"),
+                                      dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            return pa.table({
+                "l_partkey": pa.array(pkk[keep]),
+                "qs": pa.array(qty[keep]),
+                "cnt": pa.array(np.ones(int(keep.sum()),
+                                        dtype=np.int64))})
+
+        li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+        stats = bucketed_aggregate(
+            _tbl(sf_dir, "lineitem", columns=li_cols)
+            .map_batches(li_brand, batch_format="pyarrow"),
+            "l_partkey", [("qs", "sum"), ("cnt", "sum")])
+        # brand-bounded (|parts|/25) dimension → dense broadcast arrays
+        st = pa.concat_tables([t for t in
+                               [b for b in stats.iter_batches(
+                                   batch_format="pyarrow")]
+                               if t.num_columns > 0])
+        keys = np.asarray(st.column("l_partkey"), dtype=np.int64)
+        hi_k = int(keys.max()) + 2 if len(keys) else 1
+        sq = np.zeros(hi_k, dtype=np.int64)
+        cn = np.zeros(hi_k, dtype=np.int64)
+        sq[keys] = np.asarray(st.column("qs_sum"), dtype=np.int64)
+        cn[keys] = np.asarray(st.column("cnt_sum"), dtype=np.int64)
+        stats_ref = _ray.put((sq, cn))
+
+        def partial(t: pa.Table) -> pa.Table:
+            br = _ray.get(brand_ref)
+            sqa, cna = _ray.get(stats_ref)
+            pkk = np.asarray(t.column("l_partkey").cast(pa.int64()))
+            keep = br[np.minimum(pkk, len(br) - 1)]
+            pkk = np.minimum(pkk, len(sqa) - 1)
+            qty = np.round(np.asarray(t.column("l_quantity"),
+                                      dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            small = keep & (5 * qty * cna[pkk] < sqa[pkk])
+            cents = np.round(np.asarray(t.column("l_extendedprice"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            return pa.table({"cents": pa.array(
+                [int(cents[small].sum())], type=pa.int64())})
+
+        def final(t: pa.Table) -> pa.Table:
+            total = pc.sum(t.column("cents")).as_py() or 0
+            return pa.table({"avg_yearly": pc.round(
+                pa.array([total / 100.0 / 7.0], type=pa.float64()),
+                2, round_mode="half_towards_infinity")})
+
+        return lowcard_combine(
+            _tbl(sf_dir, "lineitem", columns=li_cols), partial, final)
+
+    def q18_large_volume(sf_dir):
+        """TPC-H Q18 shape: orders whose total quantity exceeds a
+        threshold, decorated with customer names, top 100 by order
+        value.  Per-order quantity sums run bucketed (order-sized key
+        domain), the survivors join orders by hash, the customer name is
+        a broadcast lookup, and the sort runs over survivors only."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray as _ray
+        from ie_ray.stages.dedup import _join_partitions
+        from ie_ray.stages.relational import bucketed_aggregate
+
+        THRESH = 150  # quantity units (generator max ≈ 458)
+
+        li = _tbl(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_quantity"]) \
+            .map_batches(lambda t: pa.table({
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "qs": pa.array(np.round(np.asarray(
+                    t.column("l_quantity"), dtype=np.float64) * 100.0)
+                    .astype(np.int64))}), batch_format="pyarrow")
+        perorder = bucketed_aggregate(li, "l_orderkey", [("qs", "sum")]) \
+            .map_batches(lambda t: t.filter(pc.greater(
+                t.column("qs_sum"), pa.scalar(THRESH * 100))),
+                batch_format="pyarrow")
+
+        orders = _tbl(sf_dir, "orders",
+                      columns=["o_orderkey", "o_custkey", "o_orderdate",
+                               "o_totalprice"])
+        joined = perorder.join(orders, "inner",
+                               num_partitions=_join_partitions(),
+                               on=("l_orderkey",),
+                               right_on=("o_orderkey",))
+
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_name"])
+        cname = _dense_str(cust.column("c_custkey").to_pylist(),
+                           cust.column("c_name").to_pylist())
+        name_ref = _ray.put(cname)
+
+        def decorate(t: pa.Table) -> pa.Table:
+            nm = _ray.get(name_ref)
+            ck = np.asarray(t.column("o_custkey").cast(pa.int64()))
+            return pa.table({
+                "c_name": pa.array(nm[np.minimum(ck, len(nm) - 1)],
+                                   type=pa.string()),
+                "c_custkey": t.column("o_custkey").cast(pa.int64()),
+                "o_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "o_orderdate": t.column("o_orderdate"),
+                "o_totalprice": t.column("o_totalprice"),
+                "sum_qty": pc.round(pc.divide(
+                    t.column("qs_sum").cast(pa.float64()),
+                    pa.scalar(100.0)), 2,
+                    round_mode="half_towards_infinity")})
+
+        return joined.map_batches(decorate, batch_format="pyarrow") \
+            .sort(["o_totalprice", "o_orderdate", "o_orderkey"],
+                  descending=[True, False, False]).limit(100)
+
+    def q19_disjunct_revenue(sf_dir):
+        """TPC-H Q19 shape: revenue under three disjunctive
+        (brand, size-band, quantity-band) predicates.  The part side
+        compiles to a dense partkey→branch-id broadcast array; each
+        lineitem block applies the branch's quantity band vectorized and
+        emits one partial row — no join, no shuffle."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray as _ray
+
+        BRANCHES = [("Brand#12", 1, 5, 1, 11),
+                    ("Brand#23", 1, 10, 10, 20),
+                    ("Brand#34", 1, 15, 20, 30)]
+        pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                           columns=["p_partkey", "p_brand", "p_size"])
+        pk = np.asarray(pt.column("p_partkey").cast(pa.int64()))
+        brand = np.asarray(pt.column("p_brand"), dtype=object)
+        size = np.asarray(pt.column("p_size"), dtype=np.int64)
+        branch = np.zeros(int(pk.max()) + 2 if len(pk) else 1,
+                          dtype=np.int8)
+        for i, (b, s_lo, s_hi, _, _) in enumerate(BRANCHES, start=1):
+            m = (brand == b) & (size >= s_lo) & (size <= s_hi)
+            branch[pk[m]] = i
+        qlo = np.array([0] + [b[3] for b in BRANCHES], dtype=np.int64)
+        qhi = np.array([-1] + [b[4] for b in BRANCHES], dtype=np.int64)
+        dims_ref = _ray.put((branch, qlo, qhi))
+
+        def partial(t: pa.Table) -> pa.Table:
+            br, lo_, hi_ = _ray.get(dims_ref)
+            pkk = np.asarray(t.column("l_partkey").cast(pa.int64()))
+            bid = br[np.minimum(pkk, len(br) - 1)]
+            qty = np.round(np.asarray(t.column("l_quantity"),
+                                      dtype=np.float64)).astype(np.int64)
+            keep = (bid > 0) & (qty >= lo_[bid]) & (qty <= hi_[bid])
+            return pa.table({"rev": pa.array(
+                [int(_rev_scaled(t)[keep].sum())], type=pa.int64())})
+
+        def final(t: pa.Table) -> pa.Table:
+            total = pc.sum(t.column("rev")).as_py() or 0
+            return pa.table({"revenue": pc.round(
+                pa.array([total / 10000.0], type=pa.float64()),
+                2, round_mode="half_towards_infinity")})
+
+        return lowcard_combine(
+            _tbl(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_quantity", "l_extendedprice",
+                          "l_discount"]),
+            partial, final)
+
+    def q22_idle_customers(sf_dir):
+        """TPC-H Q22 shape (adapted — no phone column, nationkey groups;
+        'no orders' scoped to the last two data years so the answer is
+        non-empty at every sf): above-average-balance customers with no
+        recent orders, count + balance per nation.  The global average
+        is a 1-row streaming aggregate (exact cents), the 'never
+        ordered' side is the hash anti-join, and the comparison runs as
+        the integer cross-multiplication cents·count > sum_cents so
+        both sides agree exactly."""
+        import datetime
+
+        import numpy as np
+        import pyarrow.compute as pc
+        from ie_ray.stages.relational import anti_join
+
+        cutoff = pa.scalar(datetime.datetime(2000, 1, 1))
+
+        cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+
+        def bal_partial(t: pa.Table) -> pa.Table:
+            cents = np.round(np.asarray(t.column("c_acctbal"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            pos = cents > 0
+            return pa.table({
+                "sc": pa.array([int(cents[pos].sum())], type=pa.int64()),
+                "c": pa.array([int(pos.sum())], type=pa.int64())})
+
+        def bal_final(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "sc": pa.array([int(pc.sum(t.column("sc")).as_py()
+                                    or 0)], type=pa.int64()),
+                "c": pa.array([int(pc.sum(t.column("c")).as_py()
+                                   or 1)], type=pa.int64())})
+
+        row = lowcard_combine(_tbl(sf_dir, "customer",
+                                   columns=["c_acctbal"]),
+                              bal_partial, bal_final).take_all()[0]
+        sum_cents, n_pos = int(row["sc"]), max(int(row["c"]), 1)
+
+        def rich(t: pa.Table) -> pa.Table:
+            cents = np.round(np.asarray(t.column("c_acctbal"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            keep = cents * n_pos > sum_cents
+            return pa.table({
+                "c_custkey": t.column("c_custkey").cast(
+                    pa.int64()).filter(pa.array(keep)),
+                "n_nationkey": t.column("c_nationkey").cast(
+                    pa.int64()).filter(pa.array(keep)),
+                "cents": pa.array(cents[keep], type=pa.int64())})
+
+        cust = _tbl(sf_dir, "customer", columns=cust_cols) \
+            .map_batches(rich, batch_format="pyarrow")
+        recent = _tbl(sf_dir, "orders",
+                      columns=["o_custkey", "o_orderdate"]) \
+            .map_batches(lambda t: t.filter(pc.greater_equal(
+                t.column("o_orderdate"), cutoff)).select(["o_custkey"]),
+                batch_format="pyarrow")
+        idle = anti_join(cust, recent, "c_custkey", "o_custkey")
+
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                # schema-stable empty partial (anti-join can emit
+                # schema-less empty blocks for filtered-out partitions)
+                return pa.table({
+                    "n_nationkey": pa.array([], type=pa.int64()),
+                    "numcust": pa.array([], type=pa.int64()),
+                    "cents": pa.array([], type=pa.int64())})
+            part = pa.table({
+                "n_nationkey": t.column("n_nationkey"),
+                "numcust": pa.array(np.ones(len(t), dtype=np.int64)),
+                "cents": t.column("cents")})
+            return part.group_by("n_nationkey").aggregate(
+                [("numcust", "sum"), ("cents", "sum")]).rename_columns(
+                ["n_nationkey", "numcust", "cents"])
+
+        def final(t: pa.Table) -> pa.Table:
+            # input = concatenated partials (n_nationkey, numcust, cents)
+            g = t.group_by("n_nationkey").aggregate(
+                [("numcust", "sum"), ("cents", "sum")]).rename_columns(
+                ["n_nationkey", "numcust", "cents"]) \
+                .sort_by("n_nationkey")
+            return pa.table({
+                "n_nationkey": g.column("n_nationkey"),
+                "numcust": g.column("numcust"),
+                "totacctbal": pc.round(pc.divide(
+                    g.column("cents").cast(pa.float64()),
+                    pa.scalar(100.0)), 2,
+                    round_mode="half_towards_infinity")})
+
+        return lowcard_combine(idle, partial, final)
+
     def gopher_filter_docs(sf_dir):
         """Gopher-style document quality rules (Rae et al. 2021, public):
         word-count band, mean-word-length band, stopword floor, top-word
@@ -3159,6 +3871,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier": q5_local_supplier,
         "q10_returned_customers": q10_returned_customers,
         "q14_promo_revenue": q14_promo_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_profit_by_nation": q9_profit_by_nation,
+        "q13_order_distribution": q13_order_distribution,
+        "q15_top_supplier": q15_top_supplier,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume": q18_large_volume,
+        "q19_disjunct_revenue": q19_disjunct_revenue,
+        "q22_idle_customers": q22_idle_customers,
         "events_cumulative_value": events_cumulative_value,
         "word_cooccur_edges": word_cooccur_edges,
         "word_triangles": word_triangles,
@@ -3775,6 +4496,103 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "WHERE l_shipdate >= TIMESTAMP '1997-09-01' "
             "AND l_shipdate < TIMESTAMP '1997-10-01'",
+        "q7_nation_volume":
+            "SELECT supp_nation, cust_nation, l_year, "
+            "round(sum(rev) / 10000.0, 2) AS revenue FROM ("
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "year(l_shipdate)::BIGINT AS l_year, " + _REV_SQL + " AS rev "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7') "
+            "OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')) "
+            "AND l_shipdate >= TIMESTAMP '1999-01-01' "
+            "AND l_shipdate < TIMESTAMP '2001-01-01') "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3",
+        "q8_market_share":
+            "SELECT o_year, round(sum(CASE WHEN nation = 'NATION_8' "
+            "THEN rev ELSE 0 END)::DOUBLE / sum(rev), 4) AS mkt_share "
+            "FROM (SELECT year(o_orderdate)::BIGINT AS o_year, "
+            + _REV_SQL + " AS rev, n1.n_name AS nation "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "JOIN region ON r_regionkey = n2.n_regionkey "
+            "WHERE r_name = 'ASIA' AND p_type = 'STANDARD' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01') "
+            "GROUP BY o_year ORDER BY o_year",
+        "q9_profit_by_nation":
+            "SELECT nation, o_year, "
+            "round(sum(amount) / 10000.0, 2) AS sum_profit FROM ("
+            "SELECT n_name AS nation, year(o_orderdate)::BIGINT AS "
+            "o_year, " + _REV_SQL + " AS amount "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN part ON p_partkey = l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE p_name LIKE '%red%') "
+            "GROUP BY 1, 2 ORDER BY nation, o_year DESC",
+        "q13_order_distribution":
+            "SELECT c_count, count(*)::BIGINT AS custdist FROM ("
+            "SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "GROUP BY c_custkey) GROUP BY c_count "
+            "ORDER BY custdist DESC, c_count DESC",
+        "q15_top_supplier":
+            "WITH rev AS (SELECT l_suppkey, sum(" + _REV_SQL + ") AS r "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1999-01-01' "
+            "AND l_shipdate < TIMESTAMP '1999-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, round(r / 10000.0, 2) AS "
+            "total_revenue FROM rev JOIN supplier ON s_suppkey = "
+            "l_suppkey WHERE r = (SELECT max(r) FROM rev) "
+            "ORDER BY s_suppkey",
+        "q17_small_quantity_revenue":
+            "WITH pp AS (SELECT l_partkey AS pk, "
+            "sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq, "
+            "count(*)::BIGINT AS c FROM lineitem "
+            "JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand = 'Brand#23' GROUP BY l_partkey) "
+            "SELECT round(sum(CAST(round(l_extendedprice * 100) AS "
+            "BIGINT)) / 100.0 / 7.0, 2) AS avg_yearly "
+            "FROM lineitem JOIN pp ON pk = l_partkey "
+            "WHERE 5 * CAST(round(l_quantity * 100) AS BIGINT) * c < sq",
+        "q18_large_volume":
+            "SELECT c_name, c_custkey, o_orderkey, o_orderdate, "
+            "o_totalprice, round(sq / 100.0, 2) AS sum_qty "
+            "FROM (SELECT l_orderkey, "
+            "sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sq "
+            "FROM lineitem GROUP BY l_orderkey HAVING sq > 15000) "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey "
+            "LIMIT 100",
+        "q19_disjunct_revenue":
+            "SELECT round(sum(" + _REV_SQL + ") / 10000.0, 2) AS revenue "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey WHERE "
+            "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+            "AND round(l_quantity) BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+            "AND round(l_quantity) BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 "
+            "AND round(l_quantity) BETWEEN 20 AND 30)",
+        "q22_idle_customers":
+            "WITH s AS (SELECT sum(CAST(round(c_acctbal * 100) AS "
+            "BIGINT)) AS sc, count(*)::BIGINT AS c FROM customer "
+            "WHERE CAST(round(c_acctbal * 100) AS BIGINT) > 0) "
+            "SELECT c_nationkey::BIGINT AS n_nationkey, "
+            "count(*)::BIGINT AS numcust, "
+            "round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, "
+            "2) AS totacctbal FROM customer, s "
+            "WHERE CAST(round(c_acctbal * 100) AS BIGINT) * c > sc "
+            "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY c_nationkey ORDER BY n_nationkey",
         "gopher_filter_docs":
             "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "
             "AS w FROM documents), "
