@@ -144,7 +144,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "minhash_cluster_sizes", "embedding_covariance",
                  "embedding_pca_project", "word_kcore",
                  "docs_bpe_encode", "docs_split_assign",
-                 "events_hourly_distinct_users"):
+                 "events_hourly_distinct_users",
+                 # round-4 additions
+                 "q7_nation_volume", "q8_market_share",
+                 "q9_profit_by_nation", "q13_order_distribution",
+                 "q15_top_supplier", "q17_small_quantity_revenue",
+                 "q18_large_volume", "q19_disjunct_revenue",
+                 "q22_idle_customers"):
         consume(name)
 
     total = round(time.time() - t0, 3)
