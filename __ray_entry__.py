@@ -3534,6 +3534,569 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lowcard_combine(idle, partial, final)
 
+    def _small_table(ds, cols):
+        """Collect a FINAL (already repartition(1)-reduced, ≤ dimension
+        sized) result as one pa.Table with a guaranteed schema.  Ray
+        map_batches skips the UDF on zero-row blocks, so an all-empty
+        pipeline can surface a SCHEMA-LESS block that poisons
+        to_pandas() into dropping every column — concat only
+        schema-bearing blocks and rebuild the schema when none exist."""
+        import ray as _r
+        tbls = [t for t in _r.get(ds.to_arrow_refs())
+                if t.num_columns > 0]
+        if not tbls:
+            return pa.table({n: pa.array([], type=ty) for n, ty in cols})
+        return pa.concat_tables(tbls)
+
+    def _europe_suppliers(sf_dir):
+        """(in_region bool, s_name, n_name, s_acctbal) dense arrays
+        over suppkey for the EUROPE region (driver-side dim prep —
+        supplier/nation/region are the broadcast-sized tables)."""
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+        rname = dict(zip(reg.column("r_regionkey").to_pylist(),
+                         reg.column("r_name").to_pylist()))
+        nat_reg = {k: rname[r] for k, r in zip(
+            nat.column("n_nationkey").to_pylist(),
+            nat.column("n_regionkey").to_pylist())}
+        nname = dict(zip(nat.column("n_nationkey").to_pylist(),
+                         nat.column("n_name").to_pylist()))
+        sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"))
+        sk = np.asarray(sup.column("s_suppkey"), dtype=np.int64)
+        size = int(sk.max()) + 2 if len(sk) else 1
+        in_eu = np.zeros(size, dtype=bool)
+        sname = np.empty(size, dtype=object)
+        snat = np.empty(size, dtype=object)
+        sbal = np.zeros(size, dtype=np.float64)
+        sname[:] = ""
+        snat[:] = ""
+        for i, (k, nk) in enumerate(zip(
+                sk, sup.column("s_nationkey").to_pylist())):
+            in_eu[k] = nat_reg[nk] == "EUROPE"
+            sname[k] = sup.column("s_name")[i].as_py()
+            snat[k] = nname[nk]
+            sbal[k] = sup.column("s_acctbal")[i].as_py()
+        return in_eu, sname, snat, sbal
+
+    def q2_min_cost_supplier(sf_dir):
+        """TPC-H Q2 shape (adapted — no partsupp table, so a supplier's
+        'offer' for a part is its minimum observed sale price): for
+        STANDARD parts of the probed sizes, the EUROPE supplier(s)
+        matching the per-part minimum offer.  Supplier/nation/region
+        collapse to dense broadcast lookups; offers reduce per
+        (part, supplier) through the bucketed path; the per-part min
+        joins back broadcast.  Prices compare as exact int cents so min
+        selection can never flip on float association."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray as _ray
+        from ie_ray.stages.relational import adaptive_join, \
+            bucketed_aggregate
+
+        in_eu, sname, snat, sbal = _europe_suppliers(sf_dir)
+        part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                             columns=["p_partkey", "p_type", "p_size"])
+        pk = np.asarray(part.column("p_partkey"), dtype=np.int64)
+        part_ok = np.zeros(int(pk.max()) + 2 if len(pk) else 1,
+                           dtype=bool)
+        sizes = {5, 15, 25, 35, 45}
+        part_ok[pk] = (
+            np.asarray(part.column("p_type"), dtype=object)
+            == "STANDARD") & np.isin(
+            np.asarray(part.column("p_size"), dtype=np.int64),
+            list(sizes))
+        dims_ref = _ray.put((in_eu, sname, snat, sbal, part_ok))
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            eu, _, _, _, pok = _ray.get(dims_ref)
+            lpk = np.asarray(t.column("l_partkey").cast(pa.int64()))
+            lsk = np.asarray(t.column("l_suppkey").cast(pa.int64()))
+            keep = pok[np.minimum(lpk, len(pok) - 1)] & \
+                eu[np.minimum(lsk, len(eu) - 1)]
+            cents = np.round(np.asarray(
+                t.column("l_extendedprice"), dtype=np.float64)
+                * 100.0).astype(np.int64)
+            part_t = pa.table({
+                "l_partkey": pa.array(lpk[keep], type=pa.int64()),
+                "l_suppkey": pa.array(lsk[keep], type=pa.int64()),
+                "cents": pa.array(cents[keep], type=pa.int64())})
+            return part_t.group_by(
+                ["l_partkey", "l_suppkey"]).aggregate(
+                [("cents", "min")]).rename_columns(
+                ["l_partkey", "l_suppkey", "cents"])
+
+        offers = _tbl(sf_dir, "lineitem",
+                      columns=["l_partkey", "l_suppkey",
+                               "l_extendedprice"]) \
+            .map_batches(li_prep, batch_format="pyarrow")
+        offers = bucketed_aggregate(
+            offers, ["l_partkey", "l_suppkey"], [("cents", "min")]) \
+            .map_batches(lambda t: t.rename_columns(
+                ["l_partkey", "l_suppkey", "cents"]),
+                batch_format="pyarrow") \
+            .materialize()  # bounded: (filtered part, supplier) pairs;
+        # consumed twice (per-part min + equality probe)
+        best = bucketed_aggregate(offers, "l_partkey",
+                                  [("cents", "min")]) \
+            .map_batches(lambda t: t.rename_columns(
+                ["l_partkey", "mc"]), batch_format="pyarrow")
+        hit = adaptive_join(offers, best, "l_partkey")
+
+        def project(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.table({
+                    "s_acctbal": pa.array([], type=pa.float64()),
+                    "s_name": pa.array([], type=pa.string()),
+                    "n_name": pa.array([], type=pa.string()),
+                    "p_partkey": pa.array([], type=pa.int64()),
+                    "min_cost": pa.array([], type=pa.float64())})
+            _, sn, nn, bal, _ = _ray.get(dims_ref)
+            t = t.filter(pc.equal(t.column("cents"), t.column("mc")))
+            sk = np.asarray(t.column("l_suppkey"))
+            return pa.table({
+                "s_acctbal": pa.array(bal[sk], type=pa.float64()),
+                "s_name": pa.array(sn[sk], type=pa.string()),
+                "n_name": pa.array(nn[sk], type=pa.string()),
+                "p_partkey": t.column("l_partkey"),
+                "min_cost": pc.round(pc.divide(
+                    t.column("cents").cast(pa.float64()),
+                    pa.scalar(100.0)), 2,
+                    round_mode="half_towards_infinity")})
+
+        def order(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return project(t)
+            return t.sort_by([("s_acctbal", "descending"),
+                              ("n_name", "ascending"),
+                              ("s_name", "ascending"),
+                              ("p_partkey", "ascending")])
+
+        return _small_table(lowcard_combine(hit, project, order),
+                       [("s_acctbal", pa.float64()),
+                        ("s_name", pa.string()),
+                        ("n_name", pa.string()),
+                        ("p_partkey", pa.int64()),
+                        ("min_cost", pa.float64())])
+
+    def q11_important_parts(sf_dir):
+        """TPC-H Q11 shape (adapted — no partsupp, 'stock value' is
+        NATION_5-supplier revenue per part): parts whose value exceeds
+        1/500 of the nation total.  Per-part values reduce through the
+        bucketed path, the global threshold is one streaming scalar,
+        and the comparison cross-multiplies exact int64 so both engines
+        agree on every boundary."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray as _ray
+
+        from ie_ray.stages.relational import bucketed_aggregate
+
+        sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_nationkey"])
+        sk = np.asarray(sup.column("s_suppkey"), dtype=np.int64)
+        in_nat = np.zeros(int(sk.max()) + 2 if len(sk) else 1,
+                          dtype=bool)
+        in_nat[sk] = np.asarray(
+            sup.column("s_nationkey"), dtype=np.int64) == 5
+        nat_ref = _ray.put(in_nat)
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            nat = _ray.get(nat_ref)
+            lsk = np.asarray(t.column("l_suppkey").cast(pa.int64()))
+            keep = nat[np.minimum(lsk, len(nat) - 1)]
+            part_t = pa.table({
+                "l_partkey":
+                    t.column("l_partkey").cast(pa.int64()).filter(
+                        pa.array(keep)),
+                "rev": pa.array(_rev_scaled(t)[keep], type=pa.int64())})
+            return part_t.group_by("l_partkey").aggregate(
+                [("rev", "sum")]).rename_columns(["l_partkey", "rev"])
+
+        v = bucketed_aggregate(
+            _tbl(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                          "l_discount"])
+            .map_batches(li_prep, batch_format="pyarrow"),
+            "l_partkey", [("rev", "sum")]) \
+            .map_batches(lambda t: t.rename_columns(
+                ["l_partkey", "rev"]), batch_format="pyarrow") \
+            .materialize()  # bounded: one row per part; consumed twice
+
+        def tot_partial(t: pa.Table) -> pa.Table:
+            s = pc.sum(t.column("rev")).as_py() or 0
+            return pa.table({"s": pa.array([int(s)], type=pa.int64())})
+
+        def tot_final(t: pa.Table) -> pa.Table:
+            s = pc.sum(t.column("s")).as_py() or 0
+            return pa.table({"s": pa.array([int(s)], type=pa.int64())})
+
+        tot_rows = lowcard_combine(v, tot_partial, tot_final).take_all()
+        total = int(tot_rows[0]["s"]) if tot_rows else 0
+
+        def sel(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.table({
+                    "l_partkey": pa.array([], type=pa.int64()),
+                    "value": pa.array([], type=pa.float64())})
+            keep = pc.greater(pc.multiply(
+                t.column("rev"), pa.scalar(500, type=pa.int64())),
+                pa.scalar(total, type=pa.int64()))
+            t = t.filter(keep)
+            return pa.table({
+                "l_partkey": t.column("l_partkey"),
+                "value": pc.round(pc.divide(
+                    t.column("rev").cast(pa.float64()),
+                    pa.scalar(10000.0)), 2,
+                    round_mode="half_towards_infinity")})
+
+        def order(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return sel(t)
+            return t.sort_by([("value", "descending"),
+                              ("l_partkey", "ascending")])
+
+        return _small_table(lowcard_combine(v, sel, order),
+                       [("l_partkey", pa.int64()),
+                        ("value", pa.float64())])
+
+    def q16_supplier_cnt(sf_dir):
+        """TPC-H Q16 shape (adapted — the 'complaints' exclusion is
+        negative account balance): distinct supplier count per
+        (brand, type, size) over parts actually supplied.  Distinct
+        (brand, type, size, supplier) tuples come out of the bucketed
+        path (dedup before counting, so no count-distinct shuffle);
+        the final count per bounded (brand, type, size) domain is a
+        lowcard combine."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        import ray as _ray
+
+        from ie_ray.stages.relational import bucketed_aggregate
+
+        part = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand", "p_type", "p_size"])
+        pk = np.asarray(part.column("p_partkey"), dtype=np.int64)
+        size = int(pk.max()) + 2 if len(pk) else 1
+        brand = np.empty(size, dtype=object)
+        ptype = np.empty(size, dtype=object)
+        psize = np.zeros(size, dtype=np.int64)
+        brand[:] = ""
+        ptype[:] = ""
+        brand[pk] = np.asarray(part.column("p_brand"), dtype=object)
+        ptype[pk] = np.asarray(part.column("p_type"), dtype=object)
+        psize[pk] = np.asarray(part.column("p_size"), dtype=np.int64)
+        part_ok = np.zeros(size, dtype=bool)
+        part_ok[pk] = (brand[pk] != "Brand#1") & \
+            (ptype[pk] != "PROMO") & \
+            np.isin(psize[pk], [1, 4, 9, 16, 25, 36, 49])
+        sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_acctbal"])
+        sk = np.asarray(sup.column("s_suppkey"), dtype=np.int64)
+        sup_ok = np.zeros(int(sk.max()) + 2 if len(sk) else 1,
+                          dtype=bool)
+        sup_ok[sk] = np.asarray(
+            sup.column("s_acctbal"), dtype=np.float64) >= 0.0
+        dims_ref = _ray.put((part_ok, brand, ptype, psize, sup_ok))
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            pok, br, ty, sz, sok = _ray.get(dims_ref)
+            lpk = np.asarray(t.column("l_partkey").cast(pa.int64()))
+            lsk = np.asarray(t.column("l_suppkey").cast(pa.int64()))
+            keep = pok[np.minimum(lpk, len(pok) - 1)] & \
+                sok[np.minimum(lsk, len(sok) - 1)]
+            lpk, lsk = lpk[keep], lsk[keep]
+            part_t = pa.table({
+                "p_brand": pa.array(br[lpk], type=pa.string()),
+                "p_type": pa.array(ty[lpk], type=pa.string()),
+                "p_size": pa.array(sz[lpk], type=pa.int64()),
+                "s_suppkey": pa.array(lsk, type=pa.int64()),
+                "one": pa.array(np.ones(len(lpk), dtype=np.int64))})
+            return part_t.group_by(
+                ["p_brand", "p_type", "p_size", "s_suppkey"]).aggregate(
+                [("one", "min")]).rename_columns(
+                ["p_brand", "p_type", "p_size", "s_suppkey", "one"])
+
+        tuples = bucketed_aggregate(
+            _tbl(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+            .map_batches(li_prep, batch_format="pyarrow"),
+            ["p_brand", "p_type", "p_size", "s_suppkey"],
+            [("one", "min")])
+
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.table({
+                    "p_brand": pa.array([], type=pa.string()),
+                    "p_type": pa.array([], type=pa.string()),
+                    "p_size": pa.array([], type=pa.int64()),
+                    "supplier_cnt": pa.array([], type=pa.int64())})
+            n = pa.table({
+                "p_brand": t.column("p_brand"),
+                "p_type": t.column("p_type"),
+                "p_size": t.column("p_size"),
+                "supplier_cnt": pa.array(
+                    np.ones(len(t), dtype=np.int64))})
+            return n.group_by(
+                ["p_brand", "p_type", "p_size"]).aggregate(
+                [("supplier_cnt", "sum")]).rename_columns(
+                ["p_brand", "p_type", "p_size", "supplier_cnt"])
+
+        def final(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return partial(t)
+            g = t.group_by(
+                ["p_brand", "p_type", "p_size"]).aggregate(
+                [("supplier_cnt", "sum")]).rename_columns(
+                ["p_brand", "p_type", "p_size", "supplier_cnt"])
+            return g.sort_by([("supplier_cnt", "descending"),
+                              ("p_brand", "ascending"),
+                              ("p_type", "ascending"),
+                              ("p_size", "ascending")])
+
+        return _small_table(lowcard_combine(tuples, partial, final),
+                       [("p_brand", pa.string()),
+                        ("p_type", pa.string()),
+                        ("p_size", pa.int64()),
+                        ("supplier_cnt", pa.int64())])
+
+    def q20_excess_suppliers(sf_dir):
+        """TPC-H Q20 shape (adapted — no partsupp availqty, so 'excess'
+        means the supplier shipped more than half a part's 1999
+        volume): suppliers in NATION_3/NATION_4 dominating any
+        'small%' part.  Per-(part, supplier) and per-part volumes both
+        reduce through the bucketed path; the dominance test joins the
+        part totals back broadcast and cross-multiplies exact int64
+        quantities."""
+        import datetime
+
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray as _ray
+
+        from ie_ray.stages.relational import adaptive_join, \
+            bucketed_aggregate
+
+        part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                             columns=["p_partkey", "p_name"])
+        pk = np.asarray(part.column("p_partkey"), dtype=np.int64)
+        part_ok = np.zeros(int(pk.max()) + 2 if len(pk) else 1,
+                           dtype=bool)
+        part_ok[pk] = np.char.startswith(np.asarray(
+            part.column("p_name"), dtype=str), "small")
+        nname = _nation_names(sf_dir)
+        sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_name",
+                                     "s_nationkey"])
+        sk = np.asarray(sup.column("s_suppkey"), dtype=np.int64)
+        size = int(sk.max()) + 2 if len(sk) else 1
+        sname = np.empty(size, dtype=object)
+        snat = np.empty(size, dtype=object)
+        sname[:] = ""
+        snat[:] = ""
+        sname[sk] = np.asarray(sup.column("s_name"), dtype=object)
+        snat[sk] = np.asarray(
+            [nname[k] for k in sup.column("s_nationkey").to_pylist()],
+            dtype=object)
+        dims_ref = _ray.put((part_ok, sname, snat))
+        lo = pa.scalar(datetime.datetime(1999, 1, 1))
+        hi = pa.scalar(datetime.datetime(2000, 1, 1))
+
+        def li_prep(t: pa.Table) -> pa.Table:
+            pok, _, _ = _ray.get(dims_ref)
+            t = t.filter(pc.and_(
+                pc.greater_equal(t.column("l_shipdate"), lo),
+                pc.less(t.column("l_shipdate"), hi)))
+            lpk = np.asarray(t.column("l_partkey").cast(pa.int64()))
+            keep = pok[np.minimum(lpk, len(pok) - 1)]
+            q = np.round(np.asarray(t.column("l_quantity"),
+                                    dtype=np.float64)).astype(np.int64)
+            part_t = pa.table({
+                "l_partkey": pa.array(lpk[keep], type=pa.int64()),
+                "l_suppkey":
+                    t.column("l_suppkey").cast(pa.int64()).filter(
+                        pa.array(keep)),
+                "q": pa.array(q[keep], type=pa.int64())})
+            return part_t.group_by(
+                ["l_partkey", "l_suppkey"]).aggregate(
+                [("q", "sum")]).rename_columns(
+                ["l_partkey", "l_suppkey", "q"])
+
+        sq = bucketed_aggregate(
+            _tbl(sf_dir, "lineitem",
+                 columns=["l_partkey", "l_suppkey", "l_quantity",
+                          "l_shipdate"])
+            .map_batches(li_prep, batch_format="pyarrow"),
+            ["l_partkey", "l_suppkey"], [("q", "sum")]) \
+            .map_batches(lambda t: t.rename_columns(
+                ["l_partkey", "l_suppkey", "q"]),
+                batch_format="pyarrow") \
+            .materialize()  # bounded: (small-part, supplier) pairs;
+        # consumed twice (part totals + dominance probe)
+        pq_tot = bucketed_aggregate(sq, "l_partkey", [("q", "sum")]) \
+            .map_batches(lambda t: t.rename_columns(
+                ["l_partkey", "tq"]), batch_format="pyarrow")
+        joined = adaptive_join(sq, pq_tot, "l_partkey")
+
+        def winners(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.table({
+                    "s_name": pa.array([], type=pa.string()),
+                    "n_name": pa.array([], type=pa.string())})
+            _, sn, nn, = _ray.get(dims_ref)
+            dom = np.asarray(t.column("q")) * 2 > \
+                np.asarray(t.column("tq"))
+            lsk = np.asarray(t.column("l_suppkey"))[dom]
+            nat = nn[lsk]
+            keep = (nat == "NATION_3") | (nat == "NATION_4")
+            lsk = lsk[keep]
+            out = pa.table({
+                "s_name": pa.array(sn[lsk], type=pa.string()),
+                "n_name": pa.array(nat[keep], type=pa.string())})
+            return out.group_by(["s_name", "n_name"]).aggregate(
+                []).rename_columns(["s_name", "n_name"])
+
+        def final(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return winners(t)
+            g = t.group_by(["s_name", "n_name"]).aggregate(
+                []).rename_columns(["s_name", "n_name"])
+            return g.sort_by([("s_name", "ascending")])
+
+        return _small_table(lowcard_combine(joined, winners, final),
+                       [("s_name", pa.string()),
+                        ("n_name", pa.string())])
+
+    def q21_waiting_suppliers(sf_dir):
+        """TPC-H Q21 shape (adapted — no receipt/commit dates, 'late'
+        means shipped >60 days after the order date): per supplier in
+        NATION_1/NATION_2, the count of finished multi-supplier orders
+        where it was the ONLY late supplier.  The per-order exists /
+        not-exists pair collapses to one vectorized polars kernel per
+        complete order bucket; the per-supplier count is bucketed; the
+        name/nation decoration is a broadcast dense lookup."""
+        import datetime
+
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray as _ray
+
+        from ie_ray.stages.dedup import _join_partitions
+        from ie_ray.stages.relational import bucketed_aggregate, \
+            bucketed_map_groups
+
+        nname = _nation_names(sf_dir)
+        sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                            columns=["s_suppkey", "s_name",
+                                     "s_nationkey"])
+        sk = np.asarray(sup.column("s_suppkey"), dtype=np.int64)
+        size = int(sk.max()) + 2 if len(sk) else 1
+        sname = np.empty(size, dtype=object)
+        snat = np.empty(size, dtype=object)
+        sname[:] = ""
+        snat[:] = ""
+        sname[sk] = np.asarray(sup.column("s_name"), dtype=object)
+        snat[sk] = np.asarray(
+            [nname[k] for k in sup.column("s_nationkey").to_pylist()],
+            dtype=object)
+        dims_ref = _ray.put((sname, snat))
+        grace_us = 60 * 86400 * 1_000_000
+
+        li = _tbl(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_shipdate"]) \
+            .map_batches(lambda t: pa.table({
+                "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
+                "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
+                "ship_us": t.column("l_shipdate").cast(
+                    pa.timestamp("us")).cast(pa.int64())}),
+                batch_format="pyarrow")
+        orders = _tbl(sf_dir, "orders",
+                      columns=["o_orderkey", "o_orderstatus",
+                               "o_orderdate"]) \
+            .map_batches(lambda t: (lambda f: pa.table({
+                "o_orderkey": f.column("o_orderkey").cast(pa.int64()),
+                "ord_us": f.column("o_orderdate").cast(
+                    pa.timestamp("us")).cast(pa.int64())}))(
+                t.filter(pc.equal(t.column("o_orderstatus"), "F"))),
+                batch_format="pyarrow")
+        joined = li.join(orders, "inner",
+                         num_partitions=_join_partitions(),
+                         on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def flag(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.table({
+                    "l_orderkey": pa.array([], type=pa.int64()),
+                    "l_suppkey": pa.array([], type=pa.int64()),
+                    "late": pa.array([], type=pa.bool_())})
+            return pa.table({
+                "l_orderkey": t.column("l_orderkey"),
+                "l_suppkey": t.column("l_suppkey"),
+                "late": pc.greater(
+                    t.column("ship_us"),
+                    pc.add(t.column("ord_us"),
+                           pa.scalar(grace_us, type=pa.int64())))})
+
+        flagged = joined.map_batches(flag, batch_format="pyarrow")
+
+        def per_order(g: pa.Table) -> pa.Table:
+            import polars as pl
+            if g.num_rows == 0:
+                return pa.table({"late_supp": pa.array([],
+                                                       type=pa.int64()),
+                                 "one": pa.array([], type=pa.int64())})
+            agg = pl.from_arrow(g).group_by("l_orderkey").agg(
+                pl.col("l_suppkey").n_unique().alias("nsupp"),
+                pl.col("l_suppkey").filter(pl.col("late"))
+                  .n_unique().alias("nlate"),
+                pl.col("l_suppkey").filter(pl.col("late"))
+                  .max().alias("late_supp"))
+            hit = agg.filter((pl.col("nsupp") > 1)
+                             & (pl.col("nlate") == 1))
+            out = hit.select("late_supp").to_arrow()
+            return pa.table({
+                "late_supp": out.column("late_supp").cast(pa.int64()),
+                "one": pa.array(np.ones(len(out), dtype=np.int64))})
+
+        solo_late = bucketed_map_groups(flagged, "l_orderkey",
+                                        per_order)
+        counts = bucketed_aggregate(solo_late, "late_supp",
+                                    [("one", "sum")]) \
+            .map_batches(lambda t: t.rename_columns(
+                ["late_supp", "numwait"]), batch_format="pyarrow")
+
+        def decorate(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.table({
+                    "s_name": pa.array([], type=pa.string()),
+                    "numwait": pa.array([], type=pa.int64())})
+            sn, nn = _ray.get(dims_ref)
+            lsk = np.asarray(t.column("late_supp"))
+            nat = nn[lsk]
+            keep = (nat == "NATION_1") | (nat == "NATION_2")
+            return pa.table({
+                "s_name": pa.array(sn[lsk][keep], type=pa.string()),
+                "numwait": t.column("numwait").filter(pa.array(keep))})
+
+        def final(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return decorate(t)
+            g = t.group_by("s_name").aggregate(
+                [("numwait", "sum")]).rename_columns(
+                ["s_name", "numwait"])
+            return g.sort_by([("numwait", "descending"),
+                              ("s_name", "ascending")])
+
+        return _small_table(lowcard_combine(counts, decorate, final),
+                       [("s_name", pa.string()),
+                        ("numwait", pa.int64())])
+
     def gopher_filter_docs(sf_dir):
         """Gopher-style document quality rules (Rae et al. 2021, public):
         word-count band, mean-word-length band, stopword floor, top-word
@@ -3880,6 +4443,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_large_volume": q18_large_volume,
         "q19_disjunct_revenue": q19_disjunct_revenue,
         "q22_idle_customers": q22_idle_customers,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q11_important_parts": q11_important_parts,
+        "q16_supplier_cnt": q16_supplier_cnt,
+        "q20_excess_suppliers": q20_excess_suppliers,
+        "q21_waiting_suppliers": q21_waiting_suppliers,
         "events_cumulative_value": events_cumulative_value,
         "word_cooccur_edges": word_cooccur_edges,
         "word_triangles": word_triangles,
@@ -4593,6 +5161,74 @@ def oracle_sql() -> dict[str, str]:
             "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
             "WHERE o_orderdate >= TIMESTAMP '2000-01-01') "
             "GROUP BY c_nationkey ORDER BY n_nationkey",
+        "q2_min_cost_supplier":
+            "WITH offers AS (SELECT l_partkey, l_suppkey, "
+            "min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents "
+            "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "JOIN region ON r_regionkey = n_regionkey "
+            "WHERE r_name = 'EUROPE' GROUP BY 1, 2), "
+            "best AS (SELECT l_partkey, min(cents) AS mc FROM offers "
+            "GROUP BY 1) "
+            "SELECT s_acctbal, s_name, n_name, p_partkey::BIGINT AS "
+            "p_partkey, round(o.cents / 100.0, 2) AS min_cost "
+            "FROM offers o JOIN best b ON o.l_partkey = b.l_partkey "
+            "AND o.cents = b.mc "
+            "JOIN part ON p_partkey = o.l_partkey "
+            "JOIN supplier ON s_suppkey = o.l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE p_type = 'STANDARD' AND p_size IN (5, 15, 25, 35, 45) "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey",
+        "q11_important_parts":
+            "WITH v AS (SELECT l_partkey::BIGINT AS l_partkey, "
+            "sum(" + _REV_SQL + ") AS val "
+            "FROM lineitem JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE s_nationkey = 5 GROUP BY 1) "
+            "SELECT l_partkey, round(val / 10000.0, 2) AS value FROM v "
+            "WHERE val * 500 > (SELECT sum(val) FROM v) "
+            "ORDER BY value DESC, l_partkey",
+        "q16_supplier_cnt":
+            "WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey "
+            "FROM lineitem), "
+            "ok AS (SELECT l_partkey, l_suppkey FROM pairs "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE s_acctbal >= 0) "
+            "SELECT p_brand, p_type, p_size::BIGINT AS p_size, "
+            "count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt "
+            "FROM ok JOIN part ON p_partkey = l_partkey "
+            "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' "
+            "AND p_size IN (1, 4, 9, 16, 25, 36, 49) "
+            "GROUP BY 1, 2, 3 "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size",
+        "q20_excess_suppliers":
+            "WITH sq AS (SELECT l_partkey, l_suppkey, "
+            "CAST(round(sum(l_quantity)) AS BIGINT) AS q FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1999-01-01' "
+            "AND l_shipdate < TIMESTAMP '2000-01-01' GROUP BY 1, 2), "
+            "pq AS (SELECT l_partkey, sum(q) AS tq FROM sq GROUP BY 1) "
+            "SELECT DISTINCT s_name, n_name "
+            "FROM sq JOIN pq ON sq.l_partkey = pq.l_partkey "
+            "JOIN part ON p_partkey = sq.l_partkey "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE p_name LIKE 'small%' AND sq.q * 2 > pq.tq "
+            "AND n_name IN ('NATION_3', 'NATION_4') ORDER BY s_name",
+        "q21_waiting_suppliers":
+            "WITH l AS (SELECT l_orderkey, l_suppkey, "
+            "(l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE o_orderstatus = 'F'), "
+            "per_order AS (SELECT l_orderkey, "
+            "count(DISTINCT l_suppkey) AS nsupp, "
+            "count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate, "
+            "max(CASE WHEN late THEN l_suppkey END) AS late_supp "
+            "FROM l GROUP BY 1) "
+            "SELECT s_name, count(*)::BIGINT AS numwait "
+            "FROM per_order JOIN supplier ON s_suppkey = late_supp "
+            "JOIN nation ON n_nationkey = s_nationkey "
+            "WHERE nsupp > 1 AND nlate = 1 "
+            "AND n_name IN ('NATION_1', 'NATION_2') "
+            "GROUP BY 1 ORDER BY numwait DESC, s_name",
         "gopher_filter_docs":
             "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) "
             "AS w FROM documents), "

@@ -150,7 +150,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "q9_profit_by_nation", "q13_order_distribution",
                  "q15_top_supplier", "q17_small_quantity_revenue",
                  "q18_large_volume", "q19_disjunct_revenue",
-                 "q22_idle_customers"):
+                 "q22_idle_customers",
+                 "q2_min_cost_supplier", "q11_important_parts",
+                 "q16_supplier_cnt", "q20_excess_suppliers",
+                 "q21_waiting_suppliers"):
         consume(name)
 
     total = round(time.time() - t0, 3)
