@@ -133,8 +133,9 @@ def kg_triples(fixture_dir: Optional[str] = None,
     if link:
         fused_kwargs["alias_map"] = ray.put(load_alias_map(
             alias_table_path))
-    fused_cap = max(concurrency[1], int(
-        ray.cluster_resources().get("CPU", 4)) // 2)
+    fused_cap = int(os.environ.get("IE_RAY_FUSED_CAP", "0")) or \
+        max(concurrency[1], int(
+            ray.cluster_resources().get("CPU", 4)) // 2)
     ds = ds.map_batches(
         ParseComposeActor,
         fn_constructor_kwargs=fused_kwargs,
