@@ -19,3 +19,18 @@ docstrings (path:line into /root/reference) only to document parity.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+# Honest per-worker thread accounting: Ray caps pyarrow/BLAS via
+# OMP_NUM_THREADS=1 in every worker, but polars sizes its rayon pool
+# from the HOST core count (measured: 32 threads inside a 1-CPU Ray
+# actor).  A 1-CPU stage silently burning 32 host threads
+# oversubscribes the node the moment several actors run — and on a
+# shared measurement box it lets a small-CPU run exceed its nominal
+# budget, corrupting N-vs-4N scaling numbers.  Pin the pool to the
+# worker's Ray CPU share before any polars import; explicit
+# POLARS_MAX_THREADS from the operator always wins.
+if "POLARS_MAX_THREADS" not in _os.environ:
+    _os.environ["POLARS_MAX_THREADS"] = \
+        _os.environ.get("OMP_NUM_THREADS") or "1"

@@ -125,9 +125,13 @@ def kg_triples(fixture_dir: Optional[str] = None,
     derivations_ref = ray.put(_load_derivation_map(fixture_dir))
     # parse, compose AND entity linking run fused in ONE actor pool: the
     # per-sentence derivation strings (the largest intermediate) and the
-    # 9M-row linked-triple hop never enter the object store.  With a
-    # single heavy pool its cap can take half the cluster and still leave
-    # room for the extract/dedup operators.
+    # 9M-row linked-triple hop never enter the object store.  The pool
+    # takes 3/4 of the cluster: the feeder stages (read, extract,
+    # lang-filter, segment) are vectorized Arrow kernels that keep
+    # ~24 parse actors fed from ~3 task CPUs (interleaved A/B at 32
+    # CPUs, 2.4M pages: cap 16 → 28.4k docs/s, cap 21 → 34.4k, cap 24
+    # → 35.7k best-of-2), so reserving half the cluster for them
+    # starved the parser — the actual scaling bottleneck.
     from ..stages.compose_stage import ParseComposeActor
     fused_kwargs = {"derivations": derivations_ref}
     if link:
@@ -135,7 +139,7 @@ def kg_triples(fixture_dir: Optional[str] = None,
             alias_table_path))
     fused_cap = int(os.environ.get("IE_RAY_FUSED_CAP", "0")) or \
         max(concurrency[1], int(
-            ray.cluster_resources().get("CPU", 4)) // 2)
+            ray.cluster_resources().get("CPU", 4)) * 3 // 4)
     ds = ds.map_batches(
         ParseComposeActor,
         fn_constructor_kwargs=fused_kwargs,
