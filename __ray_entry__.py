@@ -4372,6 +4372,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         comps, _, mean = fit_pca(emb, k=2)
         return project(emb, comps, mean)
 
+    def semdedup_keep(sf_dir):
+        """SemDeDup (Abbas et al. 2023): k-means in embedding space,
+        then greedy near-duplicate pruning WITHIN each cluster (cosine
+        ≥ τ to an already-kept row ⇒ drop; keep-farthest-from-centroid
+        order).  No SQL oracle (iterative Lloyd rounds); gated by the
+        distributed-vs-NumPy-twin identity and planted-duplicate tests
+        in tests/test_semdedup.py."""
+        from ie_ray.stages.semdedup import semdedup
+        emb = _tbl(sf_dir, "embeddings", blocks=8)
+        return semdedup(emb, k=8, iters=3, tau=0.9)
+
     def docs_split_assign(sf_dir):
         """Deterministic train/val/test assignment by content hash
         (80/10/10) — the reproducible split every training pipeline
@@ -4568,6 +4579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_project": embedding_pca_project,
         "word_kcore": word_kcore,
         "docs_bpe_encode": docs_bpe_encode,
+        "semdedup_keep": semdedup_keep,
     }
 
 
