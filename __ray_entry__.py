@@ -4405,6 +4405,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _docs(sf_dir).map_batches(assign, batch_format="pyarrow")
 
+    def events_watermark_hourly(sf_dir):
+        """Allowed-lateness windowed aggregate (Flink/Beam semantics
+        with a perfect watermark): each hourly event-time window closes
+        at window_end + 5 min; an event ARRIVING after the close is
+        excluded from the window's on-time aggregate and surfaced in a
+        late count instead of silently dropped.  Arrival time is the
+        deterministic ingest-delay model ``ts + (event_id mod 13)
+        minutes`` (the table itself is ingest-ordered, so lateness is
+        synthesized reproducibly).  Close is per-ROW decidable —
+        ``arrival > window_end + lateness`` — so the whole operator is
+        one vectorized map + a bounded per-window combine: no global
+        arrival order, no stateful stream replay.  Money sums are
+        exact int64 cents."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        late_us = 65 * 60 * 1_000_000  # window length + 5 min lateness
+
+        def partial(t: pa.Table) -> pa.Table:
+            ts = t.column("ts").cast(pa.timestamp("us"))
+            hour = pc.floor_temporal(ts, unit="hour")
+            ts_us = np.asarray(ts.cast(pa.int64()))
+            hour_us = np.asarray(hour.cast(pa.int64()))
+            delay_us = (np.asarray(t.column("event_id")
+                                   .cast(pa.int64())) % 13) \
+                * 60_000_000
+            late = ts_us + delay_us > hour_us + late_us
+            cents = np.round(np.asarray(t.column("value"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            part = pa.table({
+                "window": pc.strftime(hour,
+                                      format="%Y-%m-%d %H:00:00"),
+                "n_on_time": pa.array((~late).astype(np.int64)),
+                "n_late": pa.array(late.astype(np.int64)),
+                "cents": pa.array(np.where(late, 0, cents),
+                                  type=pa.int64())})
+            return part.group_by("window").aggregate(
+                [("n_on_time", "sum"), ("n_late", "sum"),
+                 ("cents", "sum")]).rename_columns(
+                ["window", "n_on_time", "n_late", "cents"])
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by("window").aggregate(
+                [("n_on_time", "sum"), ("n_late", "sum"),
+                 ("cents", "sum")]).rename_columns(
+                ["window", "n_on_time", "n_late", "cents"])
+
+        def final(t: pa.Table) -> pa.Table:
+            g = combine(t).sort_by("window")
+            return pa.table({
+                "window": g.column("window"),
+                "n_on_time": g.column("n_on_time"),
+                "n_late": g.column("n_late"),
+                "sum_value_on_time": pc.round(pc.divide(
+                    g.column("cents").cast(pa.float64()),
+                    pa.scalar(100.0)), 2,
+                    round_mode="half_towards_infinity")})
+
+        ds = _tbl(sf_dir, "events",
+                  columns=["ts", "event_id", "value"]) \
+            .map_batches(partial, batch_format="pyarrow")
+        return lowcard_combine(ds, combine, final,
+                               combine_fn=combine)
+
     def events_hourly_distinct_users(sf_dir):
         """Distinct users per hour — the classic streaming engagement
         metric as an exact batch re-expression: block-local (hour, user)
@@ -4459,6 +4524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_cnt": q16_supplier_cnt,
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
+        "events_watermark_hourly": events_watermark_hourly,
         "events_cumulative_value": events_cumulative_value,
         "word_cooccur_edges": word_cooccur_edges,
         "word_triangles": word_triangles,
@@ -5173,6 +5239,18 @@ def oracle_sql() -> dict[str, str]:
             "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
             "WHERE o_orderdate >= TIMESTAMP '2000-01-01') "
             "GROUP BY c_nationkey ORDER BY n_nationkey",
+        "events_watermark_hourly":
+            "WITH x AS (SELECT strftime(date_trunc('hour', ts), "
+            "'%Y-%m-%d %H:00:00') AS \"window\", "
+            "(ts + to_minutes(event_id % 13) > date_trunc('hour', ts) "
+            "+ INTERVAL 65 MINUTE) AS late, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+            "SELECT \"window\", "
+            "(count(*) FILTER (WHERE NOT late))::BIGINT AS n_on_time, "
+            "(count(*) FILTER (WHERE late))::BIGINT AS n_late, "
+            "round(sum(CASE WHEN NOT late THEN cents ELSE 0 END) "
+            "/ 100.0, 2) AS sum_value_on_time "
+            "FROM x GROUP BY \"window\" ORDER BY \"window\"",
         "q2_min_cost_supplier":
             "WITH offers AS (SELECT l_partkey, l_suppkey, "
             "min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cents "
