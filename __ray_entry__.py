@@ -4470,6 +4470,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lowcard_combine(ds, combine, final,
                                combine_fn=combine)
 
+    def docs_dsir_scores(sf_dir):
+        """DSIR importance scores (Xie et al. 2023): log p_target −
+        log p_raw per document under add-1 unigram LMs, target =
+        lang='en'.  See ie_ray/stages/retrieval.py::dsir_scores for
+        the distribution shape (vocab-bounded broadcast, block-local
+        scoring)."""
+        from ie_ray.stages.retrieval import dsir_scores
+        return dsir_scores(_docs(sf_dir), target_lang="en")
+
+    def docs_pii_scrub(sf_dir):
+        """Rule-based PII redaction (emails/SSNs/phones/IPs; C4 /
+        RefinedWeb-style cleaning): per-doc match counts + the
+        redacted text, byte-identical across engines (RE2 both
+        sides).  Pure stateless RE2-in-C++ map — no shuffle.  The
+        synthetic corpus is digit-free, so this oracle row proves
+        engine equivalence on clean text; tests/test_pii.py plants
+        real PII and is the behavioral gate."""
+        from ie_ray.stages.pii import pii_scrub
+        return pii_scrub(_docs(sf_dir))
+
     def events_hourly_distinct_users(sf_dir):
         """Distinct users per hour — the classic streaming engagement
         metric as an exact batch re-expression: block-local (hour, user)
@@ -4525,6 +4545,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q20_excess_suppliers": q20_excess_suppliers,
         "q21_waiting_suppliers": q21_waiting_suppliers,
         "events_watermark_hourly": events_watermark_hourly,
+        "docs_dsir_scores": docs_dsir_scores,
+        "docs_pii_scrub": docs_pii_scrub,
         "events_cumulative_value": events_cumulative_value,
         "word_cooccur_edges": word_cooccur_edges,
         "word_triangles": word_triangles,
@@ -4657,6 +4679,8 @@ def oracle_sql() -> dict[str, str]:
     from ie_ray.stages.dedup import (EMBEDDING_DUP_SQL, NGRAM_PAIRS_SQL,
                                      _NGRAM_SQL_GRAMS, minhash_oracle_sql,
                                      simhash_oracle_sql)
+    from ie_ray.stages.pii import pii_oracle_sql as _pii_sql
+    from ie_ray.stages.retrieval import dsir_oracle_sql as _dsir_sql
     from ie_ray.stages.retrieval import (UNIGRAM_LOGPROB_SQL as _UNIGRAM_SQL,
                                          bm25_oracle_sql as _bm25_oracle,
                                          pmi_oracle_sql as _pmi_oracle)
@@ -5239,6 +5263,8 @@ def oracle_sql() -> dict[str, str]:
             "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
             "WHERE o_orderdate >= TIMESTAMP '2000-01-01') "
             "GROUP BY c_nationkey ORDER BY n_nationkey",
+        "docs_dsir_scores": _dsir_sql("en"),
+        "docs_pii_scrub": _pii_sql(),
         "events_watermark_hourly":
             "WITH x AS (SELECT strftime(date_trunc('hour', ts), "
             "'%Y-%m-%d %H:00:00') AS \"window\", "

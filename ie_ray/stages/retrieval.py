@@ -362,3 +362,102 @@ def pmi_oracle_sql(k: int = 20, min_count: int = 50) -> str:
         "CROSS JOIN tt CROSS JOIN bt) "
         "SELECT gram, n, pmi FROM s ORDER BY pmi DESC, gram LIMIT %d"
         % (min_count, k))
+
+
+def dsir_scores(docs, target_lang: str = "en"):
+    """DSIR-style importance score (Xie et al. 2023, arXiv:2302.03169,
+    "Data Selection for Language Models via Importance Resampling" —
+    public recipe): per-document log importance weight
+    ``log p_target(d) − log p_raw(d)`` under add-1-smoothed unigram
+    LMs, where target = the ``lang == target_lang`` slice and raw =
+    the whole corpus.  High scores mark documents that look like the
+    target distribution — the signal DSIR resamples by.
+
+    Shape: one block-local tf pass with a per-doc target flag, ONE
+    vocab-sized exchange carrying BOTH LMs' counts (c, tc per word),
+    two scalar normalizers, then the vocab-bounded log-ratio table
+    broadcasts once and every document scores block-locally — no
+    per-doc join, no doc_id exchange.  At open-web scale DSIR hashes
+    n-grams into a fixed 2^k bucket table; that variant only changes
+    the broadcast into a flat float array (same shape) — the
+    exact-word form here is the one a SQL oracle can verify.
+    Returns (doc_id, dsir_score) rounded to 4 dp.
+    """
+    import math
+
+    import polars as pl
+    import ray
+
+    from ie_ray.stages.relational import bucketed_aggregate
+
+    def tf_flag(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["doc_id", "text", "lang"]))
+        e = (df.with_columns(pl.col("text").str.split(" ").alias("w"),
+                             (pl.col("lang") == target_lang)
+                             .alias("is_t"))
+               .drop("text", "lang").explode("w"))
+        tf = (e.group_by(["doc_id", "w"])
+                .agg(pl.len().alias("c"),
+                     pl.col("is_t").first()))
+        out = (tf.rename({"w": "word"})
+                 .with_columns(
+                     pl.col("c").cast(pl.Int64),
+                     (pl.col("c") * pl.col("is_t").cast(pl.Int64))
+                     .cast(pl.Int64).alias("tc"))
+                 .drop("is_t").to_arrow())
+        return out.cast(pa.schema([
+            pa.field(f.name, pa.string() if f.type == pa.large_string()
+                     else f.type) for f in out.schema]))
+
+    tf = docs.map_batches(tf_flag, batch_format="pyarrow").materialize()
+    cnt = (bucketed_aggregate(
+        tf.select_columns(["word", "c", "tc"]), "word",
+        [("c", "sum"), ("tc", "sum")])
+        .map_batches(lambda t: t.rename_columns(["word", "c", "tc"]),
+                     batch_format="pyarrow")).materialize()
+    n_raw = int(cnt.sum("c"))
+    n_tgt = int(cnt.sum("tc"))
+    vocab = int(cnt.count())
+
+    lr = {}
+    for b in cnt.iter_batches(batch_format="pyarrow", batch_size=65536):
+        for w, c, tc in zip(b.column("word").to_pylist(),
+                            b.column("c").to_pylist(),
+                            b.column("tc").to_pylist()):
+            lr[w] = (math.log((tc + 1) / (n_tgt + vocab))
+                     - math.log((c + 1) / (n_raw + vocab)))
+    ref = ray.put(lr)
+
+    def score(t: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        sums: dict = {}
+        for d, w, c in zip(t.column("doc_id").to_pylist(),
+                           t.column("word").to_pylist(),
+                           t.column("c").to_pylist()):
+            sums[d] = sums.get(d, 0.0) + c * table[w]
+        keys = sorted(sums)
+        return pa.table({
+            "doc_id": pa.array(keys, type=pa.int64()),
+            "dsir_score": pa.array([round(sums[k], 4) for k in keys],
+                                   type=pa.float64())})
+
+    return tf.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_oracle_sql(target_lang: str = "en") -> str:
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+        "AS word FROM documents), "
+        "tgt AS (SELECT doc_id FROM documents WHERE lang = '%s'), "
+        "r AS (SELECT word, count(*) AS cr FROM tok GROUP BY word), "
+        "t AS (SELECT word, count(*) AS ct FROM tok "
+        "JOIN tgt USING (doc_id) GROUP BY word), "
+        "nr AS (SELECT count(*) AS n FROM tok), "
+        "nt AS (SELECT count(*) AS n FROM tok JOIN tgt USING (doc_id)), "
+        "v AS (SELECT count(*) AS v FROM r) "
+        "SELECT doc_id, round(sum("
+        "ln((coalesce(ct, 0) + 1)::DOUBLE / (nt.n + v.v)) "
+        "- ln((cr + 1)::DOUBLE / (nr.n + v.v))), 4) AS dsir_score "
+        "FROM tok JOIN r USING (word) LEFT JOIN t USING (word) "
+        "CROSS JOIN nr CROSS JOIN nt CROSS JOIN v "
+        "GROUP BY doc_id" % target_lang)
