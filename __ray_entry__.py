@@ -5243,7 +5243,11 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey "
             "LIMIT 100",
         "q19_disjunct_revenue":
-            "SELECT round(sum(" + _REV_SQL + ") / 10000.0, 2) AS revenue "
+            # coalesce pins the 0-revenue-on-empty semantic the Ray
+            # side implements (SQL sum over zero rows is NULL; at tiny
+            # sf the disjuncts can match nothing)
+            "SELECT round(coalesce(sum(" + _REV_SQL + "), 0) "
+            "/ 10000.0, 2) AS revenue "
             "FROM lineitem JOIN part ON p_partkey = l_partkey WHERE "
             "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
             "AND round(l_quantity) BETWEEN 1 AND 11) "
