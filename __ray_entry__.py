@@ -2909,6 +2909,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          on=("l_orderkey",), right_on=("o_orderkey",))
 
         def partial(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                # a zero-key hash-join partition emits a SCHEMA-LESS
+                # empty block — rebuild the partial's schema
+                return pa.table({
+                    "supp_nation": pa.array([], type=pa.string()),
+                    "cust_nation": pa.array([], type=pa.string()),
+                    "l_year": pa.array([], type=pa.int64()),
+                    "rev": pa.array([], type=pa.int64())})
             _, cn = _ray.get(dims_ref)
             ck = np.asarray(t.column("o_custkey").cast(pa.int64()))
             cnat = cn[np.minimum(ck, len(cn) - 1)]
@@ -3037,6 +3045,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          on=("l_orderkey",), right_on=("o_orderkey",))
 
         def partial(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                # schema-less empty block from a zero-key join partition
+                return pa.table({
+                    "o_year": pa.array([], type=pa.int64()),
+                    "rev": pa.array([], type=pa.int64()),
+                    "trev": pa.array([], type=pa.int64())})
             _, _, inr = _ray.get(dims_ref)
             ckk = np.asarray(t.column("o_custkey").cast(pa.int64()))
             keep = inr[np.minimum(ckk, len(inr) - 1)]
@@ -3127,6 +3141,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          on=("l_orderkey",), right_on=("o_orderkey",))
 
         def partial(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                # schema-less empty block from a zero-key join partition
+                return pa.table({
+                    "nation": pa.array([], type=pa.string()),
+                    "o_year": pa.array([], type=pa.int64()),
+                    "amount": pa.array([], type=pa.int64())})
             return t.select(["nation", "o_year", "amount"]).group_by(
                 ["nation", "o_year"]).aggregate(
                 [("amount", "sum")]).rename_columns(

@@ -172,8 +172,11 @@ class SupertagModel:
       frequency inside ``(-0.25, -0.75)`` — strong enough to guide the
       beam, never strong enough to beat a closed-class 0.0 reading;
     * observed (word, cat) pairs that already exist in the hand list
-      get a small confirmation bonus (+0.05 capped at -0.01), which
-      re-ranks within the beam without reordering closed-class entries.
+      are left UNTOUCHED: ``parser.supertag`` keeps the hand entry and
+      drops the learned duplicate, so corpus counts only ever ADD
+      readings, never re-rank the hand list (a confirmation-bonus
+      re-rank was tried and rejected — it reordered closed-class
+      entries on skewed corpora).
     """
 
     def __init__(self, word_counts: Dict[str, Dict[str, int]],

@@ -247,8 +247,8 @@ def _rename_term(t: Term, ren: Dict[Term, Term], sk: _Skolemizer) -> Term:
 
 def _resolvents(c1: Clause, c2: Clause,
                 sk: _Skolemizer) -> List[Clause]:
-    """All binary resolvents of c1 × c2 (c2 renamed apart), plus
-    factors of each resolvent."""
+    """All binary resolvents of c1 × c2 (c2 renamed apart); the caller
+    adds each resolvent's factors (see :func:`_factors`)."""
     c2 = _rename(c2, sk)
     out = []
     for (sg1, p1, a1) in c1:
@@ -267,12 +267,41 @@ def _resolvents(c1: Clause, c2: Clause,
     return out
 
 
+def _factors(c: Clause) -> List[Clause]:
+    """All binary factors of ``c`` (unify two same-sign literals and
+    merge them).  Binary resolution alone is incomplete — the classic
+    counterexample needs a factor of p(x)∨p(y) — so every derived
+    clause contributes its factors too."""
+    lits = list(c)
+    out = []
+    for i in range(len(lits)):
+        sg1, p1, a1 = lits[i]
+        for j in range(i + 1, len(lits)):
+            sg2, p2, a2 = lits[j]
+            if sg1 != sg2 or p1 != p2 or len(a1) != len(a2):
+                continue
+            s: Optional[Dict[Term, Term]] = {}
+            for x, y in zip(a1, a2):
+                s = unify(x, y, s)
+                if s is None:
+                    break
+            if s is not None:
+                f = _apply(c, s)
+                if f != c:
+                    out.append(f)
+    return out
+
+
 def refute(clauses: List[Clause], support: List[Clause],
            max_clauses: int = 4000,
            max_literals: int = 12) -> Optional[bool]:
-    """Set-of-support resolution.  ``True`` = empty clause derived
-    (unsatisfiable), ``False`` = saturated (satisfiable w.r.t. this
-    strategy), ``None`` = clause budget exhausted."""
+    """Set-of-support resolution with factoring.  ``True`` = empty
+    clause derived (unsatisfiable), ``False`` = saturated without any
+    clause having been pruned (a COMPLETE 'satisfiable w.r.t. this
+    strategy' answer), ``None`` = unknown — clause budget exhausted OR
+    saturation was reached only because the ``max_literals`` bound
+    discarded resolvents (a pruned search must not claim a definitive
+    non-entailment)."""
     sk = _Skolemizer()
     # bump the variable counter past every input variable so renaming
     # can never collide
@@ -282,28 +311,36 @@ def refute(clauses: List[Clause], support: List[Clause],
                 _bump(a, sk)
     usable = list(clauses)
     sos = list(support)
+    for c in list(sos):
+        sos.extend(_factors(c))
     seen = set(usable) | set(sos)
     if frozenset() in seen:
         return True
+    pruned = False
     i = 0
     while i < len(sos):
         given = sos[i]
         i += 1
         for other in usable + sos[:i]:
             for r in _resolvents(given, other, sk):
-                if len(r) > max_literals or r in seen:
-                    continue
-                if not r:
-                    return True
-                # forward subsumption by unit clauses (cheap, effective)
-                if any(len(u) == 1 and next(iter(u)) in r
-                       for u in usable if len(u) == 1):
-                    continue
-                seen.add(r)
-                sos.append(r)
-                if len(seen) > max_clauses:
-                    return None
-    return False
+                for cand in [r] + _factors(r):
+                    if cand in seen:
+                        continue
+                    if len(cand) > max_literals:
+                        pruned = True
+                        continue
+                    if not cand:
+                        return True
+                    # forward subsumption by unit clauses (cheap,
+                    # effective)
+                    if any(len(u) == 1 and next(iter(u)) in cand
+                           for u in usable if len(u) == 1):
+                        continue
+                    seen.add(cand)
+                    sos.append(cand)
+                    if len(seen) > max_clauses:
+                        return None
+    return None if pruned else False
 
 
 def _bump(t: Term, sk: _Skolemizer) -> None:

@@ -52,10 +52,12 @@ def pii_scrub(docs):
 
 
 def pii_oracle_sql() -> str:
+    # patterns pass into DuckDB single-quoted literals verbatim
+    # (DuckDB does not treat backslash as an escape there); none may
+    # contain a single quote
     counts = ", ".join(
         "len(regexp_extract_all(text, '%s'))::BIGINT AS n_%s"
-        % (pat.replace("\\", "\\"), name)
-        for name, pat, _ in PATTERNS)
+        % (pat, name) for name, pat, _ in PATTERNS)
     red = "text"
     for _, pat, repl in PATTERNS:
         red = "regexp_replace(%s, '%s', '%s', 'g')" % (red, pat, repl)

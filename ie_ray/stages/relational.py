@@ -631,6 +631,13 @@ def global_ntile(ds, value_col: str, id_col: str, k: int = 4,
     q, m = divmod(n, k)
 
     def rank_group(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            # Ray map_groups can hand an empty (even schema-less)
+            # block to a zero-key partition — g.column("bin")[0]
+            # below would raise
+            return pa.table({
+                id_col: pa.array([], type=pa.int64()),
+                "tile": pa.array([], type=pa.int64())})
         b = int(g.column("bin")[0].as_py())
         v = np.asarray(g.column("v"), dtype=np.float64)
         ids = np.asarray(g.column(id_col), dtype=np.int64)

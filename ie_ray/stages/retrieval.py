@@ -183,11 +183,16 @@ def unigram_logprob(docs):
 
     if n_vocab <= 200_000:
         # adaptive small-vocab path (the adaptive_join decision applied
-        # to corpus statistics): broadcast the count table once and sum
-        # per doc BLOCK-LOCALLY — a doc's tf rows never span blocks, so
-        # this needs NO join and NO doc_id exchange (3.1 s → 0.9 s at
-        # sf0.1).  Above the threshold the vocabulary stays distributed
-        # and the hash-join path below runs instead.
+        # to corpus statistics): broadcast the count table once, emit
+        # per-doc PARTIAL sums block-locally (vectorized pandas-map
+        # lookups), and total them through a bucketed doc_id combine
+        # whose exchange is ≤ one row per doc per block (3.1 s → 0.9 s
+        # at sf0.1 vs the join path).  The partial/combine split — not
+        # a single block-local finish — is required for correctness:
+        # Ray splits oversized map outputs at arbitrary row
+        # boundaries, so one doc's tf rows CAN land in two blocks.
+        # Above the threshold the vocabulary stays distributed and the
+        # hash-join path below runs instead.
         import math
         import ray
         counts = {}
@@ -200,20 +205,26 @@ def unigram_logprob(docs):
                        for w, c in counts.items()})
 
         def local(t: pa.Table) -> pa.Table:
-            import numpy as np
+            import pandas as pd
             lp = ray.get(ref)
-            sums: dict = {}
-            for d, w, c in zip(t.column("doc_id").to_pylist(),
-                               t.column("word").to_pylist(),
-                               t.column("c").to_pylist()):
-                sums[d] = sums.get(d, 0.0) + c * lp[w]
-            keys = sorted(sums)
-            return pa.table({
-                "doc_id": pa.array(keys, type=pa.int64()),
-                "logprob": pa.array([round(sums[k], 4) for k in keys],
-                                    type=pa.float64())})
+            contrib = (pd.Series(t.column("word").to_pylist())
+                       .map(lp).to_numpy(dtype=float)
+                       * np.asarray(t.column("c"), dtype=float))
+            part = pa.table({
+                "doc_id": t.column("doc_id"),
+                "lp": pa.array(contrib, type=pa.float64())})
+            return part.group_by("doc_id").aggregate(
+                [("lp", "sum")]).rename_columns(["doc_id", "lp"])
 
-        return tf.map_batches(local, batch_format="pyarrow")
+        summed = bucketed_aggregate(
+            tf.map_batches(local, batch_format="pyarrow"),
+            "doc_id", [("lp", "sum")])
+        return summed.map_batches(
+            lambda t: pa.table({
+                "doc_id": t.column("doc_id"),
+                "logprob": pc.round(t.column("lp_sum"), 4,
+                                    round_mode="half_towards_infinity")}),
+            batch_format="pyarrow")
 
     joined = tf.join(cnt, "inner", num_partitions=_join_partitions(),
                      on=("word",))
@@ -376,8 +387,11 @@ def dsir_scores(docs, target_lang: str = "en"):
     Shape: one block-local tf pass with a per-doc target flag, ONE
     vocab-sized exchange carrying BOTH LMs' counts (c, tc per word),
     two scalar normalizers, then the vocab-bounded log-ratio table
-    broadcasts once and every document scores block-locally — no
-    per-doc join, no doc_id exchange.  At open-web scale DSIR hashes
+    broadcasts once, every block emits per-doc PARTIAL score sums, and
+    a bucketed doc_id combine totals them — the exchange carries at
+    most one row per doc per block, and the partial/combine split is
+    what keeps the answer correct when Ray splits an oversized tf
+    block mid-document.  At open-web scale DSIR hashes
     n-grams into a fixed 2^k bucket table; that variant only changes
     the broadcast into a flat float array (same shape) — the
     exact-word form here is the one a SQL oracle can verify.
@@ -428,20 +442,32 @@ def dsir_scores(docs, target_lang: str = "en"):
                      - math.log((c + 1) / (n_raw + vocab)))
     ref = ray.put(lr)
 
-    def score(t: pa.Table) -> pa.Table:
+    def score_partial(t: pa.Table) -> pa.Table:
+        # block-LOCAL partial sums, vectorized (C-speed hash lookups
+        # via pandas map); a doc whose tf rows were split across
+        # blocks (Ray splits oversized map outputs at arbitrary row
+        # boundaries) emits one partial per block — the bucketed
+        # combine below makes the total correct regardless
+        import pandas as pd
         table = ray.get(ref)
-        sums: dict = {}
-        for d, w, c in zip(t.column("doc_id").to_pylist(),
-                           t.column("word").to_pylist(),
-                           t.column("c").to_pylist()):
-            sums[d] = sums.get(d, 0.0) + c * table[w]
-        keys = sorted(sums)
-        return pa.table({
-            "doc_id": pa.array(keys, type=pa.int64()),
-            "dsir_score": pa.array([round(sums[k], 4) for k in keys],
-                                   type=pa.float64())})
+        contrib = (pd.Series(t.column("word").to_pylist()).map(table)
+                   .to_numpy(dtype=float)
+                   * np.asarray(t.column("c"), dtype=float))
+        part = pa.table({
+            "doc_id": t.column("doc_id"),
+            "lp": pa.array(contrib, type=pa.float64())})
+        return part.group_by("doc_id").aggregate(
+            [("lp", "sum")]).rename_columns(["doc_id", "lp"])
 
-    return tf.map_batches(score, batch_format="pyarrow")
+    scored = bucketed_aggregate(
+        tf.map_batches(score_partial, batch_format="pyarrow"),
+        "doc_id", [("lp", "sum")])
+    return scored.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "dsir_score": pc.round(t.column("lp_sum"), 4,
+                                   round_mode="half_towards_infinity")}),
+        batch_format="pyarrow")
 
 
 def dsir_oracle_sql(target_lang: str = "en") -> str:

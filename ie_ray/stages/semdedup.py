@@ -23,13 +23,15 @@ ASC) — the paper's keep-the-example-farthest-from-the-centroid rule
 made a total order — and a row is dropped iff its cosine similarity
 to an already-KEPT row of the same cluster is ≥ ``tau``.
 
-Skew: per-cluster work is O(c² · dim).  Pick ``k ≈ n / target_c`` so
-the expected cluster size keeps c² · dim inside one task's budget
-(the paper runs ~100k clusters for ~100M points); a pathological
-mega-cluster is truncated to its first ``cluster_cap`` rows in greedy
-order and every overflow row is KEPT and flagged ``capped`` — dedup
-degrades to a no-op there rather than an O(c²) blow-up, and the flag
-makes the truncation visible instead of silent.
+Skew: per-cluster time is O(c · kept · dim) with O(c · dim) memory —
+the greedy compares each candidate only against the kept-so-far
+matrix, never materializing a c×c similarity matrix.  Pick
+``k ≈ n / target_c`` so the expected cluster size keeps that budget
+inside one task (the paper runs ~100k clusters for ~100M points); a
+pathological mega-cluster is truncated to its first ``cluster_cap``
+rows in greedy order and every overflow row is KEPT and flagged
+``capped`` — dedup degrades to a no-op there rather than a time
+blow-up, and the flag makes the truncation visible instead of silent.
 """
 
 from __future__ import annotations
@@ -65,7 +67,14 @@ class _AssignCarry:
 
 def _prune_cluster(ids, dist, emb, tau, cluster_cap):
     """Greedy within-cluster prune; returns (keep, capped) bools in
-    input order."""
+    input order.
+
+    Memory: the candidate's similarities are computed INCREMENTALLY
+    against the kept-so-far matrix (one vector × kept-matrix product
+    per row), never as a full c×c similarity matrix — a 50k-row
+    cluster would otherwise allocate ~20 GB before the cap could
+    help.  Peak extra memory is O(c · dim); worst-case time stays
+    O(c · kept · dim) and ``cluster_cap`` bounds it."""
     order = np.lexsort((ids, -dist))
     n = len(ids)
     keep = np.ones(n, dtype=bool)
@@ -76,13 +85,14 @@ def _prune_cluster(ids, dist, emb, tau, cluster_cap):
     norms = np.linalg.norm(x, axis=1)
     norms[norms == 0.0] = 1.0
     xn = x / norms[:, None]
-    sims = xn @ xn.T
-    kept_rows: list[int] = []
+    kept = np.empty_like(xn)
+    n_kept = 0
     for i in range(len(head)):
-        if kept_rows and sims[i, kept_rows].max() >= tau:
+        if n_kept and (kept[:n_kept] @ xn[i]).max() >= tau:
             keep[head[i]] = False
         else:
-            kept_rows.append(i)
+            kept[n_kept] = xn[i]
+            n_kept += 1
     return keep, capped
 
 
@@ -134,8 +144,15 @@ def semdedup(ds, k: int = 8, iters: int = 5, tau: float = 0.95,
 def semdedup_reference(vec_ids, m, k: int = 8, iters: int = 5,
                        tau: float = 0.95, cluster_cap: int = 65536):
     """Single-process NumPy twin (same seeding, same Lloyd loop, same
-    greedy order as the distributed path) — must reproduce
-    :func:`semdedup` on any input."""
+    greedy order as the distributed path).  Agreement caveat: the
+    distributed fit merges per-block partial sums while this twin
+    takes one `.mean()` — identical math, different float association
+    — so on an adversarial input with a point equidistant between
+    centroids (or a cosine exactly at τ) a last-ulp centroid
+    difference can flip a discrete keep/cluster decision.  The test
+    corpora (random gaussians, planted dups at cos≈1) sit far from
+    such ties, which is what the identity gate in
+    tests/test_semdedup.py actually certifies."""
     vec_ids = np.asarray(vec_ids, dtype=np.int64)
     m = np.asarray(m, dtype=np.float64)
     order = np.argsort(vec_ids)

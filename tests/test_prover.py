@@ -84,6 +84,27 @@ def test_budget_exhaustion_returns_none():
                           max_clauses=40) in (False, None)
 
 
+def test_literal_bound_pruning_returns_unknown_not_false():
+    """A search that discarded resolvents via the max_literals bound
+    must answer None (unknown), never a definitive False — the pruned
+    clause could have led to the refutation (it does here)."""
+    c = _ref("c")
+    wide = Pred("Q", [c])
+    for i in range(13):
+        wide = FOr(wide, Pred("P%d" % i, [c]))
+    prem = [wide] + [Not(Pred("P%d" % i, [c])) for i in range(13)]
+    assert prover.entails(prem, Pred("Q", [c])) is not False
+
+
+def test_factoring_completeness():
+    """∃x p(x) ∨ ∀y ¬p(y) is valid, but its refutation needs a FACTOR
+    of p(x) ∨ p(y) — binary resolution alone saturates without it
+    (Robinson's classic incompleteness example)."""
+    x, y = _ref("x"), _ref("y")
+    f = FOr(Exists(x, Pred("p", [x])), ForAll(y, Not(Pred("p", [y]))))
+    assert prover.valid(f) is True
+
+
 # -- modal (relational translation) ------------------------------------------
 
 def test_modal_K_distribution():
