@@ -4403,6 +4403,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = _tbl(sf_dir, "embeddings", blocks=8)
         return semdedup(emb, k=8, iters=3, tau=0.9)
 
+    def docs_dsir_scores_hashed(sf_dir):
+        """Hashed-bucket DSIR (the open-web-scale variant of
+        docs_dsir_scores: fixed 2^k feature table, crc32 bigram
+        hashing).  No SQL oracle (crc32); gated by
+        tests/test_dsir_hashed.py — determinism, planted separation,
+        and rank agreement with the exact-word oracle variant."""
+        from ie_ray.stages.retrieval import dsir_scores_hashed
+        return dsir_scores_hashed(_docs(sf_dir), target_lang="en")
+
     def docs_split_assign(sf_dir):
         """Deterministic train/val/test assignment by content hash
         (80/10/10) — the reproducible split every training pipeline
@@ -4688,6 +4697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_kcore": word_kcore,
         "docs_bpe_encode": docs_bpe_encode,
         "semdedup_keep": semdedup_keep,
+        "docs_dsir_scores_hashed": docs_dsir_scores_hashed,
     }
 
 

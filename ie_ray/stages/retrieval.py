@@ -487,3 +487,95 @@ def dsir_oracle_sql(target_lang: str = "en") -> str:
         "FROM tok JOIN r USING (word) LEFT JOIN t USING (word) "
         "CROSS JOIN nr CROSS JOIN nt CROSS JOIN v "
         "GROUP BY doc_id" % target_lang)
+
+
+def dsir_scores_hashed(docs, target_lang: str = "en",
+                       n_buckets: int = 8192, seed: int = 1000003):
+    """The SCALE variant of :func:`dsir_scores` — hashed bigram
+    features into a fixed ``n_buckets`` table, exactly as the DSIR
+    paper runs at open-web scale (the feature space must stay bounded
+    when the vocabulary doesn't).
+
+    Shape: every block emits its two bucket-count vectors (raw and
+    target) as ``n_buckets`` partial rows; a lowcard tree-combine sums
+    them (the key domain is the FIXED bucket space, never the
+    vocabulary); the driver holds only the 2 × n_buckets counts and
+    broadcasts the add-1 log-ratio as one flat float array; scoring is
+    a second stateless pass over the docs table — a document's text is
+    ONE row, so per-doc sums are block-safe by construction (unlike
+    the exploded-tf layout, which needs the bucketed doc_id combine).
+
+    Word hashing: crc32 per unique word per block, gram bucket =
+    ``(h1 * seed) ^ h2 mod n_buckets`` — deterministic across runs,
+    processes and cluster sizes.  Rows: (doc_id, dsir_score).
+    No SQL oracle (crc32 isn't SQL-expressible here); gated by
+    tests/test_dsir_hashed.py (determinism + planted separation +
+    agreement-in-ranking with the exact-word variant).
+    """
+    import zlib
+
+    import ray
+
+    from ie_ray.stages.relational import lowcard_combine
+
+    def _buckets(texts):
+        """Per-row arrays of bigram bucket ids (vectorized over the
+        block's unique vocabulary; crc32 python loop only on uniques)."""
+        split = [t.split(" ") for t in texts]
+        vocab = {}
+        for ws in split:
+            for w in ws:
+                if w not in vocab:
+                    vocab[w] = zlib.crc32(w.encode("utf-8"))
+        out = []
+        for ws in split:
+            if len(ws) < 2:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            h = np.fromiter((vocab[w] for w in ws), dtype=np.int64,
+                            count=len(ws))
+            out.append(((h[:-1] * seed) ^ h[1:]) % n_buckets)
+        return out
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        bks = _buckets(t.column("text").to_pylist())
+        is_t = pc.equal(t.column("lang"),
+                        pa.scalar(target_lang)).to_pylist()
+        raw = np.zeros(n_buckets, dtype=np.int64)
+        tgt = np.zeros(n_buckets, dtype=np.int64)
+        for b, flag in zip(bks, is_t):
+            if len(b):
+                raw += np.bincount(b, minlength=n_buckets)
+                if flag:
+                    tgt += np.bincount(b, minlength=n_buckets)
+        return pa.table({
+            "bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+            "c": pa.array(raw), "tc": pa.array(tgt)})
+
+    def count_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("bucket").aggregate(
+            [("c", "sum"), ("tc", "sum")])
+        return g.rename_columns(["bucket", "c", "tc"])
+
+    cnt = lowcard_combine(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        count_combine, combine_fn=count_combine).take_all()
+    raw = np.zeros(n_buckets, dtype=np.int64)
+    tgt = np.zeros(n_buckets, dtype=np.int64)
+    for r in cnt:
+        raw[r["bucket"]] = r["c"]
+        tgt[r["bucket"]] = r["tc"]
+    n_raw, n_tgt = int(raw.sum()), int(tgt.sum())
+    lr = (np.log((tgt + 1.0) / (n_tgt + n_buckets))
+          - np.log((raw + 1.0) / (n_raw + n_buckets)))
+    ref = ray.put(lr)
+
+    def score(t: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        bks = _buckets(t.column("text").to_pylist())
+        s = np.array([table[b].sum() if len(b) else 0.0 for b in bks])
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "dsir_score": pa.array(np.round(s, 4), type=pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow")
