@@ -148,6 +148,49 @@ def test_modal_agreement_with_kripke_evaluator():
     del serial_model, box_p, dia_p
 
 
+def test_propositional_soundness_and_completeness_random():
+    """Ground resolution is a decision procedure for propositional
+    logic — on random formulas over 4 atoms the prover must agree
+    exactly with a truth table (no None allowed at these sizes)."""
+    import random
+
+    rng = random.Random(20260818)
+    atoms = [Pred(n, []) for n in "abcd"]
+
+    def gen(depth):
+        r = rng.random()
+        if depth == 0 or r < 0.3:
+            return rng.choice(atoms)
+        if r < 0.5:
+            return Not(gen(depth - 1))
+        if r < 0.7:
+            return And([gen(depth - 1), gen(depth - 1)])
+        if r < 0.9:
+            return FOr(gen(depth - 1), gen(depth - 1))
+        return FImp(gen(depth - 1), gen(depth - 1))
+
+    def truth(f, env):
+        if isinstance(f, Pred):
+            return env[f.name]
+        if isinstance(f, Not):
+            return not truth(f.body, env)
+        if isinstance(f, And):
+            return all(truth(p, env) for p in f.parts)
+        if isinstance(f, FOr):
+            return truth(f.left, env) or truth(f.right, env)
+        if isinstance(f, FImp):
+            return (not truth(f.left, env)) or truth(f.right, env)
+        raise TypeError(f)
+
+    for _ in range(150):
+        f = gen(4)
+        sat = any(truth(f, dict(zip("abcd", (
+            bool(m & 1), bool(m & 2), bool(m & 4), bool(m & 8)))))
+            for m in range(16))
+        got = prover.satisfiable(f, max_clauses=20000)
+        assert got is sat, f
+
+
 # -- DRS discharge end-to-end -------------------------------------------------
 
 def test_drs_discharge_entailment():
