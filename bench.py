@@ -154,7 +154,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "q2_min_cost_supplier", "q11_important_parts",
                  "q16_supplier_cnt", "q20_excess_suppliers",
                  "q21_waiting_suppliers", "events_watermark_hourly",
-                 "semdedup_keep", "docs_dsir_scores", "docs_pii_scrub"):
+                 "semdedup_keep", "docs_dsir_scores", "docs_pii_scrub",
+                 "docs_dsir_scores_hashed"):
         consume(name)
 
     total = round(time.time() - t0, 3)
