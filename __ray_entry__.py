@@ -4028,14 +4028,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dims_ref = _ray.put((sname, snat))
         grace_us = 60 * 86400 * 1_000_000
 
-        li = _tbl(sf_dir, "lineitem",
-                  columns=["l_orderkey", "l_suppkey", "l_shipdate"]) \
-            .map_batches(lambda t: pa.table({
+        def li_prep(t: pa.Table) -> pa.Table:
+            # block-local (order, supplier) max-shipdate pre-combine:
+            # a supplier is late iff its MAX ship date is late, and
+            # the partial row holding the pair's true max carries the
+            # true flag downstream — under-flagged non-argmax partials
+            # only duplicate (order, supplier) rows, which the
+            # per-order n_unique/max kernel is insensitive to.  Shrinks
+            # the join and the per-order kernel input.
+            part = pa.table({
                 "l_orderkey": t.column("l_orderkey").cast(pa.int64()),
                 "l_suppkey": t.column("l_suppkey").cast(pa.int64()),
                 "ship_us": t.column("l_shipdate").cast(
-                    pa.timestamp("us")).cast(pa.int64())}),
-                batch_format="pyarrow")
+                    pa.timestamp("us")).cast(pa.int64())})
+            return part.group_by(
+                ["l_orderkey", "l_suppkey"]).aggregate(
+                [("ship_us", "max")]).rename_columns(
+                ["l_orderkey", "l_suppkey", "ship_us"])
+
+        li = _tbl(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_suppkey", "l_shipdate"]) \
+            .map_batches(li_prep, batch_format="pyarrow")
         orders = _tbl(sf_dir, "orders",
                       columns=["o_orderkey", "o_orderstatus",
                                "o_orderdate"]) \
