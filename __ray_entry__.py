@@ -19,6 +19,8 @@ from typing import Any
 
 import pyarrow as pa
 
+from ie_ray.stages.relational import KeyLookup
+
 # BM25 query: one rare term ('dup', df≈25/500 at sf0.01) + three common
 # ones, so idf and length-normalization both move the ranking
 _BM25_QUERY = ["dup", "join", "stream", "hash"]
@@ -1761,12 +1763,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               columns=[key, val])
             t = t.filter(pc.is_in(t.column(val).cast(pa.int64()),
                                   value_set=nkeys))
-            k = np.asarray(t.column(key).cast(pa.int64()))
-            v = np.asarray(t.column(val).cast(pa.int64()))
-            arr = np.full(int(k.max()) + 2 if len(k) else 1, -1,
-                          dtype=np.int64)
-            arr[k] = v
-            return arr
+            # sparse-key-safe: dense gather only when max(key) ~ n
+            return KeyLookup(np.asarray(t.column(key).cast(pa.int64())),
+                             np.asarray(t.column(val).cast(pa.int64())),
+                             default=-1)
 
         s_nat = dense_lookup("supplier.parquet", "s_suppkey", "s_nationkey")
         c_nat = dense_lookup("customer.parquet", "c_custkey", "c_nationkey")
@@ -1778,7 +1778,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pc.greater_equal(t.column("o_orderdate"), lo),
                 pc.less(t.column("o_orderdate"), hi)))
             ck = np.asarray(t.column("o_custkey").cast(pa.int64()))
-            cn = np.where(ck < len(_c), _c[np.minimum(ck, len(_c) - 1)], -1)
+            cn = _c.take(ck)
             keep = cn >= 0
             return pa.table({
                 "o_orderkey": pa.array(
@@ -1788,7 +1788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def li_prep(t: pa.Table, _s=s_nat) -> pa.Table:
             sk = np.asarray(t.column("l_suppkey").cast(pa.int64()))
-            sn = np.where(sk < len(_s), _s[np.minimum(sk, len(_s) - 1)], -1)
+            sn = _s.take(sk)
             keep = sn >= 0
             # exact int64 money (see _rev_scaled)
             rev = _rev_scaled(t)
@@ -2785,10 +2785,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
                            columns=["p_partkey", "p_type"])
         pk = np.asarray(pt.column("p_partkey").cast(pa.int64()))
-        promo = np.zeros(int(pk.max()) + 2 if len(pk) else 1, dtype=bool)
-        promo[pk] = np.asarray(
+        promo = KeyLookup(pk, np.asarray(
             pc.equal(pt.column("p_type"), "PROMO").combine_chunks(),
-            dtype=bool)
+            dtype=bool), default=False)
         promo_ref = _ray.put(promo)
         lo = pa.scalar(datetime.datetime(1997, 9, 1))
         hi = pa.scalar(datetime.datetime(1997, 10, 1))
@@ -2801,8 +2800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # exact int64 money (see _rev_scaled): partials sum exactly
             rev = _rev_scaled(t)
             keys = np.asarray(t.column("l_partkey").cast(pa.int64()))
-            is_promo = np.where(keys < len(pr), pr[np.minimum(
-                keys, len(pr) - 1)], False)
+            is_promo = pr.take(keys)
             return pa.table({
                 "one": pa.array([1], type=pa.int64()),
                 "promo": pa.array([int(rev[is_promo].sum())],
@@ -2837,14 +2835,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                         nat.column("n_name").to_pylist()))
 
     def _dense_str(keys, values):
-        """key→string dense lookup array (keys are dense TPC-H ids)."""
+        """key→string lookup (dense gather for dense TPC-H ids,
+        hash probe when the key space is sparse — sized by table size,
+        never by max(key))."""
         import numpy as np
-        keys = np.asarray(keys, dtype=np.int64)
-        out = np.empty(int(keys.max()) + 2 if len(keys) else 1,
-                       dtype=object)
-        out[:] = ""
-        out[keys] = np.asarray(values, dtype=object)
-        return out
+        return KeyLookup(np.asarray(keys, dtype=np.int64),
+                         np.asarray(values, dtype=object), default="")
 
     def q7_nation_volume(sf_dir):
         """TPC-H Q7 shape: shipping volume between two nations by ship
@@ -2883,7 +2879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pc.greater_equal(t.column("l_shipdate"), lo),
                 pc.less(t.column("l_shipdate"), hi)))
             sk = np.asarray(t.column("l_suppkey").cast(pa.int64()))
-            snat = sn[np.minimum(sk, len(sn) - 1)]
+            snat = sn.take(sk)
             keep = (snat == N1) | (snat == N2)
             part = pa.table({
                 "l_orderkey":
@@ -2919,7 +2915,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "rev": pa.array([], type=pa.int64())})
             _, cn = _ray.get(dims_ref)
             ck = np.asarray(t.column("o_custkey").cast(pa.int64()))
-            cnat = cn[np.minimum(ck, len(cn) - 1)]
+            cnat = cn.take(ck)
             snat = np.asarray(t.column("supp_nation"), dtype=object)
             keep = ((snat == N1) & (cnat == N2)) | \
                    ((snat == N2) & (cnat == N1))
@@ -2979,27 +2975,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
                            columns=["p_partkey", "p_type"])
         pk = np.asarray(pt.column("p_partkey").cast(pa.int64()))
-        is_type = np.zeros(int(pk.max()) + 2 if len(pk) else 1,
-                           dtype=bool)
-        is_type[pk] = np.asarray(
+        is_type = KeyLookup(pk, np.asarray(
             pc.equal(pt.column("p_type"), PTYPE).combine_chunks(),
-            dtype=bool)
+            dtype=bool), default=False)
         sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                             columns=["s_suppkey", "s_nationkey"])
         sk = np.asarray(sup.column("s_suppkey").cast(pa.int64()))
-        is_target = np.zeros(int(sk.max()) + 2 if len(sk) else 1,
-                             dtype=bool)
-        is_target[sk] = np.asarray(
+        is_target = KeyLookup(sk, np.asarray(
             [nname[k] == TARGET
-             for k in sup.column("s_nationkey").to_pylist()], dtype=bool)
+             for k in sup.column("s_nationkey").to_pylist()],
+            dtype=bool), default=False)
         cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                              columns=["c_custkey", "c_nationkey"])
         ck = np.asarray(cust.column("c_custkey").cast(pa.int64()))
-        in_region = np.zeros(int(ck.max()) + 2 if len(ck) else 1,
-                             dtype=bool)
-        in_region[ck] = np.asarray(
+        in_region = KeyLookup(ck, np.asarray(
             [nat_region[k] == REGION
-             for k in cust.column("c_nationkey").to_pylist()], dtype=bool)
+             for k in cust.column("c_nationkey").to_pylist()],
+            dtype=bool), default=False)
         dims_ref = _ray.put((is_type, is_target, in_region))
         lo = pa.scalar(datetime.datetime(1996, 1, 1))
         hi = pa.scalar(datetime.datetime(1998, 1, 1))
@@ -3007,11 +2999,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def li_prep(t: pa.Table) -> pa.Table:
             ptyp, tgt, _ = _ray.get(dims_ref)
             pkk = np.asarray(t.column("l_partkey").cast(pa.int64()))
-            keep = ptyp[np.minimum(pkk, len(ptyp) - 1)]
+            keep = ptyp.take(pkk)
             rev = _rev_scaled(t)[keep]
             skk = np.asarray(t.column("l_suppkey").cast(
                 pa.int64()))[keep]
-            target = tgt[np.minimum(skk, len(tgt) - 1)]
+            target = tgt.take(skk)
             part = pa.table({
                 "l_orderkey": t.column("l_orderkey").cast(
                     pa.int64()).filter(pa.array(keep)),
@@ -3053,7 +3045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "trev": pa.array([], type=pa.int64())})
             _, _, inr = _ray.get(dims_ref)
             ckk = np.asarray(t.column("o_custkey").cast(pa.int64()))
-            keep = inr[np.minimum(ckk, len(inr) - 1)]
+            keep = inr.take(ckk)
             part = pa.table({
                 "o_year": t.column("o_year").filter(pa.array(keep)),
                 "rev": t.column("rev").filter(pa.array(keep)),
@@ -3093,11 +3085,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
                            columns=["p_partkey", "p_name"])
         pk = np.asarray(pt.column("p_partkey").cast(pa.int64()))
-        is_red = np.zeros(int(pk.max()) + 2 if len(pk) else 1,
-                          dtype=bool)
-        is_red[pk] = np.asarray(
+        is_red = KeyLookup(pk, np.asarray(
             pc.match_substring(pt.column("p_name"),
-                               "red").combine_chunks(), dtype=bool)
+                               "red").combine_chunks(), dtype=bool),
+            default=False)
         sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                             columns=["s_suppkey", "s_nationkey"])
         supp_nat = _dense_str(
@@ -3108,14 +3099,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def li_prep(t: pa.Table) -> pa.Table:
             red, sn = _ray.get(dims_ref)
             pkk = np.asarray(t.column("l_partkey").cast(pa.int64()))
-            keep = red[np.minimum(pkk, len(red) - 1)]
+            keep = red.take(pkk)
             skk = np.asarray(t.column("l_suppkey").cast(
                 pa.int64()))[keep]
             part = pa.table({
                 "l_orderkey": t.column("l_orderkey").cast(
                     pa.int64()).filter(pa.array(keep)),
-                "nation": pa.array(sn[np.minimum(skk, len(sn) - 1)],
-                                   type=pa.string()),
+                "nation": pa.array(sn.take(skk), type=pa.string()),
                 "amount": pa.array(_rev_scaled(t)[keep],
                                    type=pa.int64())})
             return part.group_by(["l_orderkey", "nation"]).aggregate(
@@ -3260,8 +3250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sk = np.asarray(t.column("l_suppkey").cast(pa.int64()))
             return pa.table({
                 "s_suppkey": t.column("l_suppkey").cast(pa.int64()),
-                "s_name": pa.array(nm[np.minimum(sk, len(nm) - 1)],
-                                   type=pa.string()),
+                "s_name": pa.array(nm.take(sk), type=pa.string()),
                 "total_revenue": pc.round(
                     pc.divide(t.column("rev_sum").cast(pa.float64()),
                               pa.scalar(10000.0)),
@@ -3288,17 +3277,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pt = pq.read_table(os.path.join(sf_dir, "part.parquet"),
                            columns=["p_partkey", "p_brand"])
         pk = np.asarray(pt.column("p_partkey").cast(pa.int64()))
-        in_brand = np.zeros(int(pk.max()) + 2 if len(pk) else 1,
-                            dtype=bool)
-        in_brand[pk] = np.asarray(
+        in_brand = KeyLookup(pk, np.asarray(
             pc.equal(pt.column("p_brand"), BRAND).combine_chunks(),
-            dtype=bool)
+            dtype=bool), default=False)
         brand_ref = _ray.put(in_brand)
 
         def li_brand(t: pa.Table) -> pa.Table:
             br = _ray.get(brand_ref)
             pkk = np.asarray(t.column("l_partkey").cast(pa.int64()))
-            keep = br[np.minimum(pkk, len(br) - 1)]
+            keep = br.take(pkk)
             qty = np.round(np.asarray(t.column("l_quantity"),
                                       dtype=np.float64) * 100.0) \
                 .astype(np.int64)
@@ -3319,23 +3306,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    batch_format="pyarrow")]
                                if t.num_columns > 0])
         keys = np.asarray(st.column("l_partkey"), dtype=np.int64)
-        hi_k = int(keys.max()) + 2 if len(keys) else 1
-        sq = np.zeros(hi_k, dtype=np.int64)
-        cn = np.zeros(hi_k, dtype=np.int64)
-        sq[keys] = np.asarray(st.column("qs_sum"), dtype=np.int64)
-        cn[keys] = np.asarray(st.column("cnt_sum"), dtype=np.int64)
+        sq = KeyLookup(keys, np.asarray(st.column("qs_sum"),
+                                        dtype=np.int64), default=0)
+        cn = KeyLookup(keys, np.asarray(st.column("cnt_sum"),
+                                        dtype=np.int64), default=0)
         stats_ref = _ray.put((sq, cn))
 
         def partial(t: pa.Table) -> pa.Table:
             br = _ray.get(brand_ref)
             sqa, cna = _ray.get(stats_ref)
             pkk = np.asarray(t.column("l_partkey").cast(pa.int64()))
-            keep = br[np.minimum(pkk, len(br) - 1)]
-            pkk = np.minimum(pkk, len(sqa) - 1)
+            keep = br.take(pkk)
             qty = np.round(np.asarray(t.column("l_quantity"),
                                       dtype=np.float64) * 100.0) \
                 .astype(np.int64)
-            small = keep & (5 * qty * cna[pkk] < sqa[pkk])
+            small = keep & (5 * qty * cna.take(pkk) < sqa.take(pkk))
             cents = np.round(np.asarray(t.column("l_extendedprice"),
                                         dtype=np.float64) * 100.0) \
                 .astype(np.int64)
@@ -3396,8 +3381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             nm = _ray.get(name_ref)
             ck = np.asarray(t.column("o_custkey").cast(pa.int64()))
             return pa.table({
-                "c_name": pa.array(nm[np.minimum(ck, len(nm) - 1)],
-                                   type=pa.string()),
+                "c_name": pa.array(nm.take(ck), type=pa.string()),
                 "c_custkey": t.column("o_custkey").cast(pa.int64()),
                 "o_orderkey": t.column("l_orderkey").cast(pa.int64()),
                 "o_orderdate": t.column("o_orderdate"),
@@ -3430,11 +3414,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pk = np.asarray(pt.column("p_partkey").cast(pa.int64()))
         brand = np.asarray(pt.column("p_brand"), dtype=object)
         size = np.asarray(pt.column("p_size"), dtype=np.int64)
-        branch = np.zeros(int(pk.max()) + 2 if len(pk) else 1,
-                          dtype=np.int8)
+        bid_vals = np.zeros(len(pk), dtype=np.int8)
         for i, (b, s_lo, s_hi, _, _) in enumerate(BRANCHES, start=1):
             m = (brand == b) & (size >= s_lo) & (size <= s_hi)
-            branch[pk[m]] = i
+            bid_vals[m] = i
+        branch = KeyLookup(pk, bid_vals, default=np.int8(0))
         qlo = np.array([0] + [b[3] for b in BRANCHES], dtype=np.int64)
         qhi = np.array([-1] + [b[4] for b in BRANCHES], dtype=np.int64)
         dims_ref = _ray.put((branch, qlo, qhi))
@@ -3442,7 +3426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def partial(t: pa.Table) -> pa.Table:
             br, lo_, hi_ = _ray.get(dims_ref)
             pkk = np.asarray(t.column("l_partkey").cast(pa.int64()))
-            bid = br[np.minimum(pkk, len(br) - 1)]
+            bid = br.take(pkk)
             qty = np.round(np.asarray(t.column("l_quantity"),
                                       dtype=np.float64)).astype(np.int64)
             keep = (bid > 0) & (qty >= lo_[bid]) & (qty <= hi_[bid])
@@ -3586,19 +3570,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          nat.column("n_name").to_pylist()))
         sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"))
         sk = np.asarray(sup.column("s_suppkey"), dtype=np.int64)
-        size = int(sk.max()) + 2 if len(sk) else 1
-        in_eu = np.zeros(size, dtype=bool)
-        sname = np.empty(size, dtype=object)
-        snat = np.empty(size, dtype=object)
-        sbal = np.zeros(size, dtype=np.float64)
-        sname[:] = ""
-        snat[:] = ""
-        for i, (k, nk) in enumerate(zip(
-                sk, sup.column("s_nationkey").to_pylist())):
-            in_eu[k] = nat_reg[nk] == "EUROPE"
-            sname[k] = sup.column("s_name")[i].as_py()
-            snat[k] = nname[nk]
-            sbal[k] = sup.column("s_acctbal")[i].as_py()
+        nk = sup.column("s_nationkey").to_pylist()
+        in_eu = KeyLookup(sk, np.asarray(
+            [nat_reg[k] == "EUROPE" for k in nk], dtype=bool),
+            default=False)
+        sname = KeyLookup(sk, np.asarray(sup.column("s_name"),
+                                         dtype=object), default="")
+        snat = KeyLookup(sk, np.asarray([nname[k] for k in nk],
+                                        dtype=object), default="")
+        sbal = KeyLookup(sk, np.asarray(sup.column("s_acctbal"),
+                                        dtype=np.float64), default=0.0)
         return in_eu, sname, snat, sbal
 
     def q2_min_cost_supplier(sf_dir):
@@ -3621,22 +3602,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
                              columns=["p_partkey", "p_type", "p_size"])
         pk = np.asarray(part.column("p_partkey"), dtype=np.int64)
-        part_ok = np.zeros(int(pk.max()) + 2 if len(pk) else 1,
-                           dtype=bool)
         sizes = {5, 15, 25, 35, 45}
-        part_ok[pk] = (
+        part_ok = KeyLookup(pk, (
             np.asarray(part.column("p_type"), dtype=object)
             == "STANDARD") & np.isin(
             np.asarray(part.column("p_size"), dtype=np.int64),
-            list(sizes))
+            list(sizes)), default=False)
         dims_ref = _ray.put((in_eu, sname, snat, sbal, part_ok))
 
         def li_prep(t: pa.Table) -> pa.Table:
             eu, _, _, _, pok = _ray.get(dims_ref)
             lpk = np.asarray(t.column("l_partkey").cast(pa.int64()))
             lsk = np.asarray(t.column("l_suppkey").cast(pa.int64()))
-            keep = pok[np.minimum(lpk, len(pok) - 1)] & \
-                eu[np.minimum(lsk, len(eu) - 1)]
+            keep = pok.take(lpk) & eu.take(lsk)
             cents = np.round(np.asarray(
                 t.column("l_extendedprice"), dtype=np.float64)
                 * 100.0).astype(np.int64)
@@ -3678,9 +3656,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             t = t.filter(pc.equal(t.column("cents"), t.column("mc")))
             sk = np.asarray(t.column("l_suppkey"))
             return pa.table({
-                "s_acctbal": pa.array(bal[sk], type=pa.float64()),
-                "s_name": pa.array(sn[sk], type=pa.string()),
-                "n_name": pa.array(nn[sk], type=pa.string()),
+                "s_acctbal": pa.array(bal.take(sk),
+                                      type=pa.float64()),
+                "s_name": pa.array(sn.take(sk), type=pa.string()),
+                "n_name": pa.array(nn.take(sk), type=pa.string()),
                 "p_partkey": t.column("l_partkey"),
                 "min_cost": pc.round(pc.divide(
                     t.column("cents").cast(pa.float64()),
@@ -3719,16 +3698,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                             columns=["s_suppkey", "s_nationkey"])
         sk = np.asarray(sup.column("s_suppkey"), dtype=np.int64)
-        in_nat = np.zeros(int(sk.max()) + 2 if len(sk) else 1,
-                          dtype=bool)
-        in_nat[sk] = np.asarray(
-            sup.column("s_nationkey"), dtype=np.int64) == 5
+        in_nat = KeyLookup(sk, np.asarray(
+            sup.column("s_nationkey"), dtype=np.int64) == 5,
+            default=False)
         nat_ref = _ray.put(in_nat)
 
         def li_prep(t: pa.Table) -> pa.Table:
             nat = _ray.get(nat_ref)
             lsk = np.asarray(t.column("l_suppkey").cast(pa.int64()))
-            keep = nat[np.minimum(lsk, len(nat) - 1)]
+            keep = nat.take(lsk)
             part_t = pa.table({
                 "l_partkey":
                     t.column("l_partkey").cast(pa.int64()).filter(
@@ -3802,39 +3780,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.path.join(sf_dir, "part.parquet"),
             columns=["p_partkey", "p_brand", "p_type", "p_size"])
         pk = np.asarray(part.column("p_partkey"), dtype=np.int64)
-        size = int(pk.max()) + 2 if len(pk) else 1
-        brand = np.empty(size, dtype=object)
-        ptype = np.empty(size, dtype=object)
-        psize = np.zeros(size, dtype=np.int64)
-        brand[:] = ""
-        ptype[:] = ""
-        brand[pk] = np.asarray(part.column("p_brand"), dtype=object)
-        ptype[pk] = np.asarray(part.column("p_type"), dtype=object)
-        psize[pk] = np.asarray(part.column("p_size"), dtype=np.int64)
-        part_ok = np.zeros(size, dtype=bool)
-        part_ok[pk] = (brand[pk] != "Brand#1") & \
-            (ptype[pk] != "PROMO") & \
-            np.isin(psize[pk], [1, 4, 9, 16, 25, 36, 49])
+        brv = np.asarray(part.column("p_brand"), dtype=object)
+        tyv = np.asarray(part.column("p_type"), dtype=object)
+        szv = np.asarray(part.column("p_size"), dtype=np.int64)
+        brand = KeyLookup(pk, brv, default="")
+        ptype = KeyLookup(pk, tyv, default="")
+        psize = KeyLookup(pk, szv, default=0)
+        part_ok = KeyLookup(pk, (brv != "Brand#1") & (tyv != "PROMO") &
+                            np.isin(szv, [1, 4, 9, 16, 25, 36, 49]),
+                            default=False)
         sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                             columns=["s_suppkey", "s_acctbal"])
         sk = np.asarray(sup.column("s_suppkey"), dtype=np.int64)
-        sup_ok = np.zeros(int(sk.max()) + 2 if len(sk) else 1,
-                          dtype=bool)
-        sup_ok[sk] = np.asarray(
-            sup.column("s_acctbal"), dtype=np.float64) >= 0.0
+        sup_ok = KeyLookup(sk, np.asarray(
+            sup.column("s_acctbal"), dtype=np.float64) >= 0.0,
+            default=False)
         dims_ref = _ray.put((part_ok, brand, ptype, psize, sup_ok))
 
         def li_prep(t: pa.Table) -> pa.Table:
             pok, br, ty, sz, sok = _ray.get(dims_ref)
             lpk = np.asarray(t.column("l_partkey").cast(pa.int64()))
             lsk = np.asarray(t.column("l_suppkey").cast(pa.int64()))
-            keep = pok[np.minimum(lpk, len(pok) - 1)] & \
-                sok[np.minimum(lsk, len(sok) - 1)]
+            keep = pok.take(lpk) & sok.take(lsk)
             lpk, lsk = lpk[keep], lsk[keep]
             part_t = pa.table({
-                "p_brand": pa.array(br[lpk], type=pa.string()),
-                "p_type": pa.array(ty[lpk], type=pa.string()),
-                "p_size": pa.array(sz[lpk], type=pa.int64()),
+                "p_brand": pa.array(br.take(lpk), type=pa.string()),
+                "p_type": pa.array(ty.take(lpk), type=pa.string()),
+                "p_size": pa.array(sz.take(lpk), type=pa.int64()),
                 "s_suppkey": pa.array(lsk, type=pa.int64()),
                 "one": pa.array(np.ones(len(lpk), dtype=np.int64))})
             return part_t.group_by(
@@ -3905,24 +3877,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
                              columns=["p_partkey", "p_name"])
         pk = np.asarray(part.column("p_partkey"), dtype=np.int64)
-        part_ok = np.zeros(int(pk.max()) + 2 if len(pk) else 1,
-                           dtype=bool)
-        part_ok[pk] = np.char.startswith(np.asarray(
-            part.column("p_name"), dtype=str), "small")
+        part_ok = KeyLookup(pk, np.char.startswith(np.asarray(
+            part.column("p_name"), dtype=str), "small"), default=False)
         nname = _nation_names(sf_dir)
         sup = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
                             columns=["s_suppkey", "s_name",
                                      "s_nationkey"])
         sk = np.asarray(sup.column("s_suppkey"), dtype=np.int64)
-        size = int(sk.max()) + 2 if len(sk) else 1
-        sname = np.empty(size, dtype=object)
-        snat = np.empty(size, dtype=object)
-        sname[:] = ""
-        snat[:] = ""
-        sname[sk] = np.asarray(sup.column("s_name"), dtype=object)
-        snat[sk] = np.asarray(
+        sname = KeyLookup(sk, np.asarray(sup.column("s_name"),
+                                         dtype=object), default="")
+        snat = KeyLookup(sk, np.asarray(
             [nname[k] for k in sup.column("s_nationkey").to_pylist()],
-            dtype=object)
+            dtype=object), default="")
         dims_ref = _ray.put((part_ok, sname, snat))
         lo = pa.scalar(datetime.datetime(1999, 1, 1))
         hi = pa.scalar(datetime.datetime(2000, 1, 1))
@@ -3933,7 +3899,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pc.greater_equal(t.column("l_shipdate"), lo),
                 pc.less(t.column("l_shipdate"), hi)))
             lpk = np.asarray(t.column("l_partkey").cast(pa.int64()))
-            keep = pok[np.minimum(lpk, len(pok) - 1)]
+            keep = pok.take(lpk)
             q = np.round(np.asarray(t.column("l_quantity"),
                                     dtype=np.float64)).astype(np.int64)
             part_t = pa.table({
@@ -3972,11 +3938,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dom = np.asarray(t.column("q")) * 2 > \
                 np.asarray(t.column("tq"))
             lsk = np.asarray(t.column("l_suppkey"))[dom]
-            nat = nn[lsk]
+            nat = nn.take(lsk)
             keep = (nat == "NATION_3") | (nat == "NATION_4")
             lsk = lsk[keep]
             out = pa.table({
-                "s_name": pa.array(sn[lsk], type=pa.string()),
+                "s_name": pa.array(sn.take(lsk), type=pa.string()),
                 "n_name": pa.array(nat[keep], type=pa.string())})
             return out.group_by(["s_name", "n_name"]).aggregate(
                 []).rename_columns(["s_name", "n_name"])
@@ -4016,15 +3982,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             columns=["s_suppkey", "s_name",
                                      "s_nationkey"])
         sk = np.asarray(sup.column("s_suppkey"), dtype=np.int64)
-        size = int(sk.max()) + 2 if len(sk) else 1
-        sname = np.empty(size, dtype=object)
-        snat = np.empty(size, dtype=object)
-        sname[:] = ""
-        snat[:] = ""
-        sname[sk] = np.asarray(sup.column("s_name"), dtype=object)
-        snat[sk] = np.asarray(
+        sname = KeyLookup(sk, np.asarray(sup.column("s_name"),
+                                         dtype=object), default="")
+        snat = KeyLookup(sk, np.asarray(
             [nname[k] for k in sup.column("s_nationkey").to_pylist()],
-            dtype=object)
+            dtype=object), default="")
         dims_ref = _ray.put((sname, snat))
         grace_us = 60 * 86400 * 1_000_000
 
@@ -4111,10 +4073,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     "numwait": pa.array([], type=pa.int64())})
             sn, nn = _ray.get(dims_ref)
             lsk = np.asarray(t.column("late_supp"))
-            nat = nn[lsk]
+            nat = nn.take(lsk)
             keep = (nat == "NATION_1") | (nat == "NATION_2")
             return pa.table({
-                "s_name": pa.array(sn[lsk][keep], type=pa.string()),
+                "s_name": pa.array(sn.take(lsk)[keep],
+                                   type=pa.string()),
                 "numwait": t.column("numwait").filter(pa.array(keep))})
 
         def final(t: pa.Table) -> pa.Table:
@@ -5365,7 +5328,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size",
         "q20_excess_suppliers":
             "WITH sq AS (SELECT l_partkey, l_suppkey, "
-            "CAST(round(sum(l_quantity)) AS BIGINT) AS q FROM lineitem "
+            "sum(CAST(round(l_quantity) AS BIGINT))::BIGINT AS q "
+            "FROM lineitem "
             "WHERE l_shipdate >= TIMESTAMP '1999-01-01' "
             "AND l_shipdate < TIMESTAMP '2000-01-01' GROUP BY 1, 2), "
             "pq AS (SELECT l_partkey, sum(q) AS tq FROM sq GROUP BY 1) "

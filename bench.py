@@ -276,6 +276,39 @@ def scaling(sf_dir: str, reps: int = 2, levels=None) -> dict:
     }
 
 
+def _compact_line(out: dict, limit: int = 1900) -> str:
+    """One JSON line guaranteed to fit in the driver's 2000-char output
+    tail (BENCH_r04 lost its per-query numbers because the full
+    79-query battery JSON overflowed it — VERDICT r4 what's-wrong #5).
+    Full detail goes to ``queries_full_path``; the line keeps the
+    flagship plus as many of the SLOWEST queries as fit."""
+    full = dict(out)
+    path = "/tmp/ie_ray_bench_full.json"
+    try:
+        with open(path, "w") as f:
+            json.dump(full, f, indent=1)
+        out = dict(out, queries_full_path=path)
+    except OSError:
+        pass
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) <= limit:
+        return line
+    qs = out.get("queries", {})
+    ranked = sorted(qs, key=lambda k: -qs[k])
+    keep = len(ranked)
+    while keep > 1:
+        trimmed = {k: qs[k] for k in ranked[:keep]}
+        if "kg_flagship" in qs:
+            trimmed["kg_flagship"] = qs["kg_flagship"]
+        cand = dict(out, queries=trimmed,
+                    queries_shown=len(trimmed), queries_total=len(qs))
+        line = json.dumps(cand, separators=(",", ":"))
+        if len(line) <= limit:
+            return line
+        keep -= max(1, keep // 8)
+    return line
+
+
 if __name__ == "__main__":
     if "--single-run" in sys.argv:
         cpus = int(sys.argv[sys.argv.index("--single-run") + 1])
@@ -283,4 +316,4 @@ if __name__ == "__main__":
     elif "--scaling" in sys.argv:
         print(json.dumps(scaling(SF_DIR)))
     else:
-        print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))
+        print(_compact_line(run_bench(SF_DIR, NUM_CPUS)))

@@ -30,7 +30,11 @@ import os as _os
 # shared measurement box it lets a small-CPU run exceed its nominal
 # budget, corrupting N-vs-4N scaling numbers.  Pin the pool to the
 # worker's Ray CPU share before any polars import; explicit
-# POLARS_MAX_THREADS from the operator always wins.
-if "POLARS_MAX_THREADS" not in _os.environ:
-    _os.environ["POLARS_MAX_THREADS"] = \
-        _os.environ.get("OMP_NUM_THREADS") or "1"
+# POLARS_MAX_THREADS from the operator always wins.  The pin applies
+# only where a thread budget exists (OMP_NUM_THREADS set — Ray workers;
+# operators that export it) so importing ie_ray in a host application's
+# driver process does NOT clamp that application's own polars pool
+# (ADVICE r4: process-global side effect).
+if "POLARS_MAX_THREADS" not in _os.environ and \
+        _os.environ.get("OMP_NUM_THREADS"):
+    _os.environ["POLARS_MAX_THREADS"] = _os.environ["OMP_NUM_THREADS"]

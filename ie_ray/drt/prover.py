@@ -359,13 +359,31 @@ def _bump(t: Term, sk: _Skolemizer) -> None:
 def entails(premises: List, goal, world: str = "w",
             max_clauses: int = 4000) -> Optional[bool]:
     """``premises ⊨ goal``?  Refutation of premises ∧ ¬goal with the
-    negated goal as set-of-support.  ``None`` = budget exhausted."""
+    negated goal as set-of-support.  ``None`` = budget exhausted.
+
+    SoS resolution is refutation-complete only when the usable set (the
+    premises) is satisfiable; with INCONSISTENT premises the refutation
+    lies entirely inside the usable set and the goal-supported search
+    never finds it (ex falso: inconsistent premises entail everything).
+    So a saturated ``False`` is only trusted after a second refutation
+    pass over the premise clauses alone establishes their consistency;
+    if that pass refutes them the answer is ``True``, and if it runs out
+    of budget the ``False`` is downgraded to ``None``.  (ADVICE r4.)
+    """
     sk = _Skolemizer()
     axioms: List[Clause] = []
     for p in premises:
         axioms.extend(clausify(p, world=world, sk=sk))
     support = clausify(goal, world=world, negate=True, sk=sk)
-    return refute(axioms, support, max_clauses=max_clauses)
+    r = refute(axioms, support, max_clauses=max_clauses)
+    if r is not False or not axioms:
+        return r
+    consistent = refute([], axioms, max_clauses=max_clauses)
+    if consistent is True:      # premises themselves unsatisfiable
+        return True
+    if consistent is None:      # consistency not established in budget
+        return None
+    return False
 
 
 def valid(goal, world: str = "w",

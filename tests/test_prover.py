@@ -225,3 +225,15 @@ def test_drs_negation_consistency():
     bad = DRS([Rel("dog", [x]), Rel("barks", [x]),
                Neg(DRS([Rel("barks", [x])]))])
     assert prover.satisfiable(drs_to_mfol(bad)) is False
+
+
+def test_inconsistent_premises_entail_everything():
+    # SoS completeness precondition: with unsatisfiable premises the
+    # refutation lies in the usable set; entails() must run the
+    # premise-only consistency pass and answer True (ex falso).
+    p = Pred("p", ("c",))
+    q = Pred("q", ("c",))
+    assert prover.entails([p, Not(p)], q) is True
+    assert prover.entails([p, Not(p)], Not(q)) is True
+    # and consistent premises still saturate to a definitive False
+    assert prover.entails([p], q) is False
