@@ -4519,6 +4519,201 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "n_users": t.column("n_users").cast(pa.int64())}),
             batch_format="pyarrow")
 
+    # -- round-5 additions (oracle-backed, never driver-checked) -------
+
+    def events_dow_hour_heatmap(sf_dir):
+        """Calendar heatmap: event count + exact-cents value sum by
+        (day-of-week, hour) — 7×24 bounded keys, lowcard tree-combine.
+        DOW convention pinned to DuckDB's dayofweek (Sunday=0) via
+        Arrow week_start=7 + count_from_zero."""
+        import numpy as np
+        import pyarrow.compute as pc
+        ds = _tbl(sf_dir, "events", columns=["ts", "value"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            dow = pc.day_of_week(t.column("ts"), count_from_zero=True,
+                                 week_start=7).cast(pa.int64())
+            hr = pc.hour(t.column("ts")).cast(pa.int64())
+            cents = np.round(np.asarray(t.column("value"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            g = pa.table({"dow": dow, "hr": hr,
+                          "one": pa.array(np.ones(t.num_rows,
+                                                  dtype=np.int64)),
+                          "cents": pa.array(cents)}) \
+                .group_by(["dow", "hr"]).aggregate(
+                [("one", "sum"), ("cents", "sum")])
+            return g.rename_columns(["dow", "hr", "n", "cents"])
+
+        def final(t: pa.Table) -> pa.Table:
+            g = t.group_by(["dow", "hr"]).aggregate(
+                [("n", "sum"), ("cents", "sum")])
+            return pa.table({
+                "dow": g.column("dow"),
+                "hr": g.column("hr"),
+                "n": g.column("n_sum").cast(pa.int64()),
+                "total_value": pc.round(pc.divide(
+                    g.column("cents_sum").cast(pa.float64()),
+                    pa.scalar(100.0)), 2,
+                    round_mode="half_towards_infinity")})
+
+        return lowcard_combine(ds, partial, final)
+
+    def docs_stopword_ratio(sf_dir):
+        """Per-doc stopword ratio over whitespace tokens — rides the
+        existing quality kernel's exact integer counts; the only float
+        is the final ratio (rounded half-away like DuckDB)."""
+        import pyarrow.compute as pc
+        from ie_ray.stages import textstats
+        scored = _docs(sf_dir).map_batches(textstats.quality_batch,
+                                           batch_format="pyarrow")
+
+        def ratio(t: pa.Table) -> pa.Table:
+            denom = pc.max_element_wise(
+                t.column("n_tokens").cast(pa.float64()), 1.0)
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "stop_ratio": pc.round(pc.divide(
+                    t.column("n_stopwords").cast(pa.float64()), denom),
+                    4, round_mode="half_towards_infinity")})
+
+        return scored.map_batches(ratio, batch_format="pyarrow")
+
+    def customer_nation_top3(sf_dir):
+        """Top-3 customers by lifetime order revenue per nation —
+        per-group top-k with exact-cents ordering and deterministic
+        custkey tie-break.  Customer revenue reduces through the
+        bucketed path (rows-sized key); the top-k itself is a bounded
+        lowcard combine (≤ 3 rows per nation survive every partial)."""
+        import numpy as np
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        from ie_ray.stages.relational import bucketed_aggregate
+
+        cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                             columns=["c_custkey", "c_nationkey"])
+        nname = _nation_names(sf_dir)
+        cnat = KeyLookup(
+            np.asarray(cust.column("c_custkey"), dtype=np.int64),
+            np.asarray([nname[k] for k in
+                        cust.column("c_nationkey").to_pylist()],
+                       dtype=object), default="")
+
+        def prep(t: pa.Table) -> pa.Table:
+            cents = np.round(np.asarray(t.column("o_totalprice"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            return pa.table({
+                "o_custkey": t.column("o_custkey").cast(pa.int64()),
+                "cents": pa.array(cents)})
+
+        rev = bucketed_aggregate(
+            _tbl(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+            .map_batches(prep, batch_format="pyarrow"),
+            "o_custkey", [("cents", "sum")])
+
+        def topk(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or t.num_rows == 0:
+                return pa.table({
+                    "n_name": pa.array([], type=pa.string()),
+                    "c_custkey": pa.array([], type=pa.int64()),
+                    "cents": pa.array([], type=pa.int64())})
+            t = t.rename_columns(["c_custkey", "cents"]) \
+                if t.column_names != ["n_name", "c_custkey", "cents"] \
+                else t
+            if "n_name" not in t.column_names:
+                ck = np.asarray(t.column("c_custkey"), dtype=np.int64)
+                t = t.append_column(
+                    "n_name", pa.array(cnat.take(ck), type=pa.string()))
+            import polars as pl
+            df = pl.from_arrow(t.select(["n_name", "c_custkey", "cents"]))
+            out = (df.sort(["n_name", "cents", "c_custkey"],
+                           descending=[False, True, False])
+                   .group_by("n_name", maintain_order=True).head(3)
+                   .to_arrow())
+            return pa.table({
+                "n_name": out.column("n_name").cast(pa.string()),
+                "c_custkey": out.column("c_custkey").cast(pa.int64()),
+                "cents": out.column("cents").cast(pa.int64())})
+
+        def final(t: pa.Table) -> pa.Table:
+            t = topk(t)
+            if t.num_rows == 0:
+                return pa.table({
+                    "n_name": pa.array([], type=pa.string()),
+                    "c_custkey": pa.array([], type=pa.int64()),
+                    "revenue": pa.array([], type=pa.float64()),
+                    "rank": pa.array([], type=pa.int64())})
+            import polars as pl
+            df = pl.from_arrow(t).sort(
+                ["n_name", "cents", "c_custkey"],
+                descending=[False, True, False]).with_columns(
+                pl.col("c_custkey").cum_count().over("n_name")
+                .alias("rank"))
+            out = df.to_arrow()
+            return pa.table({
+                "n_name": out.column("n_name").cast(pa.string()),
+                "c_custkey": out.column("c_custkey").cast(pa.int64()),
+                "revenue": pc.round(pc.divide(
+                    out.column("cents").cast(pa.float64()),
+                    pa.scalar(100.0)), 2,
+                    round_mode="half_towards_infinity"),
+                "rank": out.column("rank").cast(pa.int64())})
+
+        return lowcard_combine(rev, topk, final, combine_fn=topk)
+
+    def orders_rolling_7d_revenue(sf_dir):
+        """Per-day order revenue with a gap-aware rolling 7-day window
+        (current day + 6 PRECEDING by DATE, not by row) — the batch
+        re-expression of a sliding event-time window.  Day keys are
+        bounded by the calendar, so partials tree-combine and the
+        rolling pass is one vectorized searchsorted on the final
+        (sorted, driver-bounded) day table."""
+        import numpy as np
+        import pyarrow.compute as pc
+        ds = _tbl(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            day = pc.floor_temporal(
+                t.column("o_orderdate").cast(pa.timestamp("us")),
+                unit="day").cast(pa.int64())
+            cents = np.round(np.asarray(t.column("o_totalprice"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            g = pa.table({"day_us": day, "cents": pa.array(cents)}) \
+                .group_by("day_us").aggregate([("cents", "sum")])
+            return g.rename_columns(["day_us", "cents"])
+
+        def combine(t: pa.Table) -> pa.Table:
+            g = t.group_by("day_us").aggregate([("cents", "sum")])
+            return g.rename_columns(["day_us", "cents"])
+
+        def final(t: pa.Table) -> pa.Table:
+            t = combine(t)
+            day_us = np.asarray(t.column("day_us"), dtype=np.int64)
+            cents = np.asarray(t.column("cents"), dtype=np.int64)
+            order = np.argsort(day_us)
+            day_us, cents = day_us[order], cents[order]
+            days = day_us // 86_400_000_000
+            csum = np.concatenate([[0], np.cumsum(cents)])
+            lo = np.searchsorted(days, days - 6, side="left")
+            rolling = csum[np.arange(1, len(days) + 1)] - csum[lo]
+            day_str = pc.strftime(
+                pa.array(day_us, type=pa.int64()).cast(
+                    pa.timestamp("us")), format="%Y-%m-%d")
+            return pa.table({
+                "day": day_str,
+                "revenue": pc.round(pc.divide(
+                    pa.array(cents, type=pa.int64()).cast(pa.float64()),
+                    pa.scalar(100.0)), 2,
+                    round_mode="half_towards_infinity"),
+                "rolling7": pc.round(pc.divide(
+                    pa.array(rolling).cast(pa.float64()),
+                    pa.scalar(100.0)), 2,
+                    round_mode="half_towards_infinity")})
+
+        return lowcard_combine(ds, partial, final, combine_fn=combine)
+
     # Ordering contract: the correctness driver checks the first N dict
     # entries (N=50 in rounds 1-2).  Oracle-backed operators that have not
     # yet earned a green CORRECTNESS row come FIRST, then the operators
@@ -4526,11 +4721,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # oracle-less entries (sketches, kg_* / CCG family, iterative algos —
     # each gated by named pytest suites in its docstring) come last.
     return {
-        # -- round-4 driver prefix: entries whose kernel or oracle
-        #    changed this round (exact int64 money, centered moments,
-        #    null-stable bucketing, de-materialized ntile, empty-block
-        #    guards) first, then the stalest green rows (last checked
-        #    in CORRECTNESS_r02) for re-confirmation under current code --
+        # -- round-5 driver prefix: the four NEW oracle-backed operators
+        #    (never prefix-checked — rotation discipline) first, then
+        #    the entries whose kernels changed this round (KeyLookup
+        #    sweep through the TPC-H decorations, vectorized hashed
+        #    DSIR), then the round-4 prefix for re-confirmation --
+        "events_dow_hour_heatmap": events_dow_hour_heatmap,
+        "docs_stopword_ratio": docs_stopword_ratio,
+        "customer_nation_top3": customer_nation_top3,
+        "orders_rolling_7d_revenue": orders_rolling_7d_revenue,
         "q3_shipping": q3_shipping,
         "q5_local_supplier": q5_local_supplier,
         "q10_returned_customers": q10_returned_customers,
@@ -4714,6 +4913,39 @@ def oracle_sql() -> dict[str, str]:
     from ie_ray.stages.textstats import (FINGERPRINT_SQL, REPETITION_SQL,
                                          langid_sql)
     return {
+        "events_dow_hour_heatmap":
+            "SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hr, "
+            "count(*)::BIGINT AS n, "
+            "round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) "
+            "AS total_value FROM events GROUP BY 1, 2",
+        "docs_stopword_ratio":
+            "SELECT doc_id, round("
+            "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            "x -> list_contains(" + _EN_STOPWORDS_SQL + ", "
+            "translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+            "'abcdefghijklmnopqrstuvwxyz'))))::DOUBLE / "
+            "greatest(CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(regexp_split_to_array(trim(text), '\\s+')) END, 1), 4) "
+            "AS stop_ratio FROM documents",
+        "customer_nation_top3":
+            "WITH cr AS (SELECT o_custkey, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1), "
+            "r AS (SELECT n_name, c_custkey, cents, row_number() OVER ("
+            "PARTITION BY n_name ORDER BY cents DESC, c_custkey) AS rn "
+            "FROM cr JOIN customer ON c_custkey = o_custkey "
+            "JOIN nation ON n_nationkey = c_nationkey) "
+            "SELECT n_name, c_custkey, round(cents / 100.0, 2) AS revenue, "
+            "rn::BIGINT AS rank FROM r WHERE rn <= 3 ORDER BY n_name, rank",
+        "orders_rolling_7d_revenue":
+            "WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, "
+            "sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1) "
+            "SELECT strftime(a.day, '%Y-%m-%d') AS day, "
+            "round(a.cents / 100.0, 2) AS revenue, "
+            "round((SELECT sum(b.cents) FROM d b WHERE b.day BETWEEN "
+            "a.day - INTERVAL 6 DAY AND a.day) / 100.0, 2) AS rolling7 "
+            "FROM d a ORDER BY day",
         "doc_fingerprints": FINGERPRINT_SQL,
         "langid": langid_sql(),
         "ngram_jaccard_pairs": NGRAM_PAIRS_SQL,

@@ -73,7 +73,9 @@ def parse_ccgbank(text: str):
                     predarg = Category.parse(parts[4])
                 except ValueError:
                     predarg = None
-            leaf = Leaf(cat, parts[1], parts[3], predarg, idx=len(leaves))
+            word = parts[3].replace("-LAB-", "<").replace("-RAB-", ">") \
+                if len(parts) >= 4 else "_"
+            leaf = Leaf(cat, parts[1], word, predarg, idx=len(leaves))
             leaves.append(leaf)
             if stack:
                 stack[-1].children.append(leaf)

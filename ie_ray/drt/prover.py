@@ -292,6 +292,77 @@ def _factors(c: Clause) -> List[Clause]:
     return out
 
 
+# equality predicates of the discharged DRS fragment: alias identity
+# from appositives/proper-name merge (_AKA) plus conventional spellings
+EQ_PREDS = frozenset(("_EQ", "_AKA", "="))
+
+
+def _equality_axioms(clauses: List[Clause],
+                     sk: "_Skolemizer") -> List[Clause]:
+    """Equality-theory axioms generated per SIGNATURE: reflexivity,
+    symmetry, transitivity, and congruence (substitution) over every
+    predicate and function symbol occurring in the clause set.  The
+    equality predicate may be world-threaded (``eq(w, x, y)`` from the
+    modal translation) — the leading context args are shared variables
+    inside each axiom, so equality never crosses worlds."""
+    eq_sigs: Dict[Tuple[str, int], bool] = {}
+    preds: Dict[Tuple[str, int], bool] = {}
+    funcs: Dict[Tuple[str, int], bool] = {}
+
+    def scan_term(t: Term) -> None:
+        if t[0] == "f":
+            funcs[(t[1], len(t[2]))] = True
+            for a in t[2]:
+                scan_term(a)
+
+    for c in clauses:
+        for (_sg, p, args) in c:
+            if p in EQ_PREDS and len(args) >= 2:
+                eq_sigs[(p, len(args))] = True
+            else:
+                preds[(p, len(args))] = True
+            for a in args:
+                scan_term(a)
+
+    out: List[Clause] = []
+    for (eq, ar) in eq_sigs:
+        def eqlit(sign, ctx, a, b, _eq=eq):
+            return (sign, _eq, tuple(ctx) + (a, b))
+
+        nctx = ar - 2
+        ctx = [sk.fresh_var() for _ in range(nctx)]
+        x, y, z = sk.fresh_var(), sk.fresh_var(), sk.fresh_var()
+        out.append(frozenset([eqlit(True, ctx, x, x)]))
+        out.append(frozenset([eqlit(False, ctx, x, y),
+                              eqlit(True, ctx, y, x)]))
+        out.append(frozenset([eqlit(False, ctx, x, y),
+                              eqlit(False, ctx, y, z),
+                              eqlit(True, ctx, x, z)]))
+        for (p, n) in preds:
+            for i in range(n):
+                ctx2 = [sk.fresh_var() for _ in range(nctx)]
+                a1 = tuple(sk.fresh_var() for _ in range(n))
+                yv = sk.fresh_var()
+                a2 = list(a1)
+                a2[i] = yv
+                out.append(frozenset([
+                    eqlit(False, ctx2, a1[i], yv),
+                    (False, p, a1),
+                    (True, p, tuple(a2))]))
+        for (fname, n) in funcs:
+            for i in range(n):
+                ctx2 = [sk.fresh_var() for _ in range(nctx)]
+                a1 = tuple(sk.fresh_var() for _ in range(n))
+                yv = sk.fresh_var()
+                a2 = list(a1)
+                a2[i] = yv
+                out.append(frozenset([
+                    eqlit(False, ctx2, a1[i], yv),
+                    eqlit(True, ctx2, ("f", fname, a1),
+                          ("f", fname, tuple(a2)))]))
+    return out
+
+
 def refute(clauses: List[Clause], support: List[Clause],
            max_clauses: int = 4000,
            max_literals: int = 12) -> Optional[bool]:
@@ -311,6 +382,11 @@ def refute(clauses: List[Clause], support: List[Clause],
                 _bump(a, sk)
     usable = list(clauses)
     sos = list(support)
+    if any(p in EQ_PREDS for cl in usable + sos for (_s, p, _a) in cl):
+        # equality theory per signature (Brand-style axiomatization):
+        # the DRS fragment discharges alias identity (_AKA / _EQ) that
+        # the prover previously treated as an opaque predicate
+        usable.extend(_equality_axioms(usable + sos, sk))
     for c in list(sos):
         sos.extend(_factors(c))
     seen = set(usable) | set(sos)

@@ -43,9 +43,46 @@ _CURRENCY = re.compile(
 # extraction; see tests/test_text.py::test_fast_path_identical)
 _TRIGGER = re.compile("[′‵″‴‶‷“”\"(),:;¡§¶·¿'’$¢-¥₠-₾﹩＄￠￡￥￦ￜ]")
 
+# web-text tokens that the punctuation rules must never shred: URLs and
+# emails survive preprocessing as single opaque spans (stashed behind
+# \x01<i>\x01 placeholders, restored after the rule chain).  The final
+# char class keeps trailing sentence punctuation OUT of the span so the
+# ``.``/``)`` still reaches the rules.  Shared with ccg.parser.tokenize.
+URLISH = re.compile(
+    r"(?:https?://|www\.)[^\s<>\"]*[^\s<>\".,;:!?)'’]"
+    r"|[\w.+-]+@[\w-]+(?:\.[\w-]+)+")
+
 
 def preprocess_sentence(text: str) -> str:
-    """Normalize a sentence for parsing (see module docstring)."""
+    """Normalize a sentence for parsing (see module docstring).
+
+    Web-text hardening (round 5): HTML entity remnants are decoded
+    before the rule chain (``&amp;``'s ``;`` would otherwise get padded
+    into ``&amp ;``), and URL/email spans are stashed so the
+    punctuation rules can't shred ``https://…`` into ``https : //…``.
+    Both guards trigger only when their marker substrings are present —
+    plain prose takes the byte-identical fast path.
+    """
+    if "&" in text and ";" in text:
+        import html as _html
+        text = _html.unescape(text).replace("\xa0", " ")
+    if "://" in text or "www." in text or "@" in text:
+        urls: list = []
+
+        def _stash(m):
+            urls.append(m.group(0))
+            return "\x01%d\x01" % (len(urls) - 1)
+
+        stashed = URLISH.sub(_stash, text)
+        if urls:
+            out = _preprocess_plain(stashed)
+            for i, u in enumerate(urls):
+                out = out.replace("\x01%d\x01" % i, u)
+            return out
+    return _preprocess_plain(text)
+
+
+def _preprocess_plain(text: str) -> str:
     if _TRIGGER.search(text) is None:
         # only rules whose patterns can fire without a trigger char:
         # _SQ's `.?$` alternative (final-period padding after -s words),

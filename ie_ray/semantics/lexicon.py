@@ -552,6 +552,23 @@ def build_leaf_sem(tok: Token) -> Sem:
             tok.conds.append(Rel(tok.stem, [final]))
         return Sem(cat, tree)
 
+    # quotative inversion "S, said NP" — (S\S)/NP with verbal POS: the
+    # sayer NP heads a FRESH say event; the quoted clause passes through
+    # with its own event untouched (web-news attribution; without this
+    # the modifier's pairwise ref share folds _ARG0(sayer) into the
+    # MAIN event and the sayer steals the quoted verb's subject)
+    if tok.isverb and cat.isarg_right and cat.arg.isatom \
+            and cat.arg.isnp and cat.result.isfunctor \
+            and cat.result.ismodifier and cat.result.result.isatom \
+            and cat.result.result.is_sy:
+        e = Ref("e")
+        tok.mask |= RT_EVENT
+        tok.conds.append(Rel(tok.stem, [e]))
+        tok.conds.append(Rel("_EVENT", [e]))
+        tok.conds.append(Rel("_ARG0", [e, refs[-1]]))
+        tok.refs = [e, refs[-1]]
+        return Sem(cat, tree)
+
     # possessive clitic 's: (NP[nb]/N)\NP — _POSS(owner, owned)
     if tok.pos == "POS":
         tok.mask |= RT_POSSESSIVE    # parity: lexeme.py:822-823

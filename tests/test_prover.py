@@ -237,3 +237,32 @@ def test_inconsistent_premises_entail_everything():
     assert prover.entails([p, Not(p)], Not(q)) is True
     # and consistent premises still saturate to a definitive False
     assert prover.entails([p], q) is False
+
+
+def test_equality_symmetry_transitivity_substitution():
+    # equality theory per signature (VERDICT r4 #9): _EQ/_AKA are no
+    # longer opaque predicates
+    eq = lambda a, b: Pred("_EQ", (a, b))
+    p = lambda t: Pred("p", (t,))
+    assert prover.entails([eq("a", "b"), p("a")], p("b")) is True
+    assert prover.entails([eq("a", "b")], eq("b", "a")) is True
+    assert prover.entails([eq("a", "b"), eq("b", "c")],
+                          eq("a", "c")) is True
+    assert prover.entails([], eq("a", "a")) is True
+
+
+def test_equality_world_threaded_aka():
+    # modal translation threads the world through _AKA(w, x, y)
+    aka = Pred("_AKA", ("w", "x1", "x2"))
+    man = lambda t: Pred("man", ("w", t))
+    assert prover.entails([aka, man("x1")], man("x2")) is True
+
+
+def test_equality_budget_still_honest():
+    # with equality axioms the search may exhaust the budget instead of
+    # saturating — the answer must then be None (unknown), never a
+    # definitive False claimed under an incomplete search
+    eq = Pred("_EQ", ("a", "b"))
+    p = Pred("p", ("a",))
+    r = prover.entails([eq, p], Pred("q", ("b",)))
+    assert r in (False, None)
