@@ -257,9 +257,18 @@ def write_graph(nodes_ds, edges_ds, out_dir: str, num_parts: int = 8):
 
     def add_part(key):
         def fn(batch: pa.Table) -> pa.Table:
-            parts = [int(hashlib.md5(k.encode()).hexdigest()[:4], 16) % num_parts
-                     for k in batch.column(key).to_pylist()]
-            return batch.append_column("part", pa.array(parts, type=pa.int32()))
+            # md5 paid once per DISTINCT id (hub entities repeat across
+            # millions of rows) — dictionary-encode, hash uniques, gather
+            import numpy as np
+            enc = batch.column(key).combine_chunks().dictionary_encode()
+            uniq = np.fromiter(
+                (int(hashlib.md5(s.encode()).hexdigest()[:4], 16)
+                 % num_parts for s in enc.dictionary.to_pylist()),
+                dtype=np.int32, count=len(enc.dictionary))
+            parts = uniq[np.asarray(enc.indices, dtype=np.int64)] \
+                if len(uniq) else np.empty(0, dtype=np.int32)
+            return batch.append_column(
+                "part", pa.array(parts, type=pa.int32()))
         return fn
 
     result = {}

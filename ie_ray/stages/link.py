@@ -108,6 +108,72 @@ class LinkActor:
             .append_column("obj_id", self._link_col(batch.column("obj")))
 
 
+class ExternalLinkActor(LinkActor):
+    """Reference-style ONLINE linking (opt-in): the broadcast alias
+    join stays the exact-hit fast path, but mentions that miss go to an
+    injected ``fetch_candidates(mention) -> [(entity_id, prior,
+    title), …]`` callable — the seam where a live wiki-search / KB
+    service plugs in (parity: ``ie/semantics/ccg.py:1872-1994``, off by
+    default under ``CO_NO_WIKI_SEARCH``).
+
+    Scale shape: the fetcher is called once per DISTINCT mention per
+    actor thanks to the dictionary-encoded miss tail plus an LRU cache
+    (news text repeats mentions heavily), so external QPS is bounded by
+    unique-mention rate, not row rate.  Candidate scoring reuses the
+    common-prefix ≥ 0.7 rule on the best-prior candidate.  Cache-hit
+    accounting is exposed as ``cache_hits`` / ``cache_misses`` /
+    ``fetch_calls`` for ops dashboards.  The pipeline is unchanged when
+    no fetcher is configured (``LinkActor`` is used instead).
+    """
+
+    def __init__(self, alias_map, fetch_candidates=None,
+                 cache_size: int = 65536):
+        super().__init__(alias_map)
+        self._fetch = fetch_candidates
+        self._cache: Dict[str, str] = {}
+        self._cache_size = cache_size
+        self.cache_hits = 0
+        self.cache_misses = 0
+        self.fetch_calls = 0
+
+    def _link_one(self, label):
+        if not label or self._fetch is None:
+            return super()._link_one(label)
+        m = normalize_mention(label)
+        hit = self.alias_map.get(m)
+        if hit is not None:
+            return hit[0]
+        if not label[0].isupper():
+            return "c:" + m
+        cached = self._cache.get(m)
+        if cached is not None:
+            self.cache_hits += 1
+            return cached
+        self.cache_misses += 1
+        self.fetch_calls += 1
+        try:
+            cands = self._fetch(m) or ()
+        except Exception:
+            cands = ()          # degrade to surface id, never crash
+        out = None
+        best = None
+        for ent, prior, title in cands:
+            if best is None or prior > best[1]:
+                best = (ent, prior, title)
+        if best is not None:
+            title = (best[2] or "").lower()
+            head = m.split()[-1] if m else ""
+            if _prefix_score(m, title) >= 0.7 or \
+                    (title and title.split()[-1] == head):
+                out = best[0]
+        if out is None:
+            out = super()._link_one(label)
+        if len(self._cache) >= self._cache_size:
+            self._cache.pop(next(iter(self._cache)))   # FIFO eviction
+        self._cache[m] = out
+        return out
+
+
 def load_alias_map(path: str) -> Dict[str, tuple]:
     """alias → (entity_id, prior, title); highest-prior candidate wins."""
     import pyarrow.parquet as pq

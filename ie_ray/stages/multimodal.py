@@ -154,6 +154,7 @@ class MediaDecodeActor:
             "audio/wav": lambda p: _audio_features(*decode_wav(p)),
             "image/gif": lambda p: _video_features(decode_gif(p)),
             "image/png": lambda p: _image_features(decode_png(p)),
+            "image/jpeg": lambda p: _image_features(decode_jpeg(p)),
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -165,8 +166,15 @@ class MediaDecodeActor:
                 feats.append(_feature_stub(p).tolist())
                 decoded.append(False)
             else:
-                feats.append(fn(p).tolist())
-                decoded.append(True)
+                try:
+                    feats.append(fn(p).tolist())
+                    decoded.append(True)
+                except ValueError:
+                    # unsupported variant of a known mime (e.g.
+                    # progressive JPEG): honest decoded=false, never
+                    # a fake decode
+                    feats.append(_feature_stub(p).tolist())
+                    decoded.append(False)
         return pa.table({
             "media_id": batch.column("media_id"),
             "kind": batch.column("kind"),
@@ -233,6 +241,18 @@ def synthesize_media(n: int = 64, seed: int = 11) -> pa.Table:
             w, h = 6 + (i % 3) * 4, 5 + (i % 4) * 3
             img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
             payload, mime, kind = encode_png(img), "image/png", "image"
+        elif mode == 1 and i % 8 == 1:   # baseline JPEG gradient
+            w, h = 16 + (i % 3) * 8, 16 + (i % 2) * 8
+            x = np.arange(w)[None, :, None]
+            y = np.arange(h)[:, None, None]
+            img = np.concatenate(
+                [x * 255 // max(w - 1, 1) + 0 * y,
+                 y * 255 // max(h - 1, 1) + 0 * x,
+                 (x + y) * 255 // max(w + h - 2, 1)],
+                axis=2).astype(np.uint8)
+            payload, mime, kind = \
+                encode_jpeg(img, quant=2, subsample=bool(i % 16 == 9)), \
+                "image/jpeg", "image"
         elif mode == 1:   # BMP noise
             w, h = 5 + (i % 4) * 3, 4 + (i % 5) * 2
             img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
@@ -520,3 +540,427 @@ def encode_png(img: np.ndarray) -> bytes:
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline (ITU-T T.81 sequential DCT, Huffman) — the web's dominant
+# image format, decoded from first principles with stdlib + numpy only.
+# Progressive (SOF2) and arithmetic-coded JPEGs raise ValueError so the
+# honest decoded=false flag is preserved for them.
+# ---------------------------------------------------------------------------
+
+_ZIG = np.array([
+    0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+# orthonormal 8×8 DCT-II basis (T.81 Annex A): f = T.T @ F @ T
+_DCT_T = np.zeros((8, 8))
+for _u in range(8):
+    for _x in range(8):
+        _c = np.sqrt(1.0 / 8) if _u == 0 else np.sqrt(2.0 / 8)
+        _DCT_T[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _jpeg_build_huff(bits, vals):
+    """(length, code) → symbol decode table (canonical, T.81 C.2)."""
+    lut = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            lut[(ln, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBits:
+    __slots__ = ("d", "pos", "bit")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.bit = 0
+
+    def read(self) -> int:
+        if self.pos >= len(self.d):
+            raise ValueError("truncated entropy data")
+        b = (self.d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read()
+        return v
+
+
+def _jpeg_extend(v: int, n: int) -> int:
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _jpeg_huffdecode(bits: _JpegBits, lut) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | bits.read()
+        sym = lut.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _jpeg_destuff(scan: bytes) -> bytes:
+    return scan.replace(b"\xff\x00", b"\xff")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG (SOF0/SOF1, Huffman, 8-bit, 1 or 3 components,
+    4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals) → (h, w, 3)
+    uint8 RGB.  Progressive and arithmetic coding raise ValueError."""
+    import struct as _struct
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt = {}
+    hdc = {}
+    hac = {}
+    frame = None
+    ri = 0
+    while pos < len(payload) - 1:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        m = payload[pos + 1]
+        pos += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            break
+        ln = _struct.unpack_from(">H", payload, pos)[0]
+        data = payload[pos + 2:pos + ln]
+        pos += ln
+        if m == 0xDB:                                   # DQT
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq:
+                    qt[tq] = np.frombuffer(data, ">u2", 64, i) \
+                        .astype(np.int32)
+                    i += 128
+                else:
+                    qt[tq] = np.frombuffer(data, "u1", 64, i) \
+                        .astype(np.int32)
+                    i += 64
+        elif m in (0xC0, 0xC1):                         # SOF0/1 baseline
+            h, w = _struct.unpack_from(">HH", data, 1)
+            nc = data[5]
+            comps = []
+            for c in range(nc):
+                cid = data[6 + 3 * c]
+                hv = data[7 + 3 * c]
+                comps.append([cid, hv >> 4, hv & 15, data[8 + 3 * c]])
+            frame = (h, w, comps)
+        elif m == 0xC2:
+            raise ValueError("progressive JPEG unsupported")
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                   0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG coding process")
+        elif m == 0xC4:                                 # DHT
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                i += 1
+                bits = data[i:i + 16]
+                i += 16
+                n = sum(bits)
+                vals = data[i:i + n]
+                i += n
+                (hdc if tc == 0 else hac)[th] = \
+                    _jpeg_build_huff(bits, vals)
+        elif m == 0xDD:                                 # DRI
+            ri = _struct.unpack(">H", data[:2])[0]
+        elif m == 0xDA:                                 # SOS
+            ns = data[0]
+            scomp = []
+            for c in range(ns):
+                scomp.append((data[1 + 2 * c], data[2 + 2 * c] >> 4,
+                              data[2 + 2 * c] & 15))
+            i = pos
+            while i < len(payload) - 1:
+                if payload[i] == 0xFF and payload[i + 1] != 0x00 \
+                        and not 0xD0 <= payload[i + 1] <= 0xD7:
+                    break
+                i += 1
+            return _jpeg_scan(payload[pos:i], frame, scomp, qt,
+                              hdc, hac, ri)
+    raise ValueError("no JPEG scan found")
+
+
+def _jpeg_scan(scan, frame, scomp, qt, hdc, hac, ri):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    tabs = {cid: (dc, ac) for cid, dc, ac in scomp}
+    planes = {}
+    for cid, ch, cv, _tq in comps:
+        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8),
+                               dtype=np.float64)
+
+    segments = []
+    if ri:
+        startp = 0
+        i = 0
+        while i < len(scan) - 1:
+            if scan[i] == 0xFF and 0xD0 <= scan[i + 1] <= 0xD7:
+                segments.append(_jpeg_destuff(scan[startp:i]))
+                startp = i + 2
+                i += 2
+            else:
+                i += 1
+        segments.append(_jpeg_destuff(scan[startp:]))
+    else:
+        segments = [_jpeg_destuff(scan)]
+
+    seg_idx = 0
+    bits = _JpegBits(segments[0])
+    pred = {cid: 0 for cid, _h, _v, _q in comps}
+    mcu_in_seg = 0
+    for n_mcu in range(mcuy * mcux):
+        if ri and mcu_in_seg == ri:
+            seg_idx += 1
+            bits = _JpegBits(segments[seg_idx])
+            pred = {cid: 0 for cid, _h, _v, _q in comps}
+            mcu_in_seg = 0
+        my, mx = divmod(n_mcu, mcux)
+        for cid, ch, cv, tq in comps:
+            dct, act = tabs[cid]
+            for by in range(cv):
+                for bx in range(ch):
+                    t = _jpeg_huffdecode(bits, hdc[dct])
+                    pred[cid] += _jpeg_extend(bits.receive(t), t)
+                    zz = np.zeros(64, dtype=np.int32)
+                    zz[0] = pred[cid]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huffdecode(bits, hac[act])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16
+                                continue
+                            break                         # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC index overflow")
+                        zz[k] = _jpeg_extend(bits.receive(s), s)
+                        k += 1
+                    blk = np.zeros(64, dtype=np.float64)
+                    blk[_ZIG] = zz * qt[tq]
+                    px = _DCT_T.T @ blk.reshape(8, 8) @ _DCT_T + 128.0
+                    y0 = (my * cv + by) * 8
+                    x0 = (mx * ch + bx) * 8
+                    planes[cid][y0:y0 + 8, x0:x0 + 8] = px
+        mcu_in_seg += 1
+
+    # upsample chroma to full resolution, crop, color-convert
+    full = []
+    for cid, ch, cv, _tq in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        y = np.clip(full[0], 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=2).round(), 0,
+                   255).astype(np.uint8)
+
+
+def _jpeg_category(v: int) -> int:
+    n = 0
+    a = abs(v)
+    while a:
+        a >>= 1
+        n += 1
+    return n
+
+
+class _JpegWriter:
+    """Bit writer with 0xFF byte stuffing (T.81 F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _jpeg_enc_tables():
+    """Self-describing canonical Huffman tables: every symbol we can
+    emit gets a 9-bit code (prefix-free by construction, none all-ones
+    — the file carries its own DHT so no Annex-K dependency)."""
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0] + [(r << 4) | s
+                              for r in range(16) for s in range(1, 11)]
+    tables = {}
+    for name, syms in (("dc", dc_syms), ("ac", ac_syms)):
+        bits = [0] * 16
+        bits[8] = len(syms)          # all codes length 9
+        lut = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                lut[syms[k]] = (code, ln)
+                k += 1
+                code += 1
+            code <<= 1
+        tables[name] = (bytes(bits), bytes(syms), lut)
+    return tables["dc"], tables["ac"]
+
+
+def encode_jpeg(img: np.ndarray, quant: int = 1,
+                subsample: bool = False, restart: int = 0) -> bytes:
+    """Minimal baseline JPEG writer for fixtures: uniform quant table
+    (``quant``; 1 ≈ near-lossless), self-describing Huffman tables,
+    4:4:4 (default) or 4:2:0 (``subsample=True``); ``restart`` > 0
+    emits DRI + RSTn markers every that many MCUs."""
+    import struct as _struct
+    h, w = img.shape[:2]
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+
+    dc_t, ac_t = _jpeg_enc_tables()
+    qtab = np.full(64, quant, dtype=np.int32)
+
+    sx = sy = 2 if subsample else 1
+    mcux = -(-w // (8 * sx))
+    mcuy = -(-h // (8 * sy))
+
+    def pad_to(p, ph, pw):
+        out = np.empty((ph, pw))
+        out[:p.shape[0], :p.shape[1]] = p
+        out[p.shape[0]:, :p.shape[1]] = p[-1:, :]
+        out[:, p.shape[1]:] = out[:, p.shape[1] - 1:p.shape[1]]
+        return out
+
+    ypl = pad_to(y, mcuy * sy * 8, mcux * sx * 8)
+    if subsample:
+        cbs = pad_to(cb, mcuy * 16, mcux * 16)
+        crs = pad_to(cr, mcuy * 16, mcux * 16)
+        cbp = cbs.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        crp = crs.reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+    else:
+        cbp = pad_to(cb, mcuy * 8, mcux * 8)
+        crp = pad_to(cr, mcuy * 8, mcux * 8)
+
+    wtr = _JpegWriter()
+    pred = [0, 0, 0]
+
+    def put_block(plane, y0, x0, ci):
+        f = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
+        F = _DCT_T @ f @ _DCT_T.T
+        zz = np.round(F.reshape(64)[_ZIG] / qtab).astype(np.int64)
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        n = _jpeg_category(diff)
+        code, ln = dc_t[2][n]
+        wtr.put(code, ln)
+        if n:
+            v = diff if diff >= 0 else diff + (1 << n) - 1
+            wtr.put(v & ((1 << n) - 1), n)
+        run = 0
+        last = 63
+        while last > 0 and zz[last] == 0:
+            last -= 1
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_t[2][0xF0]
+                wtr.put(code, ln)
+                run -= 16
+            s = _jpeg_category(v)
+            code, ln = ac_t[2][(run << 4) | s]
+            wtr.put(code, ln)
+            ev = v if v >= 0 else v + (1 << s) - 1
+            wtr.put(ev & ((1 << s) - 1), s)
+            run = 0
+        if last < 63:
+            code, ln = ac_t[2][0x00]
+            wtr.put(code, ln)
+
+    rst_n = 0
+    for n_mcu in range(mcuy * mcux):
+        if restart and n_mcu and n_mcu % restart == 0:
+            wtr.flush()
+            wtr.out += bytes([0xFF, 0xD0 + rst_n % 8])
+            rst_n += 1
+            pred[0] = pred[1] = pred[2] = 0
+        my, mx = divmod(n_mcu, mcux)
+        for by in range(sy):
+            for bx in range(sx):
+                put_block(ypl, (my * sy + by) * 8, (mx * sx + bx) * 8, 0)
+        put_block(cbp, my * 8, mx * 8, 1)
+        put_block(crp, my * 8, mx * 8, 2)
+    wtr.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) \
+            + body
+
+    out = bytearray(b"\xff\xd8")
+    zz_q = bytes([0]) + bytes(int(v) for v in qtab)
+    out += seg(0xDB, zz_q)
+    sof = _struct.pack(">BHHB", 8, h, w, 3)
+    samp = (sx << 4) | sy
+    sof += bytes([1, samp, 0, 2, 0x11, 0, 3, 0x11, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + dc_t[0] + dc_t[1])
+    out += seg(0xC4, bytes([0x10]) + ac_t[0] + ac_t[1])
+    if restart:
+        out += seg(0xDD, _struct.pack(">H", restart))
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    out += seg(0xDA, sos)
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)

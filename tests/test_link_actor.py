@@ -95,3 +95,74 @@ def test_kg_triples_alias_override(ray_session, tmp_path, kb_path):
     # pipeline accepts and uses the external path without error
     assert ids
     assert not any(i.startswith("E") for i in ids)
+
+
+def test_external_link_actor_fetch_and_cache():
+    """ExternalLinkActor: fixture-backed candidate fetcher, per-unique
+    fetch accounting, prefix-score acceptance, pipeline parity when the
+    mention is an exact alias hit."""
+    import pyarrow as pa
+    from ie_ray.stages.link import ExternalLinkActor
+
+    alias = {"paris": ("e:paris", 0.9, "Paris")}
+    calls = []
+
+    def fetch(mention):
+        calls.append(mention)
+        if mention == "angela merkel":
+            return [("e:merkel", 0.8, "Angela Merkel")]
+        if mention == "obscure person":
+            return [("e:wrong", 0.9, "Completely Different Title")]
+        return []
+
+    actor = ExternalLinkActor(alias, fetch_candidates=fetch)
+    batch = pa.table({
+        "subj": pa.array(["Paris", "Angela Merkel", "Angela Merkel",
+                          "Obscure Person", "Nobody Known"]),
+        "obj": pa.array(["cat", "Paris", "Angela Merkel", "cat", None]),
+    })
+    out = actor(batch)
+    subj = out.column("subj_id").to_pylist()
+    # exact alias hit never touches the fetcher
+    assert subj[0] == "e:paris"
+    # fetched candidate accepted via prefix score
+    assert subj[1] == "e:merkel" and subj[2] == "e:merkel"
+    # low-prefix-score candidate rejected → deterministic surface id
+    assert subj[3].startswith("m:")
+    # empty candidate list → surface id fallback
+    assert subj[4].startswith("m:")
+    # per-DISTINCT-mention fetching: merkel fetched once despite 3 rows
+    assert calls.count("angela merkel") == 1
+    assert actor.fetch_calls == len(set(calls))
+    assert actor.cache_hits >= 1
+
+    # second batch: cache absorbs repeats, no new fetches
+    n = actor.fetch_calls
+    actor(pa.table({"subj": pa.array(["Angela Merkel"]),
+                    "obj": pa.array(["Paris"])}))
+    assert actor.fetch_calls == n
+
+
+def test_external_link_actor_disabled_is_plain_linkactor():
+    import pyarrow as pa
+    from ie_ray.stages.link import ExternalLinkActor, LinkActor
+
+    alias = {"paris": ("e:paris", 0.9, "Paris")}
+    a = ExternalLinkActor(alias)          # no fetcher configured
+    b = LinkActor(alias)
+    batch = pa.table({"subj": pa.array(["Paris", "Unknown Guy", "dog"]),
+                      "obj": pa.array(["dog", "Paris", None])})
+    assert a(batch).to_pydict() == b(batch).to_pydict()
+
+
+def test_external_link_actor_fetcher_errors_degrade():
+    import pyarrow as pa
+    from ie_ray.stages.link import ExternalLinkActor
+
+    def bad_fetch(m):
+        raise RuntimeError("network down")
+
+    a = ExternalLinkActor({}, fetch_candidates=bad_fetch)
+    out = a(pa.table({"subj": pa.array(["Angela Merkel"]),
+                      "obj": pa.array([None], type=pa.string())}))
+    assert out.column("subj_id").to_pylist()[0].startswith("m:")

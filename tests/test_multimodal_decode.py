@@ -106,3 +106,92 @@ def test_png_roundtrip_all_shapes():
     for shape in [(1, 1, 3), (5, 17, 3), (32, 8, 3)]:
         img = rng.randint(0, 256, shape, dtype=np.uint8)
         assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline (round 5)
+# ---------------------------------------------------------------------------
+
+def _gradient(h, w):
+    import numpy as np
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([(xx * 255 / max(w - 1, 1)),
+                     (yy * 255 / max(h - 1, 1)),
+                     ((xx + yy) * 255 / max(w + h - 2, 1))],
+                    axis=2).astype(np.uint8)
+
+
+def test_jpeg_roundtrip_444_near_lossless():
+    import numpy as np
+    from ie_ray.stages.multimodal import decode_jpeg, encode_jpeg
+    img = _gradient(24, 40)
+    dec = decode_jpeg(encode_jpeg(img, quant=1))
+    assert dec.shape == img.shape
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_jpeg_roundtrip_420_subsampled():
+    import numpy as np
+    from ie_ray.stages.multimodal import decode_jpeg, encode_jpeg
+    img = _gradient(32, 48)
+    dec = decode_jpeg(encode_jpeg(img, quant=1, subsample=True))
+    assert dec.shape == img.shape
+    # chroma is 2x2-averaged — luma-dominated error stays small
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 12
+
+
+def test_jpeg_restart_intervals():
+    import numpy as np
+    from ie_ray.stages.multimodal import decode_jpeg, encode_jpeg
+    img = _gradient(32, 48)
+    dec = decode_jpeg(encode_jpeg(img, quant=1, restart=3))
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+    dec = decode_jpeg(encode_jpeg(img, quant=1, subsample=True,
+                                  restart=2))
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 12
+
+
+def test_jpeg_odd_dimensions_and_grayscale():
+    import numpy as np
+    from ie_ray.stages.multimodal import decode_jpeg, encode_jpeg
+    img = _gradient(19, 29)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == (19, 29, 3)
+    assert int(np.abs(dec.astype(int) - img.astype(int)).max()) <= 2
+    g = _gradient(16, 16)[:, :, 0]
+    dec = decode_jpeg(encode_jpeg(g))
+    assert int(np.abs(dec[:, :, 0].astype(int) - g.astype(int)).max()) <= 1
+
+
+def test_jpeg_progressive_rejected_and_flagged():
+    import numpy as np
+    import pyarrow as pa
+    from ie_ray.stages.multimodal import (MediaDecodeActor, decode_jpeg,
+                                          encode_jpeg)
+    import pytest
+    enc = encode_jpeg(_gradient(16, 16))
+    bad = enc[:2] + b"\xff\xc2\x00\x05aaa" + enc[2:]
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
+    # actor path: progressive → honest decoded=false, good → true
+    actor = MediaDecodeActor()
+    out = actor(pa.table({
+        "media_id": pa.array([1, 2], type=pa.int64()),
+        "kind": pa.array(["image", "image"]),
+        "payload": pa.array([enc, bad], type=pa.binary()),
+        "mime": pa.array(["image/jpeg", "image/jpeg"]),
+    }))
+    assert out.column("decoded").to_pylist() == [True, False]
+
+
+def test_jpeg_quantization_quality_tradeoff():
+    import numpy as np
+    from ie_ray.stages.multimodal import decode_jpeg, encode_jpeg
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    e1 = np.abs(decode_jpeg(encode_jpeg(img, quant=1)).astype(int)
+                - img.astype(int)).mean()
+    e8 = np.abs(decode_jpeg(encode_jpeg(img, quant=8)).astype(int)
+                - img.astype(int)).mean()
+    assert e1 < e8          # heavier quantization → more error
+    assert e1 <= 1.5
