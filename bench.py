@@ -155,7 +155,10 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "q16_supplier_cnt", "q20_excess_suppliers",
                  "q21_waiting_suppliers", "events_watermark_hourly",
                  "semdedup_keep", "docs_dsir_scores", "docs_pii_scrub",
-                 "docs_dsir_scores_hashed"):
+                 "docs_dsir_scores_hashed",
+                 # round-5 additions
+                 "events_dow_hour_heatmap", "docs_stopword_ratio",
+                 "customer_nation_top3", "orders_rolling_7d_revenue"):
         consume(name)
 
     total = round(time.time() - t0, 3)

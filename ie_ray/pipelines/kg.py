@@ -58,7 +58,8 @@ def kg_triples(fixture_dir: Optional[str] = None,
                concurrency=None,
                dedup: bool = True,
                link: bool = True,
-               alias_table_path: Optional[str] = None) -> "ray.data.Dataset":
+               alias_table_path: Optional[str] = None,
+               dedup_shards=None) -> "ray.data.Dataset":
     """pages → linked triples Dataset (lazy; caller consumes/writes).
 
     ``alias_table_path``: external entity-KB alias table for linking —
@@ -105,9 +106,13 @@ def kg_triples(fixture_dir: Optional[str] = None,
     ds = filter_lang(ds, "en")
     if dedup:
         # online sharded hash index (reference semantics: probe-and-insert,
-        # aws/__init__.py:115-136) — no all-to-all shuffle on the hot path
+        # aws/__init__.py:115-136) — no all-to-all shuffle on the hot path.
+        # ``dedup_shards`` lets a sharded/resumable caller share ONE index
+        # across per-shard pipeline runs (cross-shard duplicates must not
+        # escape just because the work is checkpointed per shard).
         from ..stages.dedup_index import DedupFilter, create_dedup_index
-        shards = create_dedup_index(num_shards=max(4, ncpu_total // 4))
+        shards = dedup_shards if dedup_shards is not None else \
+            create_dedup_index(num_shards=max(4, ncpu_total // 4))
         ds = ds.map_batches(add_page_hash, batch_format="pyarrow")
         ds = ds.map_batches(DedupFilter,
                             fn_constructor_kwargs={"shards": shards},
@@ -189,6 +194,34 @@ def kg_resumable(fixture_dir: Optional[str] = None,
     fixture_dir = fixture_dir or default_fixture_dir()
     os.makedirs(os.path.join(out_dir, "manifests"), exist_ok=True)
     shards = _page_shards(fixture_dir, num_shards)
+
+    # ONE dedup index shared across every shard of this run, so
+    # cross-shard duplicate pages dedup exactly like the single-pass
+    # flagship.  On resume, the index is re-SEEDED from the completed
+    # shards' input files (extract+hash only — the expensive
+    # parse/compose work still skips), so remaining shards see the same
+    # membership a crash-free run would have.
+    import pyarrow as pa
+
+    from ..stages.dedup_index import DedupFilter, create_dedup_index
+    ncpu_total = int(ray.cluster_resources().get("CPU", 4))
+    dedup_shards = create_dedup_index(num_shards=max(4, ncpu_total // 4))
+    done_files = [files for k, files in enumerate(shards)
+                  if partition_done(out_dir, "triples-shard%03d" % k)]
+    if done_files:
+        seed = ray.data.read_parquet(
+            [f for fl in done_files for f in fl],
+            columns=["url", "html", "lang"])
+        seed = filter_lang(seed.map_batches(
+            extract_text_batch, batch_format="pyarrow"), "en")
+        seed = seed.map_batches(add_page_hash, batch_format="pyarrow")
+        flt = DedupFilter(dedup_shards)
+        # consume for the insert side effect; only counts reach the driver
+        seed.map_batches(
+            lambda t, _f=flt: pa.table(
+                {"n": pa.array([_f(t).num_rows], type=pa.int64())}),
+            batch_format="pyarrow").count()
+
     completed_now, skipped = 0, 0
     for k, files in enumerate(shards):
         part = "triples-shard%03d" % k
@@ -202,7 +235,8 @@ def kg_resumable(fixture_dir: Optional[str] = None,
         os.makedirs(tmp_dir, exist_ok=True)
         pages = ray.data.read_parquet(files, columns=["url", "html", "lang"])
         triples = kg_triples(fixture_dir, pages_ds=pages,
-                             concurrency=concurrency)
+                             concurrency=concurrency,
+                             dedup_shards=dedup_shards)
         triples.write_parquet(tmp_dir)
         os.rename(tmp_dir, final_dir)
         rows = sum(pq.ParquetFile(os.path.join(final_dir, f)).metadata.num_rows

@@ -64,6 +64,13 @@ def _run_phase(cpus, n_pages, fail_after, out_dir, num_shards):
                      + proc.stderr[-2000:])
 
 
+def _extracted_count() -> int:
+    import duckdb
+    return duckdb.sql(
+        "SELECT count(*) FROM read_parquet('%s/triples/*/*.parquet') "
+        "WHERE kind IN ('arg','aka','poss')" % OUT_DIR).fetchone()[0]
+
+
 def main():
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 2_400_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
@@ -106,6 +113,11 @@ def main():
         "shards_skipped_on_resume": resumed["shards_skipped"],
         "shards_computed_on_resume": resumed["shards_computed"],
         "triples": resumed["triples"],
+        # arg/aka/poss rows only — directly comparable to the
+        # compute-path soak's "triples extracted" number (the full row
+        # count above additionally includes quarantine/empty records,
+        # which the write path preserves as data)
+        "triples_extracted": _extracted_count(),
         "nodes": resumed["nodes"],
         "edges": resumed["edges"],
         "shard_manifests": len(shard_manifests),
