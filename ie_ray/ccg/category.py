@@ -23,10 +23,12 @@ _TAG_RE = re.compile(r"_(\d+)")
 class Category:
     """Immutable parsed CCG category."""
 
-    __slots__ = ("_sig", "_result", "_arg", "_slash", "_base", "_features", "_tag")
+    __slots__ = ("_sig", "_result", "_arg", "_slash", "_base", "_features",
+                 "_tag", "_combo")
 
     def __init__(self, sig, result=None, arg=None, slash=None, base=None,
                  features=(), tag=None):
+        self._combo = None         # parser combination memo (parser.py)
         self._sig = sig            # canonical clean signature (no predarg tags)
         self._result = result      # Category | None
         self._arg = arg            # Category | None
