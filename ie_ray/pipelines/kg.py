@@ -139,6 +139,12 @@ def kg_triples(fixture_dir: Optional[str] = None,
     # starved the parser — the actual scaling bottleneck.
     from ..stages.compose_stage import ParseComposeActor
     fused_kwargs = {"derivations": derivations_ref}
+    if os.environ.get("IE_RAY_COLD_PARSER"):
+        # benchmark honesty mode: a REAL crawl has no replay corpus and
+        # no fixture-shaped heuristic — every sentence pays the full
+        # supertagger+CKY path (BASELINE.md cold-parser row)
+        fused_kwargs["derivations"] = ray.put({})
+        fused_kwargs["heuristic_fallback"] = False
     if link:
         fused_kwargs["alias_map"] = ray.put(load_alias_map(
             alias_table_path))
