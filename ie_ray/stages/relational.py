@@ -703,7 +703,13 @@ class KeyLookup:
         import numpy as np
         probe = np.asarray(probe, dtype=np.int64)
         if self._dense is not None:
-            return self._dense[np.clip(probe, 0, len(self._dense) - 1)]
+            # out-of-range probes (negative OR past max) route to the
+            # sentinel slot (size-1 = max_key+1, never a build key, so
+            # it always holds ``default``) — a plain clip would alias a
+            # negative probe onto key 0's real value
+            size = len(self._dense)
+            idx = np.where((probe < 0) | (probe >= size), size - 1, probe)
+            return self._dense[idx]
         if self._keys_pa is None:            # empty build side
             return np.full(len(probe), self.default)
         import pyarrow as pa

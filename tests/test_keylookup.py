@@ -33,6 +33,13 @@ def test_sparse_64bit_keys_no_dense_allocation():
     assert out.tolist() == ["b", "", "c", "a"]
 
 
+def test_negative_probe_on_dense_path_is_default():
+    # key 0 holds a real value; a negative probe must NOT clip onto it
+    kl = KeyLookup([0, 1, 2], [10, 20, 30], default=-1)
+    assert kl._dense is not None
+    assert kl.take([-1, 0, -2**40, 2]).tolist() == [-1, 10, -1, 30]
+
+
 def test_negative_keys_use_hash_path():
     kl = KeyLookup([-5, 3], [1.0, 2.0], default=0.0)
     assert kl._dense is None
