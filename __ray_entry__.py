@@ -4484,6 +4484,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ie_ray.stages.retrieval import dsir_scores
         return dsir_scores(_docs(sf_dir), target_lang="en")
 
+    def docs_bigram_logprob(sf_dir):
+        """CCNet-style perplexity quality score (Wenzek et al. 2020):
+        per-doc add-1-smoothed bigram-LM log-probability under a
+        corpus-trained LM.  See
+        ie_ray/stages/retrieval.py::bigram_logprob for the shape
+        (block-local gram tf, ONE bigram-vocab exchange, broadcast
+        log-prob table, partial + bucketed doc_id combine); the
+        open-web scale path is the hashed-bucket recipe of
+        dsir_scores_hashed."""
+        from ie_ray.stages.retrieval import bigram_logprob
+        return bigram_logprob(_docs(sf_dir))
+
     def docs_pii_scrub(sf_dir):
         """Rule-based PII redaction (emails/SSNs/phones/IPs; C4 /
         RefinedWeb-style cleaning): per-doc match counts + the
@@ -4726,6 +4738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    the entries whose kernels changed this round (KeyLookup
         #    sweep through the TPC-H decorations, vectorized hashed
         #    DSIR), then the round-4 prefix for re-confirmation --
+        "docs_bigram_logprob": docs_bigram_logprob,
         "events_dow_hour_heatmap": events_dow_hour_heatmap,
         "docs_stopword_ratio": docs_stopword_ratio,
         "customer_nation_top3": customer_nation_top3,
@@ -4886,6 +4899,8 @@ def oracle_sql() -> dict[str, str]:
                                      simhash_oracle_sql)
     from ie_ray.stages.pii import pii_oracle_sql as _pii_sql
     from ie_ray.stages.retrieval import dsir_oracle_sql as _dsir_sql
+    from ie_ray.stages.retrieval import \
+        bigram_logprob_oracle_sql as _bigram_lp_sql
     from ie_ray.stages.retrieval import (UNIGRAM_LOGPROB_SQL as _UNIGRAM_SQL,
                                          bm25_oracle_sql as _bm25_oracle,
                                          pmi_oracle_sql as _pmi_oracle)
@@ -5506,6 +5521,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_orderdate >= TIMESTAMP '2000-01-01') "
             "GROUP BY c_nationkey ORDER BY n_nationkey",
         "docs_dsir_scores": _dsir_sql("en"),
+        "docs_bigram_logprob": _bigram_lp_sql(),
         "docs_pii_scrub": _pii_sql(),
         "events_watermark_hourly":
             "WITH x AS (SELECT strftime(date_trunc('hour', ts), "

@@ -158,7 +158,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "docs_dsir_scores_hashed",
                  # round-5 additions
                  "events_dow_hour_heatmap", "docs_stopword_ratio",
-                 "customer_nation_top3", "orders_rolling_7d_revenue"):
+                 "customer_nation_top3", "orders_rolling_7d_revenue",
+                 "docs_bigram_logprob"):
         consume(name)
 
     total = round(time.time() - t0, 3)

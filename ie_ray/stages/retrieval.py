@@ -583,3 +583,145 @@ def dsir_scores_hashed(docs, target_lang: str = "en",
             "dsir_score": pa.array(np.round(s, 4), type=pa.float64())})
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def _gram_tf_batch(b: pa.Table) -> pa.Table:
+    """Exact per-doc BIGRAM frequencies, block-local and fully
+    vectorized: one Arrow split, adjacent-token grams via two shifted
+    views of the flat token array joined element-wise, the cross-row
+    boundary masked out in numpy, then one Arrow hash-agg per block.
+    A doc's text is one row, so its bigrams never span blocks."""
+    col = pc.fill_null(b.column("text").combine_chunks(), "")
+    la = pc.split_pattern(col, " ")
+    offsets = np.asarray(la.offsets, dtype=np.int64)
+    flat = la.flatten()
+    n_tok = len(flat)
+    if n_tok < 2:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "gram": pa.array([], type=pa.string()),
+                         "c": pa.array([], type=pa.int64())})
+    tok_row = np.repeat(np.arange(len(la), dtype=np.int64),
+                        np.diff(offsets))
+    valid = pa.array(tok_row[:-1] == tok_row[1:])   # same-doc pairs only
+    gram = pc.filter(
+        pc.binary_join_element_wise(flat.slice(0, n_tok - 1),
+                                    flat.slice(1, n_tok - 1), " "),
+        valid)
+    doc = pc.take(b.column("doc_id").combine_chunks(),
+                  pa.array(tok_row[:-1][np.asarray(valid)]))
+    t = pa.table({"doc_id": doc, "gram": gram})
+    g = t.group_by(["doc_id", "gram"]).aggregate([([], "count_all")])
+    return g.rename_columns(["doc_id", "gram", "c"]).cast(pa.schema([
+        ("doc_id", pa.int64()), ("gram", pa.string()), ("c", pa.int64())]))
+
+
+def bigram_logprob(docs):
+    """Per-document add-1-smoothed bigram-LM log-probability — the
+    CCNet-style perplexity quality filter a pre-training pipeline runs
+    over every shard (Wenzek et al. 2020, arXiv:1911.00359 score
+    documents with a KenLM n-gram model; this is the same statistic
+    under a corpus-trained bigram LM):
+
+        score(d) = Σ_{(w1,w2) ∈ bigrams(d)}
+                       ln( (C(w1 w2) + 1) / (C1(w1) + V) )
+
+    with C = corpus bigram count, C1(w1) = count of bigrams whose left
+    word is w1, V = distinct unigram vocabulary size.  Docs with <2
+    tokens have no bigrams and are excluded (pinned in the oracle).
+
+    Shape (the DSIR discipline, :func:`dsir_scores`): one block-local
+    gram-tf pass, ONE bigram-vocab-sized exchange for corpus counts
+    (stays a Dataset until the bounded driver fold), one unigram
+    distinct count, then the log-prob table broadcasts once and every
+    block emits per-doc PARTIAL sums totalled by a bucketed doc_id
+    combine — partial/combine, not block-local finish, because Ray may
+    split one doc's tf rows across blocks.  The broadcast is O(bigram
+    vocab): that is the exact/oracle form; at open-web scale the
+    hashed-bucket recipe of :func:`dsir_scores_hashed` (fixed 2^k
+    feature table, same score pass) is the documented scale path.
+    Returns (doc_id, bigram_lp) rounded to 4 dp.
+    """
+    import ray
+
+    from ie_ray.stages.relational import bucketed_aggregate
+
+    tf = docs.map_batches(_gram_tf_batch,
+                          batch_format="pyarrow").materialize()
+    cnt = (bucketed_aggregate(tf.select_columns(["gram", "c"]), "gram",
+                              [("c", "sum")])
+           .map_batches(lambda t: t.rename_columns(["gram", "c"]),
+                        batch_format="pyarrow")).materialize()
+
+    def distinct_words(b: pa.Table) -> pa.Table:
+        flat = pc.split_pattern(
+            pc.fill_null(b.column("text").combine_chunks(), ""),
+            " ").flatten()
+        return pa.table({"w": flat.unique(),
+                         "one": pa.array(
+                             np.ones(len(flat.unique()), dtype=np.int64))})
+
+    vocab = int(bucketed_aggregate(
+        docs.map_batches(distinct_words, batch_format="pyarrow"),
+        "w", [("one", "sum")]).count())
+
+    # bounded driver fold (O(bigram vocab), the DSIR lr-dict idiom):
+    # pass 1 accumulates left-word totals, pass 2 the log-prob table
+    grams, cs = [], []
+    c1: dict = {}
+    for b in cnt.iter_batches(batch_format="pyarrow", batch_size=65536):
+        g = b.column("gram").to_pylist()
+        c = b.column("c").to_pylist()
+        grams.append(g)
+        cs.append(c)
+        for gi, ci in zip(g, c):
+            w1 = gi.split(" ", 1)[0]
+            c1[w1] = c1.get(w1, 0) + ci
+    lp = {}
+    for g, c in zip(grams, cs):
+        for gi, ci in zip(g, c):
+            lp[gi] = math.log((ci + 1)
+                              / (c1[gi.split(" ", 1)[0]] + vocab))
+    ref = ray.put(lp)
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        import ray as _ray
+        table = _ray.get(ref)
+        contrib = (pd.Series(t.column("gram").to_pylist()).map(table)
+                   .to_numpy(dtype=float)
+                   * np.asarray(t.column("c"), dtype=float))
+        part = pa.table({"doc_id": t.column("doc_id"),
+                         "lp": pa.array(contrib, type=pa.float64())})
+        return part.group_by("doc_id").aggregate(
+            [("lp", "sum")]).rename_columns(["doc_id", "lp"])
+
+    scored = bucketed_aggregate(
+        tf.map_batches(score_partial, batch_format="pyarrow"),
+        "doc_id", [("lp", "sum")])
+    return scored.map_batches(
+        lambda t: pa.table({
+            "doc_id": t.column("doc_id"),
+            "bigram_lp": pc.round(t.column("lp_sum"), 4,
+                                  round_mode="half_towards_infinity")}),
+        batch_format="pyarrow")
+
+
+def bigram_logprob_oracle_sql() -> str:
+    """Exact DuckDB equivalent of :func:`bigram_logprob` on
+    ``documents``."""
+    return (
+        "WITH tok AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents), "
+        "uni AS (SELECT unnest(l) AS w FROM tok), "
+        "v AS (SELECT count(DISTINCT w) AS v FROM uni), "
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(l)), "
+        "i -> l[i::INT] || ' ' || l[(i+1)::INT])) AS gram FROM tok "
+        "WHERE len(l) >= 2), "
+        "bc AS (SELECT gram, count(*) AS c FROM bg GROUP BY gram), "
+        "lc AS (SELECT split_part(gram, ' ', 1) AS w1, sum(c) AS c1 "
+        "FROM bc GROUP BY 1) "
+        "SELECT doc_id, round(sum(ln((bc.c + 1)::DOUBLE "
+        "/ (lc.c1 + v.v))), 4) AS bigram_lp "
+        "FROM bg JOIN bc USING (gram) "
+        "JOIN lc ON lc.w1 = split_part(gram, ' ', 1) CROSS JOIN v "
+        "GROUP BY doc_id")

@@ -1,0 +1,76 @@
+"""Bigram-LM perplexity score (CCNet-style quality filter):
+hand-computed golden on a tiny corpus, exact DuckDB-oracle agreement
+on a randomized corpus (including multi-block splits, the partial/
+combine correctness case), and the <2-token exclusion contract."""
+
+import math
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ie_ray.stages.retrieval import (bigram_logprob,
+                                     bigram_logprob_oracle_sql)
+
+
+def _run(rows, ray_session, parallelism=4):
+    import ray.data
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string())})
+    ds = ray.data.from_arrow(t)
+    if parallelism > 1:
+        ds = ds.repartition(parallelism)
+    out = bigram_logprob(ds).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    return out
+
+
+def _oracle(rows):
+    con = duckdb.connect()
+    con.register("documents_src", pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string())}))
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_src")
+    return con.execute(bigram_logprob_oracle_sql()).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def test_hand_golden(ray_session):
+    # corpus: "a b a b" + "a c"  →  bigrams: ab×2, ba×1, ac×1
+    # C1(a)=3, C1(b)=1; V = |{a,b,c}| = 3
+    rows = [(0, "a b a b"), (1, "a c")]
+    out = _run(rows, ray_session, parallelism=1)
+    lp_ab = math.log((2 + 1) / (3 + 3))
+    lp_ba = math.log((1 + 1) / (1 + 3))
+    lp_ac = math.log((1 + 1) / (3 + 3))
+    assert out.doc_id.tolist() == [0, 1]
+    assert out.bigram_lp[0] == pytest.approx(
+        round(2 * lp_ab + lp_ba, 4), abs=1e-9)
+    assert out.bigram_lp[1] == pytest.approx(round(lp_ac, 4), abs=1e-9)
+
+
+def test_short_docs_excluded(ray_session):
+    # docs with <2 tokens have no bigrams — excluded in BOTH engines
+    rows = [(0, "solo"), (1, ""), (2, "two words")]
+    out = _run(rows, ray_session)
+    ora = _oracle(rows)
+    assert out.doc_id.tolist() == [2]
+    assert ora.doc_id.tolist() == [2]
+    assert out.bigram_lp[0] == ora.bigram_lp[0]
+
+
+def test_oracle_agreement_multiblock(ray_session):
+    # randomized corpus across several blocks: Ray may split one doc's
+    # tf rows across blocks — the bucketed doc_id combine must total
+    # them exactly like the single-engine oracle
+    rng = np.random.default_rng(17)
+    vocab = "the a cat dog sat mat ran big red on".split()
+    rows = [(i, " ".join(rng.choice(vocab, size=int(rng.integers(2, 60)))))
+            for i in range(120)]
+    out = _run(rows, ray_session, parallelism=8)
+    ora = _oracle(rows)
+    assert len(out) == len(ora) == 120
+    assert (out.doc_id.values == ora.doc_id.values).all()
+    assert np.abs(out.bigram_lp.values - ora.bigram_lp.values).max() == 0
