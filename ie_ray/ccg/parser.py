@@ -49,18 +49,21 @@ from .category import Category
 MAX_CKY_TOKENS = 250   # parity: reference service maxLength
 GRID_MAX_TOKENS = 48   # full-grid CKY beyond this is O(n³·beam²)-hostile
 BEAM = 24
-# Per-cell score-margin pruning (see _prune) engages only for
-# sentences of >= MARGIN_MIN_TOKENS tokens: short-sentence derivations
-# stay bit-identical to the unpruned chart, and the O(n³·beam²) class
-# (mid/long sentences) gets the speedup.  A sentence the pruned chart
-# cannot parse retries unpruned (adaptive backoff, EasySRL's
-# supertagger-beam strategy) so coverage is margin-independent.
-# Measured operating curve on 80 held-out 26-47-word prose sentences
-# (interleaved, same process): margin 3.5 → 1.12× with ZERO parse
-# changes (the default — every derivation measured identical to the
-# unpruned chart); 2.4 → 1.5× with 5/80 changed; 1.6 → 2.8× with 8/80
-# changed (one root downgrade, one upgrade).  Corpora dominated by
-# long sentences can set margin=1.6 via CkyParser/ParseComposeActor.
+# Per-cell score-margin pruning (see _prune) engages only for the
+# full-grid O(n³·beam²) sentence class (MARGIN_MIN_TOKENS..GRID_MAX):
+# shorter derivations stay bit-identical by construction, and the
+# chunked long-sentence path keeps margin off (the punctuation
+# constraint already collapses its cost, and the margin measurably
+# buys nothing there while non-monotonically perturbing derivations).
+# A sentence the pruned chart cannot parse retries unpruned (adaptive
+# backoff, EasySRL's supertagger-beam strategy) so coverage is
+# margin-independent.  Measured operating curve on 80 held-out
+# 26-47-word prose sentences (interleaved, same process): margin 3.5
+# → 1.12× with ZERO parse changes (the default — every derivation
+# measured identical to the unpruned chart, incl. short/long pools:
+# md5-identical parse sets); 2.4 → 1.5× with 5/80 changed; 1.6 → 2.8×
+# with 8/80 changed (one root downgrade, one upgrade).  Corpora
+# dominated by 26-48-word sentences can set margin=1.6 via CkyParser.
 MARGIN = 3.5
 MARGIN_MIN_TOKENS = 26
 
@@ -625,25 +628,17 @@ def _mk_functor_sig(result: Category, slash: str, arg: Category) -> str:
 
 
 
-def _combine(lc: Category, rc: Category, lconj: bool, rconj: bool):
-    """(result Category, conj flag, weight, head child) options.
-
-    Results depend only on the two signatures + conj flags, and the same
-    pairs recur millions of times across a corpus — memoized on the LEFT
-    category object itself (Category instances are stable: ``parse`` is
-    lru-cached and children are stored), so the hot-path probe is one
-    attribute read + one small-dict get instead of building and hashing
-    a 4-tuple of strings (measured ~2× on the CKY inner loop, which is
-    the flagship bottleneck for non-replay web text)."""
-    d = lc._combo
-    if d is None:
-        d = lc._combo = {}
-    key = (rc._sig, lconj, rconj)
-    hit = d.get(key)
-    if hit is None:
-        hit = _combine_raw(lc, rc, lconj, rconj)
-        d[key] = hit
-    return hit
+def _combine_entries(lc: Category, rc: Category,
+                     lconj: bool, rconj: bool):
+    """Memo-entry form of :func:`_combine_raw` for the CKY inner loop:
+    (result Category, conj, weight, head, tree label, cell key) — the
+    label and key are pure functions of (result, conj), so they are
+    paid once per DISTINCT combination at memo-miss time instead of
+    once per chart item (the memo lives on the LEFT Category object;
+    instances are stable because ``Category.parse`` is lru-cached)."""
+    return [(res, conj, wt, head,
+             _conj_sig(res) if conj else res._sig, (res._sig, conj))
+            for res, conj, wt, head in _combine_raw(lc, rc, lconj, rconj)]
 
 
 def _combine_raw(lc: Category, rc: Category, lconj: bool, rconj: bool):
@@ -866,8 +861,15 @@ class CkyParser:
         words = tokenize(sentence)
         if not words or len(words) > self.max_tokens:
             return None
+        # margin engages only for the full-grid O(n³·beam²) class
+        # (margin_min..grid_max tokens): shorter sentences don't need
+        # it, and the chunked long-sentence path is already collapsed
+        # by the punctuation constraint — measured, the margin buys
+        # nothing there while (non-monotonically) perturbing a few
+        # derivations, so it stays off to keep long parses bit-stable
         margin = self.margin \
-            if len(words) >= self.margin_min_tokens else None
+            if self.margin_min_tokens <= len(words) <= self.grid_max \
+            else None
         out = self._best_parse(words, margin)
         if out is None and margin is not None:
             # adaptive backoff: a margin-pruned chart that yields NO
@@ -911,6 +913,7 @@ class CkyParser:
                 return True
             return cuts[i] and cuts[j + 1]
 
+        unconstrained = chunk_id is None
         # chart[i][j] = cell for span words[i:j+1]
         chart = [[None] * n for _ in range(n)]
         for i, (w, cs) in enumerate(zip(words, cands)):
@@ -929,19 +932,24 @@ class CkyParser:
         for span in range(2, n + 1):
             for i in range(0, n - span + 1):
                 j = i + span - 1
-                if not allowed(i, j):
+                if not unconstrained and not allowed(i, j):
                     continue
                 cell: Dict = {}
                 for k in range(i, j):
-                    if not (allowed(i, k) and allowed(k + 1, j)):
+                    if not unconstrained and \
+                            not (allowed(i, k) and allowed(k + 1, j)):
                         continue
                     left = chart[i][k]
                     right = chart[k + 1][j]
                     if not left or not right:
                         continue
-                    # hot loop: the _combine memo probe is inlined
+                    # hot loop: the combine memo probe is inlined
                     # (12.9M calls/corpus-minute — the function-call and
-                    # tuple-build overhead alone was ~15% of parse time)
+                    # tuple-build overhead alone was ~15% of parse time),
+                    # memo entries carry the precomputed tree label and
+                    # cell key, and _Item construction is DEFERRED until
+                    # the score actually beats the incumbent (~2/3 of
+                    # candidate items used to be built then discarded)
                     cell_get = cell.get
                     for li in left.values():
                         lcat, lconj = li.cat, li.conj
@@ -954,21 +962,19 @@ class CkyParser:
                             key = (rcat._sig, lconj, ri.conj)
                             hit = lcombo.get(key)
                             if hit is None:
-                                hit = lcombo[key] = _combine_raw(
+                                hit = lcombo[key] = _combine_entries(
                                     lcat, rcat, lconj, ri.conj)
                             if not hit:
                                 continue
                             pair_score = lscore + ri.score
-                            for res, conj, wt, head in hit:
-                                sig = _conj_sig(res) if conj \
-                                    else res._sig
-                                it = _Item(res, conj, pair_score + wt,
-                                           ("T", sig, head,
-                                            [ltree, ri.tree]))
-                                ik = (res._sig, conj)
+                            for res, conj, wt, head, lbl, ik in hit:
+                                sc = pair_score + wt
                                 cur = cell_get(ik)
-                                if cur is None or it.score > cur.score:
-                                    cell[ik] = it
+                                if cur is None or sc > cur.score:
+                                    cell[ik] = _Item(
+                                        res, conj, sc,
+                                        ("T", lbl, head,
+                                         [ltree, ri.tree]))
                 # unary on the combined cell
                 for it in list(cell.values()):
                     if it.conj:
