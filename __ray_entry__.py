@@ -4388,6 +4388,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ie_ray.stages.retrieval import dsir_scores_hashed
         return dsir_scores_hashed(_docs(sf_dir), target_lang="en")
 
+    def docs_bigram_logprob_hashed(sf_dir):
+        """Hashed-bucket bigram-LM perplexity score (the open-web
+        scale variant of docs_bigram_logprob: fixed bucket tables for
+        gram and left-word counts, crc32 hashing, O(n_buckets)
+        exchange + broadcast).  No SQL oracle (crc32); gated by
+        tests/test_bigram_logprob.py — determinism, short-doc
+        exclusion parity, rank agreement with the exact variant."""
+        from ie_ray.stages.retrieval import bigram_logprob_hashed
+        return bigram_logprob_hashed(_docs(sf_dir))
+
     def docs_split_assign(sf_dir):
         """Deterministic train/val/test assignment by content hash
         (80/10/10) — the reproducible split every training pipeline
@@ -4886,6 +4896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_bpe_encode": docs_bpe_encode,
         "semdedup_keep": semdedup_keep,
         "docs_dsir_scores_hashed": docs_dsir_scores_hashed,
+        "docs_bigram_logprob_hashed": docs_bigram_logprob_hashed,
     }
 
 

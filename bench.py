@@ -159,7 +159,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  # round-5 additions
                  "events_dow_hour_heatmap", "docs_stopword_ratio",
                  "customer_nation_top3", "orders_rolling_7d_revenue",
-                 "docs_bigram_logprob"):
+                 "docs_bigram_logprob", "docs_bigram_logprob_hashed"):
         consume(name)
 
     total = round(time.time() - t0, 3)

@@ -725,3 +725,109 @@ def bigram_logprob_oracle_sql() -> str:
         "FROM bg JOIN bc USING (gram) "
         "JOIN lc ON lc.w1 = split_part(gram, ' ', 1) CROSS JOIN v "
         "GROUP BY doc_id")
+
+
+def bigram_logprob_hashed(docs, n_buckets: int = 65536,
+                          seed: int = 1000003):
+    """The SCALE variant of :func:`bigram_logprob` — bigram and
+    left-word features hashed into fixed ``n_buckets`` tables, so the
+    exchange and the broadcast stay O(n_buckets) no matter how large
+    the open-web bigram vocabulary grows (the same bounded-feature
+    recipe as :func:`dsir_scores_hashed`).
+
+    Per doc: Σ over bigram tokens of
+    ``ln( (C[h(w1,w2)] + 1) / (C1[h(w1)] + V) )`` with V = the number
+    of OCCUPIED unigram buckets (the hashed stand-in for vocabulary
+    size).  Hash collisions merge counts (both engines of any twin
+    implementation would agree — determinism is the contract, the
+    exact-word form is the oracle-checked one).
+
+    Shape: one pass emits both fixed-size count vectors as bucket
+    rows; a lowcard tree-combine sums them; the driver holds
+    2 × n_buckets ints and broadcasts one flat log-prob float array;
+    scoring is a second stateless pass (a doc's text is one row, so
+    per-doc sums are block-safe by construction).  Rows:
+    (doc_id, bigram_lp).  No SQL oracle (crc32); gated by
+    tests/test_bigram_logprob.py (determinism + rank agreement with
+    the exact variant in the no-collision regime).
+    """
+    import zlib
+
+    import ray
+
+    from ie_ray.stages.relational import lowcard_combine
+
+    def _hashed(col):
+        """(gram_bucket, left_bucket, row_id, n_rows) for every
+        within-row bigram — vectorized, crc32 per DISTINCT token."""
+        la = pc.split_pattern(
+            pc.fill_null(col.combine_chunks(), ""), " ")
+        offsets = np.asarray(la.offsets, dtype=np.int64)
+        enc = la.flatten().dictionary_encode()
+        dh = np.fromiter(
+            (zlib.crc32(s.encode("utf-8"))
+             for s in enc.dictionary.to_pylist()),
+            dtype=np.int64, count=len(enc.dictionary))
+        h = dh[np.asarray(enc.indices, dtype=np.int64)]
+        n_rows = len(la)
+        if len(h) < 2:
+            e = np.empty(0, dtype=np.int64)
+            return e, e, e, n_rows, h
+        tok_row = np.repeat(np.arange(n_rows, dtype=np.int64),
+                            np.diff(offsets))
+        valid = tok_row[:-1] == tok_row[1:]
+        big = (((h[:-1] * seed) ^ h[1:]) % n_buckets)[valid]
+        left = (h[:-1] % n_buckets)[valid]
+        return big, left, tok_row[:-1][valid], n_rows, h
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        big, left, _rows, _n, h = _hashed(t.column("text"))
+        c = np.bincount(big, minlength=n_buckets).astype(np.int64)
+        c1 = np.bincount(left, minlength=n_buckets).astype(np.int64)
+        # occupied unigram buckets, as a bit-vector rider column
+        occ = np.zeros(n_buckets, dtype=np.int64)
+        if len(h):
+            occ[np.unique(h % n_buckets)] = 1
+        return pa.table({
+            "bucket": pa.array(np.arange(n_buckets, dtype=np.int64)),
+            "c": pa.array(c), "c1": pa.array(c1), "occ": pa.array(occ)})
+
+    def count_combine(t: pa.Table) -> pa.Table:
+        g = t.group_by("bucket").aggregate(
+            [("c", "sum"), ("c1", "sum"), ("occ", "max")])
+        return g.rename_columns(["bucket", "c", "c1", "occ"])
+
+    cnt = lowcard_combine(
+        docs.map_batches(count_partial, batch_format="pyarrow"),
+        count_combine, combine_fn=count_combine).take_all()
+    c = np.zeros(n_buckets, dtype=np.int64)
+    c1 = np.zeros(n_buckets, dtype=np.int64)
+    occ = np.zeros(n_buckets, dtype=np.int64)
+    for r in cnt:
+        c[r["bucket"]] = r["c"]
+        c1[r["bucket"]] = r["c1"]
+        occ[r["bucket"]] = r["occ"]
+    vocab = int(occ.sum())
+    # flat log-prob table over gram buckets requires the left bucket per
+    # gram bucket — not a function of the gram bucket alone, so the
+    # numerator and denominator broadcast as separate flat arrays and
+    # combine per token at score time
+    lp_num = np.log(c + 1.0)
+    lp_den = np.log(c1 + float(vocab))
+    ref = ray.put((lp_num, lp_den))
+
+    def score(t: pa.Table) -> pa.Table:
+        num, den = ray.get(ref)
+        big, left, rows_, n_rows, _h = _hashed(t.column("text"))
+        contrib = num[big] - den[left]
+        s = np.bincount(rows_, weights=contrib, minlength=n_rows)
+        has = np.bincount(rows_, minlength=n_rows) > 0
+        out = pa.table({
+            "doc_id": t.column("doc_id"),
+            "bigram_lp": pa.array(np.round(s, 4), type=pa.float64()),
+            "has_bigrams": pa.array(has)})
+        # match the exact variant's contract: <2-token docs excluded
+        return out.filter(out.column("has_bigrams")) \
+                  .drop_columns(["has_bigrams"])
+
+    return docs.map_batches(score, batch_format="pyarrow")

@@ -74,3 +74,43 @@ def test_oracle_agreement_multiblock(ray_session):
     assert len(out) == len(ora) == 120
     assert (out.doc_id.values == ora.doc_id.values).all()
     assert np.abs(out.bigram_lp.values - ora.bigram_lp.values).max() == 0
+
+
+def test_hashed_variant_determinism_and_rank_agreement(ray_session):
+    # big bucket table + tiny vocab → collision-free regime: hashed
+    # scores must rank documents exactly like the exact-word variant
+    # (values differ only via V = occupied buckets == true vocab here)
+    from ie_ray.stages.retrieval import bigram_logprob_hashed
+    rng = np.random.default_rng(23)
+    vocab = "aa bb cc dd ee ff gg hh".split()
+    rows = [(i, " ".join(rng.choice(vocab, size=int(rng.integers(2, 40)))))
+            for i in range(80)]
+    out1 = _run_hashed(rows, ray_session)
+    out2 = _run_hashed(rows, ray_session)
+    assert (out1.bigram_lp.values == out2.bigram_lp.values).all()
+
+    exact = _run(rows, ray_session)
+    m = exact.merge(out1, on="doc_id", suffixes=("_e", "_h"))
+    assert len(m) == 80
+    re_ = m.bigram_lp_e.rank(method="first")
+    rh = m.bigram_lp_h.rank(method="first")
+    # Spearman via rank-then-Pearson (no scipy in this sandbox)
+    rho = np.corrcoef(re_.values, rh.values)[0, 1]
+    assert rho > 0.99, rho
+
+
+def test_hashed_excludes_short_docs(ray_session):
+    rows = [(0, "solo"), (1, ""), (2, "two words again here")]
+    out = _run_hashed(rows, ray_session)
+    assert out.doc_id.tolist() == [2]
+
+
+def _run_hashed(rows, ray_session):
+    import ray.data
+    from ie_ray.stages.retrieval import bigram_logprob_hashed
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string())})
+    ds = ray.data.from_arrow(t).repartition(4)
+    return bigram_logprob_hashed(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
