@@ -22,7 +22,7 @@ from ie_ray.stages.relational import KeyLookup
 @given(
     keys=st.lists(st.integers(min_value=0, max_value=2**40),
                   unique=True, min_size=0, max_size=40),
-    probes=st.lists(st.integers(min_value=0, max_value=2**40),
+    probes=st.lists(st.integers(min_value=-2**40, max_value=2**40),
                     min_size=0, max_size=60),
 )
 def test_keylookup_matches_dict(keys, probes):
@@ -39,7 +39,7 @@ def test_keylookup_matches_dict(keys, probes):
 @given(
     keys=st.lists(st.integers(min_value=0, max_value=500),
                   unique=True, min_size=1, max_size=40),
-    probes=st.lists(st.integers(min_value=0, max_value=600),
+    probes=st.lists(st.integers(min_value=-600, max_value=600),
                     min_size=1, max_size=60),
 )
 def test_keylookup_dense_path_matches_dict(keys, probes):
