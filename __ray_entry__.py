@@ -2545,6 +2545,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               concurrency=(1, 2), num_cpus=1,
                               batch_format="pyarrow")
 
+    def media_resize(sf_dir):
+        """Decode → bilinear resize to 32×32 thumbnails → re-encode
+        (actor-pool stage; the brief's decode/feature/resize/
+        frame-sample quartet).  Thumbnails bound downstream bytes/row
+        regardless of source size.  Rows-only (binary payloads);
+        gated by tests/test_multimodal_decode.py resize goldens."""
+        from ie_ray.stages.multimodal import MediaResizeActor, \
+            synthesize_media
+        ds = ray.data.from_arrow(synthesize_media(64))
+        return ds.map_batches(MediaResizeActor, batch_size=16,
+                              concurrency=(1, 2), num_cpus=1,
+                              batch_format="pyarrow")
+
     def substring_dup_frac(sf_dir):
         """Exact-substring dedup score (Lee et al. 2022 re-expression):
         per-doc fraction of distinct 16-char windows shared with another
@@ -4891,6 +4904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_drs": kg_drs,
         "kg_nominals": kg_nominals,
         "media_features": media_features,
+        "media_resize": media_resize,
         "embedding_pca_project": embedding_pca_project,
         "word_kcore": word_kcore,
         "docs_bpe_encode": docs_bpe_encode,

@@ -964,3 +964,77 @@ def encode_jpeg(img: np.ndarray, quant: int = 1,
     out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Vectorized bilinear resize (align_corners=False / half-pixel
+    centers, the OpenCV/PIL default convention) — pure numpy: four
+    gathers + two lerps, no Python per-pixel loop."""
+    h, w = img.shape[:2]
+    if (h, w) == (out_h, out_w):
+        return img.copy()
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * (h / out_h) - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(ys), 0, h - 1).astype(np.int64)
+    x0 = np.clip(np.floor(xs), 0, w - 1).astype(np.int64)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    im = img.astype(np.float64)
+    if im.ndim == 2:
+        im = im[:, :, None]
+    top = im[y0][:, x0] * (1 - wx) + im[y0][:, x1] * wx
+    bot = im[y1][:, x0] * (1 - wx) + im[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    out = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out[:, :, 0] if img.ndim == 2 else out
+
+
+class MediaResizeActor:
+    """Actor-pool stage: decode → bilinear resize to a fixed thumbnail
+    size → re-encode as PPM (the pipeline's lossless interchange
+    format).  The per-actor codec dispatch is built once in __init__;
+    unknown/undecodable payloads pass through with ``resized=False``
+    and an empty payload (honest, like MediaDecodeActor).
+
+    Scale notes: thumbnails bound the downstream bytes/row regardless
+    of source size (a 50 MB JPEG leaves this stage at thumb_h×thumb_w×3
+    + 15 header bytes), which is what keeps batch × concurrency inside
+    a worker heap at crawl scale; batch_size stays small because the
+    INPUT rows are large."""
+
+    def __init__(self, thumb_h: int = 32, thumb_w: int = 32):
+        self.th, self.tw = thumb_h, thumb_w
+        self.dispatch = {
+            "image/x-portable-pixmap": decode_ppm,
+            "image/bmp": decode_bmp,
+            "image/png": decode_png,
+            "image/jpeg": decode_jpeg,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads, ok = [], []
+        for p, m in zip(batch.column("payload").to_pylist(),
+                        batch.column("mime").to_pylist()):
+            fn = self.dispatch.get(m)
+            if fn is None:
+                payloads.append(b"")
+                ok.append(False)
+                continue
+            try:
+                img = fn(p)
+                payloads.append(encode_ppm(
+                    resize_bilinear(img, self.th, self.tw)))
+                ok.append(True)
+            except ValueError:
+                payloads.append(b"")
+                ok.append(False)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "mime": batch.column("mime"),
+            "thumb_ppm": pa.array(payloads, type=pa.binary()),
+            "thumb_h": pa.array([self.th] * batch.num_rows, type=pa.int64()),
+            "thumb_w": pa.array([self.tw] * batch.num_rows, type=pa.int64()),
+            "resized": pa.array(ok, type=pa.bool_()),
+        })

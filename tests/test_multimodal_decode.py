@@ -195,3 +195,45 @@ def test_jpeg_quantization_quality_tradeoff():
                 - img.astype(int)).mean()
     assert e1 < e8          # heavier quantization → more error
     assert e1 <= 1.5
+
+
+def test_resize_bilinear_identity_and_uniform():
+    from ie_ray.stages.multimodal import resize_bilinear
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert np.array_equal(resize_bilinear(img, 4, 6), img)
+    # uniform image stays uniform at ANY size (bilinear is interpolating)
+    uni = np.full((5, 7, 3), 173, dtype=np.uint8)
+    out = resize_bilinear(uni, 16, 3)
+    assert out.shape == (16, 3, 3)
+    assert (out == 173).all()
+
+
+def test_resize_bilinear_gradient_golden():
+    from ie_ray.stages.multimodal import resize_bilinear
+    # horizontal ramp 0..255 over 256 px → downscale to 8 px: each
+    # output pixel must equal the ramp value at its half-pixel center
+    ramp = np.tile(np.arange(256, dtype=np.uint8)[None, :, None],
+                   (4, 1, 3))
+    out = resize_bilinear(ramp, 4, 8)
+    centers = (np.arange(8) + 0.5) * (256 / 8) - 0.5
+    assert np.abs(out[2, :, 0].astype(int) - np.round(centers)).max() <= 1
+
+
+def test_resize_actor_stage(ray_session):
+    import ray.data
+    from ie_ray.stages.multimodal import MediaResizeActor, decode_ppm, \
+        synthesize_media
+    ds = ray.data.from_arrow(synthesize_media(24))
+    out = ds.map_batches(MediaResizeActor, batch_size=8,
+                         concurrency=(1, 2), num_cpus=1,
+                         batch_format="pyarrow").to_pandas()
+    assert len(out) == 24
+    done = out[out.resized]
+    assert len(done) > 0
+    # every resized thumbnail decodes back at exactly thumb size
+    for p in done.thumb_ppm:
+        img = decode_ppm(p)
+        assert img.shape[:2] == (32, 32)
+    # non-image mimes (wav/gif video path) honestly flagged
+    skipped = out[~out.resized]
+    assert (skipped.thumb_ppm.str.len() == 0).all()
