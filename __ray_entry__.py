@@ -2558,6 +2558,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               concurrency=(1, 2), num_cpus=1,
                               batch_format="pyarrow")
 
+    def media_frame_sample(sf_dir):
+        """Video → sampled frame rows (stride-2, per-video cap as the
+        row-expansion skew guard); GIF real decode, unknown codecs one
+        honest flagged row.  Rows-only; gated by
+        tests/test_multimodal_decode.py::test_frame_sample_actor."""
+        from ie_ray.stages.multimodal import MediaFrameSampleActor, \
+            synthesize_media
+        ds = ray.data.from_arrow(synthesize_media(64))
+        return ds.map_batches(MediaFrameSampleActor, batch_size=16,
+                              concurrency=(1, 2), num_cpus=1,
+                              batch_format="pyarrow")
+
     def substring_dup_frac(sf_dir):
         """Exact-substring dedup score (Lee et al. 2022 re-expression):
         per-doc fraction of distinct 16-char windows shared with another
@@ -4905,6 +4917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nominals": kg_nominals,
         "media_features": media_features,
         "media_resize": media_resize,
+        "media_frame_sample": media_frame_sample,
         "embedding_pca_project": embedding_pca_project,
         "word_kcore": word_kcore,
         "docs_bpe_encode": docs_bpe_encode,

@@ -1038,3 +1038,55 @@ class MediaResizeActor:
             "thumb_w": pa.array([self.tw] * batch.num_rows, type=pa.int64()),
             "resized": pa.array(ok, type=pa.bool_()),
         })
+
+
+class MediaFrameSampleActor:
+    """Actor-pool stage: explode video payloads into SAMPLED frame rows
+    (media_id, frame_idx, n_frames, frame_ppm) — the shape a downstream
+    image model consumes (every frame row is independently batchable).
+    ``stride`` keeps every stride-th frame; ``max_frames`` caps the
+    per-video expansion so one long video cannot blow up a block
+    (documented skew guard: the cap is the salting equivalent for the
+    row-expansion axis).  Non-video payloads produce no rows; GIF is
+    the real decoder, unknown video codecs (mp4) produce a single
+    honest ``decoded=false`` row."""
+
+    def __init__(self, stride: int = 2, max_frames: int = 8):
+        self.stride = stride
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mids, idxs, totals, frames, ok = [], [], [], [], []
+        for mid, p, m in zip(batch.column("media_id").to_pylist(),
+                             batch.column("payload").to_pylist(),
+                             batch.column("mime").to_pylist()):
+            if not m.startswith(("image/gif", "video/")):
+                continue
+            if m == "image/gif":
+                try:
+                    fr = decode_gif(p)
+                except ValueError:
+                    fr = None
+            else:
+                fr = None           # unknown video codec: honest flag
+            if fr is None:
+                mids.append(mid)
+                idxs.append(-1)
+                totals.append(0)
+                frames.append(b"")
+                ok.append(False)
+                continue
+            sampled = fr[::self.stride][:self.max_frames]
+            for j, f in zip(range(0, len(fr), self.stride), sampled):
+                mids.append(mid)
+                idxs.append(j)
+                totals.append(len(fr))
+                frames.append(encode_ppm(np.asarray(f, dtype=np.uint8)))
+                ok.append(True)
+        return pa.table({
+            "media_id": pa.array(mids, type=pa.int64()),
+            "frame_idx": pa.array(idxs, type=pa.int64()),
+            "n_frames": pa.array(totals, type=pa.int64()),
+            "frame_ppm": pa.array(frames, type=pa.binary()),
+            "decoded": pa.array(ok, type=pa.bool_()),
+        })

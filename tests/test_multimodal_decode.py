@@ -237,3 +237,26 @@ def test_resize_actor_stage(ray_session):
     # non-image mimes (wav/gif video path) honestly flagged
     skipped = out[~out.resized]
     assert (skipped.thumb_ppm.str.len() == 0).all()
+
+
+def test_frame_sample_actor(ray_session):
+    import ray.data
+    from ie_ray.stages.multimodal import (MediaFrameSampleActor,
+                                          decode_ppm, synthesize_media)
+    ds = ray.data.from_arrow(synthesize_media(24))
+    out = ds.map_batches(MediaFrameSampleActor, batch_size=8,
+                         concurrency=(1, 2), num_cpus=1,
+                         batch_format="pyarrow").to_pandas()
+    good = out[out.decoded]
+    assert len(good) > 0                       # GIFs produced frame rows
+    # stride-2 sampling: frame indices are even and capped
+    assert (good.frame_idx % 2 == 0).all()
+    g = good.groupby("media_id")
+    assert (g.frame_idx.count() <= 8).all()
+    for p in good.frame_ppm.head(4):
+        img = decode_ppm(p)
+        assert img.ndim == 3 and img.shape[2] == 3
+    # mp4 (unknown codec): exactly one honest decoded=false row each
+    bad = out[~out.decoded]
+    assert (bad.frame_idx == -1).all() and (bad.n_frames == 0).all()
+    assert len(bad) == 3                        # 3 mp4 rows in 24 media
