@@ -132,7 +132,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "heavy_hitter_words", "pmi_collocations",
                  "docs_chunk_sliding", "events_latest_per_user",
                  "doc_compression_ratio", "events_quantile_digest",
-                 "media_features", "events_cumulative_value",
+                 "media_features", "media_resize", "media_frame_sample",
+                 "events_cumulative_value",
                  "events_value_ntile4",
                  # round-3 additions
                  "substring_dup_frac", "word_triangles",
