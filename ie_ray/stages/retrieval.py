@@ -615,7 +615,7 @@ def _gram_tf_batch(b: pa.Table) -> pa.Table:
         ("doc_id", pa.int64()), ("gram", pa.string()), ("c", pa.int64())]))
 
 
-def bigram_logprob(docs):
+def bigram_logprob(docs, broadcast_vocab_max: int = 200_000):
     """Per-document add-1-smoothed bigram-LM log-probability — the
     CCNet-style perplexity quality filter a pre-training pipeline runs
     over every shard (Wenzek et al. 2020, arXiv:1911.00359 score
@@ -629,16 +629,19 @@ def bigram_logprob(docs):
     word is w1, V = distinct unigram vocabulary size.  Docs with <2
     tokens have no bigrams and are excluded (pinned in the oracle).
 
-    Shape (the DSIR discipline, :func:`dsir_scores`): one block-local
-    gram-tf pass, ONE bigram-vocab-sized exchange for corpus counts
-    (stays a Dataset until the bounded driver fold), one unigram
-    distinct count, then the log-prob table broadcasts once and every
-    block emits per-doc PARTIAL sums totalled by a bucketed doc_id
-    combine — partial/combine, not block-local finish, because Ray may
-    split one doc's tf rows across blocks.  The broadcast is O(bigram
-    vocab): that is the exact/oracle form; at open-web scale the
-    hashed-bucket recipe of :func:`dsir_scores_hashed` (fixed 2^k
-    feature table, same score pass) is the documented scale path.
+    Shape (the module's adaptive discipline, same as
+    :func:`unigram_logprob`): one block-local gram-tf pass, ONE
+    bigram-vocab-sized exchange for corpus counts (stays a Dataset),
+    one unigram distinct count.  When the bigram vocabulary fits
+    (``<= broadcast_vocab_max``) the log-prob table broadcasts once and
+    every block emits per-doc PARTIAL sums totalled by a bucketed
+    doc_id combine — partial/combine, not block-local finish, because
+    Ray may split one doc's tf rows across blocks.  Above the
+    threshold the vocabulary NEVER reaches the driver: the gram counts
+    and the left-word totals stay Datasets and hash-join back onto the
+    tf rows (two bounded joins), then the same bucketed doc combine.
+    At open-web scale the hashed-bucket recipe
+    (:func:`bigram_logprob_hashed`) bounds even the exchange.
     Returns (doc_id, bigram_lp) rounded to 4 dp.
     """
     import ray
@@ -664,46 +667,94 @@ def bigram_logprob(docs):
         docs.map_batches(distinct_words, batch_format="pyarrow"),
         "w", [("one", "sum")]).count())
 
-    # bounded driver fold (O(bigram vocab), the DSIR lr-dict idiom):
-    # pass 1 accumulates left-word totals, pass 2 the log-prob table
-    grams, cs = [], []
-    c1: dict = {}
-    for b in cnt.iter_batches(batch_format="pyarrow", batch_size=65536):
-        g = b.column("gram").to_pylist()
-        c = b.column("c").to_pylist()
-        grams.append(g)
-        cs.append(c)
-        for gi, ci in zip(g, c):
-            w1 = gi.split(" ", 1)[0]
-            c1[w1] = c1.get(w1, 0) + ci
-    lp = {}
-    for g, c in zip(grams, cs):
-        for gi, ci in zip(g, c):
-            lp[gi] = math.log((ci + 1)
-                              / (c1[gi.split(" ", 1)[0]] + vocab))
-    ref = ray.put(lp)
+    def finish(scored):
+        return scored.map_batches(
+            lambda t: pa.table({
+                "doc_id": t.column("doc_id"),
+                "bigram_lp": pc.round(t.column("lp_sum"), 4,
+                                      round_mode="half_towards_infinity")}),
+            batch_format="pyarrow")
 
-    def score_partial(t: pa.Table) -> pa.Table:
-        import pandas as pd
-        import ray as _ray
-        table = _ray.get(ref)
-        contrib = (pd.Series(t.column("gram").to_pylist()).map(table)
-                   .to_numpy(dtype=float)
-                   * np.asarray(t.column("c"), dtype=float))
-        part = pa.table({"doc_id": t.column("doc_id"),
-                         "lp": pa.array(contrib, type=pa.float64())})
-        return part.group_by("doc_id").aggregate(
-            [("lp", "sum")]).rename_columns(["doc_id", "lp"])
+    if int(cnt.count()) <= broadcast_vocab_max:
+        # bounded driver fold (O(bigram vocab), the DSIR lr-dict
+        # idiom): pass 1 accumulates left-word totals, pass 2 the
+        # log-prob table
+        grams, cs = [], []
+        c1: dict = {}
+        for b in cnt.iter_batches(batch_format="pyarrow",
+                                  batch_size=65536):
+            g = b.column("gram").to_pylist()
+            c = b.column("c").to_pylist()
+            grams.append(g)
+            cs.append(c)
+            for gi, ci in zip(g, c):
+                w1 = gi.split(" ", 1)[0]
+                c1[w1] = c1.get(w1, 0) + ci
+        lp = {}
+        for g, c in zip(grams, cs):
+            for gi, ci in zip(g, c):
+                lp[gi] = math.log((ci + 1)
+                                  / (c1[gi.split(" ", 1)[0]] + vocab))
+        ref = ray.put(lp)
 
-    scored = bucketed_aggregate(
-        tf.map_batches(score_partial, batch_format="pyarrow"),
-        "doc_id", [("lp", "sum")])
-    return scored.map_batches(
-        lambda t: pa.table({
-            "doc_id": t.column("doc_id"),
-            "bigram_lp": pc.round(t.column("lp_sum"), 4,
-                                  round_mode="half_towards_infinity")}),
+        def score_partial(t: pa.Table) -> pa.Table:
+            import pandas as pd
+            import ray as _ray
+            table = _ray.get(ref)
+            contrib = (pd.Series(t.column("gram").to_pylist()).map(table)
+                       .to_numpy(dtype=float)
+                       * np.asarray(t.column("c"), dtype=float))
+            part = pa.table({"doc_id": t.column("doc_id"),
+                             "lp": pa.array(contrib, type=pa.float64())})
+            return part.group_by("doc_id").aggregate(
+                [("lp", "sum")]).rename_columns(["doc_id", "lp"])
+
+        return finish(bucketed_aggregate(
+            tf.map_batches(score_partial, batch_format="pyarrow"),
+            "doc_id", [("lp", "sum")]))
+
+    # large-vocab path: the bigram vocabulary never reaches the driver —
+    # gram counts and left-word totals stay Datasets and hash-join back
+    # onto the tf rows (the unigram_logprob join idiom)
+    def _w1(col):
+        return pc.list_element(pc.split_pattern(col, " "), 0)
+
+    cg = cnt.map_batches(
+        lambda t: pa.table({"gram": t.column("gram"),
+                            "cg": t.column("c")}),
         batch_format="pyarrow")
+    left = (bucketed_aggregate(
+        cnt.map_batches(lambda t: pa.table({
+            "w1": _w1(t.column("gram").combine_chunks()),
+            "c": t.column("c")}), batch_format="pyarrow"),
+        "w1", [("c", "sum")])
+        .map_batches(lambda t: t.rename_columns(["w1", "c1"]),
+                     batch_format="pyarrow"))
+
+    parts = _join_partitions()
+    j = tf.join(cg, "inner", num_partitions=parts, on=("gram",))
+    j = j.map_batches(
+        lambda t: t.append_column(
+            "w1", _w1(t.column("gram").combine_chunks())),
+        batch_format="pyarrow")
+    j = j.join(left, "inner", num_partitions=parts, on=("w1",))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        # ratio-form log, matching the oracle (and the broadcast path's
+        # math.log((C+1)/(C1+V))) bit-for-bit — ln(a)-ln(b) can differ
+        # in the last ulp and flake the 4-dp hash on a boundary
+        lp = pc.multiply(
+            pc.cast(t.column("c"), pa.float64()),
+            pc.ln(pc.divide(
+                pc.add(pc.cast(t.column("cg"), pa.float64()),
+                       pa.scalar(1.0)),
+                pc.add(pc.cast(t.column("c1"), pa.float64()),
+                       pa.scalar(float(vocab))))))
+        return pa.table({"doc_id": t.column("doc_id"), "lp": lp})
+
+    return finish(bucketed_aggregate(
+        j.map_batches(contrib, batch_format="pyarrow"),
+        "doc_id", [("lp", "sum")]))
 
 
 def bigram_logprob_oracle_sql() -> str:

@@ -114,3 +114,23 @@ def _run_hashed(rows, ray_session):
     ds = ray.data.from_arrow(t).repartition(4)
     return bigram_logprob_hashed(ds).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
+
+
+def test_join_path_matches_oracle(ray_session):
+    # force the large-vocab hash-join path (broadcast_vocab_max=0):
+    # the bigram vocabulary must never reach the driver and the scores
+    # must still match DuckDB exactly
+    import ray.data
+    rng = np.random.default_rng(31)
+    vocab = "the a cat dog sat mat ran big red on".split()
+    rows = [(i, " ".join(rng.choice(vocab, size=int(rng.integers(2, 50)))))
+            for i in range(90)]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string())})
+    ds = ray.data.from_arrow(t).repartition(6)
+    out = bigram_logprob(ds, broadcast_vocab_max=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    ora = _oracle(rows)
+    assert len(out) == len(ora) == 90
+    assert np.abs(out.bigram_lp.values - ora.bigram_lp.values).max() == 0
