@@ -32,3 +32,44 @@ def test_dedup_shard_owner_semantics(ray_session):
     assert ray.get(shard.check_and_add.remote(["k1", "k1"], ["a", "z"])) == \
         [True, False]
     assert ray.get(shard.size.remote()) == 2
+
+
+def test_concurrent_probes_linearize_per_key(ray_session):
+    """Two batches carrying the SAME content hash race from different
+    callers: the owning shard's actor mailbox linearizes check_and_add,
+    so exactly ONE url wins per hash — never zero, never two — and the
+    winner stays stable for every later probe (the idempotency the
+    lazy-plan re-execution path depends on)."""
+    import pyarrow as pa
+    import ray
+
+    from ie_ray.stages.dedup_index import DedupFilter, create_dedup_index
+
+    shards = create_dedup_index(num_shards=4)
+    key = "deadbeef" * 4
+
+    def batch(url):
+        return pa.table({
+            "page_hash": [key] * 3 + ["%032x" % (abs(hash(url)) % (16**32))],
+            "url": [url] * 4})
+
+    # race 8 concurrent probe tasks for the same hash
+    @ray.remote
+    def probe(url):
+        flt = DedupFilter(shards)
+        return flt(batch(url)).column("url").to_pylist()
+
+    results = ray.get([probe.remote("u%d" % i) for i in range(8)])
+    winners = {u for r in results for u in r if u.startswith("u")}
+    # exactly one url owns the shared hash (its 3 rows survive);
+    # the unique per-url hash row always survives for everyone
+    shared_survivors = [u for r in results for u in r
+                        if r.count(u) >= 3]
+    assert len(set(shared_survivors)) == 1, results
+    # re-probing with the winner keeps it; with a loser drops all 3
+    win = shared_survivors[0]
+    flt = DedupFilter(shards)
+    again = flt(pa.table({"page_hash": [key], "url": [win]}))
+    assert again.num_rows == 1
+    lose = flt(pa.table({"page_hash": [key], "url": ["someone-else"]}))
+    assert lose.num_rows == 0
