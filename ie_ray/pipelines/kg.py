@@ -127,7 +127,13 @@ def kg_triples(fixture_dir: Optional[str] = None,
     # Sized so each stage runs a few hundred tasks per million pages —
     # enough to saturate the pools without drowning the driver's scheduling
     # loop (the dominant serial cost at small scale).
-    derivations_ref = ray.put(_load_derivation_map(fixture_dir))
+    cold = os.environ.get("IE_RAY_COLD_PARSER", "").lower() \
+        not in ("", "0", "false")
+    # cold mode must not pay the replay-corpus load it will never use
+    # (derivations.parquet is GBs at benchmark scale, and kg_resumable
+    # calls this once per shard)
+    derivations_ref = ray.put({}) if cold \
+        else ray.put(_load_derivation_map(fixture_dir))
     # parse, compose AND entity linking run fused in ONE actor pool: the
     # per-sentence derivation strings (the largest intermediate) and the
     # 9M-row linked-triple hop never enter the object store.  The pool
@@ -139,11 +145,10 @@ def kg_triples(fixture_dir: Optional[str] = None,
     # starved the parser — the actual scaling bottleneck.
     from ..stages.compose_stage import ParseComposeActor
     fused_kwargs = {"derivations": derivations_ref}
-    if os.environ.get("IE_RAY_COLD_PARSER"):
+    if cold:
         # benchmark honesty mode: a REAL crawl has no replay corpus and
         # no fixture-shaped heuristic — every sentence pays the full
         # supertagger+CKY path (BASELINE.md cold-parser row)
-        fused_kwargs["derivations"] = ray.put({})
         fused_kwargs["heuristic_fallback"] = False
     if link:
         fused_kwargs["alias_map"] = ray.put(load_alias_map(
