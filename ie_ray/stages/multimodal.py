@@ -169,10 +169,12 @@ class MediaDecodeActor:
                 try:
                     feats.append(fn(p).tolist())
                     decoded.append(True)
-                except ValueError:
-                    # unsupported variant of a known mime (e.g.
-                    # progressive JPEG): honest decoded=false, never
-                    # a fake decode
+                except Exception:
+                    # unsupported variant of a known mime (progressive
+                    # JPEG → ValueError) or a truncated/corrupt payload
+                    # (struct.error / zlib.error from the codecs):
+                    # honest decoded=false, never a fake decode and
+                    # never a dead Ray task
                     feats.append(_feature_stub(p).tolist())
                     decoded.append(False)
         return pa.table({
@@ -981,11 +983,19 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     x1 = np.minimum(x0 + 1, w - 1)
     wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
     wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
-    im = img.astype(np.float64)
-    if im.ndim == 2:
-        im = im[:, :, None]
-    top = im[y0][:, x0] * (1 - wx) + im[y0][:, x1] * wx
-    bot = im[y1][:, x0] * (1 - wx) + im[y1][:, x1] * wx
+    # gather on the SOURCE dtype first, convert only the four
+    # (out_h, out_w, c) corner slices — converting the whole image to
+    # float64 up front inflates peak memory 8× on the one stage whose
+    # job is bounding worker heap (an 8k×8k decode would briefly cost
+    # 1.5 GB; this form peaks at the thumbnail size)
+    im = img if img.ndim == 3 else img[:, :, None]
+    r0, r1 = im[y0], im[y1]            # (out_h, w, c) source-dtype rows
+    tl = r0[:, x0].astype(np.float64)
+    tr = r0[:, x1].astype(np.float64)
+    bl = r1[:, x0].astype(np.float64)
+    br = r1[:, x1].astype(np.float64)
+    top = tl * (1 - wx) + tr * wx
+    bot = bl * (1 - wx) + br * wx
     out = top * (1 - wy) + bot * wy
     out = np.clip(np.round(out), 0, 255).astype(np.uint8)
     return out[:, :, 0] if img.ndim == 2 else out
@@ -1027,7 +1037,11 @@ class MediaResizeActor:
                 payloads.append(encode_ppm(
                     resize_bilinear(img, self.th, self.tw)))
                 ok.append(True)
-            except ValueError:
+            except Exception:
+                # truncated/corrupt payloads raise struct.error /
+                # zlib.error / IndexError from the codecs, not just
+                # ValueError — ANY decode failure must become an
+                # honest resized=False row, never a dead Ray task
                 payloads.append(b"")
                 ok.append(False)
         return pa.table({
@@ -1060,12 +1074,14 @@ class MediaFrameSampleActor:
         for mid, p, m in zip(batch.column("media_id").to_pylist(),
                              batch.column("payload").to_pylist(),
                              batch.column("mime").to_pylist()):
-            if not m.startswith(("image/gif", "video/")):
+            if not (m or "").startswith(("image/gif", "video/")):
                 continue
             if m == "image/gif":
                 try:
                     fr = decode_gif(p)
-                except ValueError:
+                except Exception:
+                    # truncated GIFs raise struct.error, not just
+                    # ValueError — degrade to the honest flagged row
                     fr = None
             else:
                 fr = None           # unknown video codec: honest flag

@@ -591,7 +591,12 @@ def _gram_tf_batch(b: pa.Table) -> pa.Table:
     views of the flat token array joined element-wise, the cross-row
     boundary masked out in numpy, then one Arrow hash-agg per block.
     A doc's text is one row, so its bigrams never span blocks."""
-    col = pc.fill_null(b.column("text").combine_chunks(), "")
+    # NULL text contributes NOTHING (no tokens, no vocab entry) —
+    # fill_null("") would add an empty-string token that the oracle's
+    # unnest(string_split(NULL, ' ')) does not produce, shifting V and
+    # therefore every document's score
+    b = b.filter(pc.is_valid(b.column("text")))
+    col = b.column("text").combine_chunks()
     la = pc.split_pattern(col, " ")
     offsets = np.asarray(la.offsets, dtype=np.int64)
     flat = la.flatten()
@@ -656,12 +661,12 @@ def bigram_logprob(docs, broadcast_vocab_max: int = 200_000):
                         batch_format="pyarrow")).materialize()
 
     def distinct_words(b: pa.Table) -> pa.Table:
-        flat = pc.split_pattern(
-            pc.fill_null(b.column("text").combine_chunks(), ""),
-            " ").flatten()
-        return pa.table({"w": flat.unique(),
+        # NULL text rows dropped (no tokens, matching the oracle)
+        col = pc.drop_null(b.column("text").combine_chunks())
+        u = pc.split_pattern(col, " ").flatten().unique()
+        return pa.table({"w": u,
                          "one": pa.array(
-                             np.ones(len(flat.unique()), dtype=np.int64))})
+                             np.ones(len(u), dtype=np.int64))})
 
     vocab = int(bucketed_aggregate(
         docs.map_batches(distinct_words, batch_format="pyarrow"),
@@ -809,10 +814,15 @@ def bigram_logprob_hashed(docs, n_buckets: int = 65536,
     from ie_ray.stages.relational import lowcard_combine
 
     def _hashed(col):
-        """(gram_bucket, left_bucket, row_id, n_rows) for every
-        within-row bigram — vectorized, crc32 per DISTINCT token."""
-        la = pc.split_pattern(
-            pc.fill_null(col.combine_chunks(), ""), " ")
+        """(gram_bucket, left_bucket, row_id, n_rows, valid_token_hashes)
+        for every within-row bigram — vectorized, crc32 per DISTINCT
+        token.  Tokens of NULL rows are excluded from the returned
+        hashes (they must not occupy a vocabulary bucket — the exact
+        variant's NULL semantics) but keep their alignment slot so
+        per-row scoring stays index-stable."""
+        arr = col.combine_chunks()
+        null_row = np.asarray(pc.is_null(arr), dtype=bool)
+        la = pc.split_pattern(pc.fill_null(arr, ""), " ")
         offsets = np.asarray(la.offsets, dtype=np.int64)
         enc = la.flatten().dictionary_encode()
         dh = np.fromiter(
@@ -821,15 +831,18 @@ def bigram_logprob_hashed(docs, n_buckets: int = 65536,
             dtype=np.int64, count=len(enc.dictionary))
         h = dh[np.asarray(enc.indices, dtype=np.int64)]
         n_rows = len(la)
-        if len(h) < 2:
-            e = np.empty(0, dtype=np.int64)
+        e = np.empty(0, dtype=np.int64)
+        if len(h) == 0:
             return e, e, e, n_rows, h
         tok_row = np.repeat(np.arange(n_rows, dtype=np.int64),
                             np.diff(offsets))
+        h_valid = h[~null_row[tok_row]]
+        if len(h) < 2:
+            return e, e, e, n_rows, h_valid
         valid = tok_row[:-1] == tok_row[1:]
         big = (((h[:-1] * seed) ^ h[1:]) % n_buckets)[valid]
         left = (h[:-1] % n_buckets)[valid]
-        return big, left, tok_row[:-1][valid], n_rows, h
+        return big, left, tok_row[:-1][valid], n_rows, h_valid
 
     def count_partial(t: pa.Table) -> pa.Table:
         big, left, _rows, _n, h = _hashed(t.column("text"))

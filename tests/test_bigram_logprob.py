@@ -134,3 +134,29 @@ def test_join_path_matches_oracle(ray_session):
     ora = _oracle(rows)
     assert len(out) == len(ora) == 90
     assert np.abs(out.bigram_lp.values - ora.bigram_lp.values).max() == 0
+
+
+def test_null_text_matches_oracle(ray_session):
+    """NULL text must contribute NOTHING (no tokens, no vocab entry) —
+    fill_null('') used to add an empty-string token to V that the
+    oracle's unnest(string_split(NULL,' ')) does not produce, shifting
+    every document's score (code-review finding, round 5)."""
+    import duckdb
+    rows_t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["a b a b", "a c", None], type=pa.string())})
+    import ray.data
+    out = bigram_logprob(ray.data.from_arrow(rows_t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents_src", rows_t)
+    con.execute("CREATE VIEW documents AS SELECT * FROM documents_src")
+    ora = con.execute(bigram_logprob_oracle_sql()).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.doc_id.tolist() == ora.doc_id.tolist() == [0, 1]
+    assert (out.bigram_lp.values == ora.bigram_lp.values).all()
+    # the hashed variant excludes the NULL doc and its vocab bucket too
+    from ie_ray.stages.retrieval import bigram_logprob_hashed
+    hh = bigram_logprob_hashed(
+        ray.data.from_arrow(rows_t)).to_pandas()
+    assert sorted(hh.doc_id.tolist()) == [0, 1]

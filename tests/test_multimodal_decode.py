@@ -260,3 +260,58 @@ def test_frame_sample_actor(ray_session):
     bad = out[~out.decoded]
     assert (bad.frame_idx == -1).all() and (bad.n_frames == 0).all()
     assert len(bad) == 3                        # 3 mp4 rows in 24 media
+
+
+def test_corrupt_payloads_flag_not_crash(ray_session):
+    """Truncated/corrupt payloads raise struct.error / zlib.error from
+    the codecs — every media stage must degrade to its honest flagged
+    row, never kill the Ray task (code-review finding, round 5)."""
+    import ray.data
+    from ie_ray.stages.multimodal import (MediaDecodeActor,
+                                          MediaFrameSampleActor,
+                                          MediaResizeActor, encode_png,
+                                          synthesize_media)
+    good_png = encode_png(np.zeros((8, 8, 3), dtype=np.uint8))
+    t = pa.table({
+        "media_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "kind": ["image", "image", "video", "image"],
+        "payload": pa.array([good_png[: len(good_png) // 2],  # truncated
+                             b"\x89PNG\r\n",                  # header only
+                             b"GIF89a",                       # 6-byte gif
+                             good_png], type=pa.binary()),
+        "mime": pa.array(["image/png", "image/png", "image/gif",
+                          None], type=pa.string()),
+        "width": pa.array([8] * 4, type=pa.int32()),
+        "height": pa.array([8] * 4, type=pa.int32()),
+    })
+    ds = ray.data.from_arrow(t)
+    dec = ds.map_batches(MediaDecodeActor, concurrency=1,
+                         batch_format="pyarrow").to_pandas()
+    assert dec.decoded.tolist() == [False, False, False, False]
+    rs = ds.map_batches(MediaResizeActor, concurrency=1,
+                        batch_format="pyarrow").to_pandas()
+    assert rs.resized.tolist() == [False, False, False, False]
+    fr = ds.map_batches(MediaFrameSampleActor, concurrency=1,
+                        batch_format="pyarrow").to_pandas()
+    # only the gif row produces a (flagged) frame row; null mime skipped
+    assert len(fr) == 1 and not fr.decoded[0]
+
+
+def test_resize_large_image_memory_shape():
+    # the float intermediate must be thumbnail-sized, not image-sized:
+    # just exercise a big-ish image for correctness of the gather form
+    from ie_ray.stages.multimodal import resize_bilinear
+    img = np.random.default_rng(5).integers(
+        0, 256, size=(1024, 2048, 3), dtype=np.uint8).astype(np.uint8)
+    out = resize_bilinear(img, 32, 32)
+    assert out.shape == (32, 32, 3)
+    # spot-check one output pixel against the direct bilinear formula
+    ys = (16 + 0.5) * (1024 / 32) - 0.5
+    xs = (16 + 0.5) * (2048 / 32) - 0.5
+    y0, x0 = int(ys), int(xs)
+    wy, wx = ys - y0, xs - x0
+    ref = ((1 - wy) * ((1 - wx) * img[y0, x0].astype(float)
+                       + wx * img[y0, x0 + 1])
+           + wy * ((1 - wx) * img[y0 + 1, x0]
+                   + wx * img[y0 + 1, x0 + 1]))
+    assert np.abs(out[16, 16].astype(float) - np.round(ref)).max() <= 1
