@@ -4761,6 +4761,142 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lowcard_combine(ds, partial, final, combine_fn=combine)
 
+    def word_edit2_pairs(sf_dir):
+        """Typo-clustering string-similarity self-join: every pair of
+        vocabulary words (lowercase a-z, len ≥ 3, corpus count ≥ 5)
+        within Levenshtein distance 2, with the exact distance.
+        Corpus-scale work is the block-combiner word count; the join
+        itself is FastSS ≤2-deletion blocking (bucketed exchange on
+        deletion variants — never all-pairs) + exact-DP verification per
+        distinct candidate pair (stages/strsim.py; blocking idea from
+        the reference's SymSpell module, ie/kb/spell.py:47-91)."""
+        import pyarrow.compute as pc
+        from ie_ray.stages.strsim import edit_pairs
+        ds = _docs(sf_dir)
+
+        def partial(b: pa.Table) -> pa.Table:
+            counts: dict = {}
+            for t in b.column("text").to_pylist():
+                for w in t.lower().split():
+                    counts[w] = counts.get(w, 0) + 1
+            keys = sorted(counts)
+            return pa.table({
+                "word": pa.array(keys, type=pa.string()),
+                "n": pa.array([counts[k] for k in keys], type=pa.int64())})
+
+        vocab = (ds.map_batches(partial, batch_format="pyarrow")
+                 .groupby("word").sum("n")
+                 .map_batches(lambda t: t.rename_columns(["word", "n"]),
+                              batch_format="pyarrow")
+                 .map_batches(lambda t: t.filter(pc.and_(
+                     pc.greater_equal(t.column("n"), 5),
+                     pc.match_substring_regex(t.column("word"),
+                                              r"^[a-z]{3,}$"))),
+                              batch_format="pyarrow")
+                 .select_columns(["word"]))
+        # result is vocabulary-bounded (tiny): collect via the
+        # schema-safe idiom — the pair-dedup aggregate can emit
+        # SCHEMA-LESS empty blocks for zero-key partitions that would
+        # poison the driver's to_pandas()
+        t = _small_table(edit_pairs(vocab, k=2, parts=16),
+                         [("w1", pa.string()), ("w2", pa.string()),
+                          ("d", pa.int64())])
+        return t.sort_by([("w1", "ascending"), ("w2", "ascending")])
+
+    def events_type_affinity(sf_dir):
+        """Market-basket lift between event types: for each unordered
+        type pair, how many users did both, and the lift vs
+        independence as an EXACT integer (ppm, floor division — no fp
+        in the hash path).  Block-local (user,type) dedup shrinks the
+        one user-bucketed exchange; per bucket the per-user type sets
+        become int64 bitmasks so pair counting is k² vectorized
+        popcounts, never a per-user Python pair loop (k = distinct
+        types, ≤ 63 on the bitmask path with a documented set-based
+        fallback).  Buckets partition users, so per-bucket distinct IS
+        global distinct — type/user partials sum exactly."""
+        import numpy as np
+        from ie_ray.stages.relational import bucketed_map_groups
+        ev = _tbl(sf_dir, "events", columns=["user_id", "event_type"])
+
+        def block_dedup(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return t.group_by(["user_id", "event_type"]).aggregate([]) \
+                if t.num_rows else t
+
+        def bucket_kernel(g: pa.Table) -> pa.Table:
+            uid = np.asarray(g.column("user_id"), dtype=np.int64)
+            enc = g.column("event_type").combine_chunks() \
+                .dictionary_encode()
+            codes = np.asarray(enc.indices, dtype=np.int64)
+            types = enc.dictionary.to_pylist()
+            k = len(types)
+            users, inv = np.unique(uid, return_inverse=True)
+            kinds, t1s, t2s, ns = [], [], [], []
+            if k <= 63:
+                mask = np.zeros(len(users), dtype=np.int64)
+                np.bitwise_or.at(mask, inv, np.int64(1) << codes)
+                bits = [(mask >> i) & 1 for i in range(k)]
+                for i in range(k):
+                    kinds.append("type")
+                    t1s.append(types[i])
+                    t2s.append("")
+                    ns.append(int(bits[i].sum()))
+                    for j in range(i + 1, k):
+                        a, b = sorted((types[i], types[j]))
+                        kinds.append("pair")
+                        t1s.append(a)
+                        t2s.append(b)
+                        ns.append(int((bits[i] & bits[j]).sum()))
+            else:  # high-cardinality fallback: per-user sorted type sets
+                per_user: dict = {}
+                for u, c in zip(inv, codes):
+                    per_user.setdefault(u, set()).add(c)
+                from collections import Counter
+                pair_n: Counter = Counter()
+                type_n: Counter = Counter()
+                for cs in per_user.values():
+                    ts = sorted(types[c] for c in cs)
+                    for i in range(len(ts)):
+                        type_n[ts[i]] += 1
+                        for j in range(i + 1, len(ts)):
+                            pair_n[(ts[i], ts[j])] += 1
+                for t, n in type_n.items():
+                    kinds.append("type")
+                    t1s.append(t)
+                    t2s.append("")
+                    ns.append(n)
+                for (a, b), n in pair_n.items():
+                    kinds.append("pair")
+                    t1s.append(a)
+                    t2s.append(b)
+                    ns.append(n)
+            kinds.append("users")
+            t1s.append("")
+            t2s.append("")
+            ns.append(len(users))
+            return pa.table({
+                "kind": pa.array(kinds, type=pa.string()),
+                "t1": pa.array(t1s, type=pa.string()),
+                "t2": pa.array(t2s, type=pa.string()),
+                "n": pa.array(ns, type=pa.int64())})
+
+        agg = bucketed_map_groups(
+            ev.map_batches(block_dedup, batch_format="pyarrow"),
+            "user_id", bucket_kernel) \
+            .groupby(["kind", "t1", "t2"]).sum("n").take_all()
+        n_users = sum(r["sum(n)"] for r in agg if r["kind"] == "users")
+        per_type = {r["t1"]: r["sum(n)"] for r in agg if r["kind"] == "type"}
+        rows = sorted((r["t1"], r["t2"], r["sum(n)"])
+                      for r in agg if r["kind"] == "pair" and r["sum(n)"])
+        return pa.table({
+            "t1": pa.array([r[0] for r in rows], type=pa.string()),
+            "t2": pa.array([r[1] for r in rows], type=pa.string()),
+            "pair_users": pa.array([r[2] for r in rows], type=pa.int64()),
+            "lift_ppm": pa.array(
+                [r[2] * n_users * 1_000_000
+                 // (per_type[r[0]] * per_type[r[1]]) for r in rows],
+                type=pa.int64())})
+
     # Ordering contract: the correctness driver checks the first N dict
     # entries (N=50 in rounds 1-2).  Oracle-backed operators that have not
     # yet earned a green CORRECTNESS row come FIRST, then the operators
@@ -4768,6 +4904,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # oracle-less entries (sketches, kg_* / CCG family, iterative algos —
     # each gated by named pytest suites in its docstring) come last.
     return {
+        # -- round-5 session-2 additions (oracle-backed, never
+        #    prefix-checked) first --
+        "word_edit2_pairs": word_edit2_pairs,
+        "events_type_affinity": events_type_affinity,
         # -- round-5 driver prefix: the four NEW oracle-backed operators
         #    (never prefix-checked — rotation discipline) first, then
         #    the entries whose kernels changed this round (KeyLookup
@@ -4966,6 +5106,32 @@ def oracle_sql() -> dict[str, str]:
     from ie_ray.stages.textstats import (FINGERPRINT_SQL, REPETITION_SQL,
                                          langid_sql)
     return {
+        "word_edit2_pairs":
+            "WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), "
+            "'\\s+')) AS word FROM documents WHERE trim(text) != ''), "
+            "v AS (SELECT word FROM w WHERE "
+            "regexp_matches(word, '^[a-z]{3,}$') "
+            "GROUP BY word HAVING count(*) >= 5) "
+            "SELECT a.word AS w1, b.word AS w2, "
+            "levenshtein(a.word, b.word)::BIGINT AS d "
+            "FROM v a JOIN v b ON a.word < b.word "
+            "AND abs(length(a.word) - length(b.word)) <= 2 "
+            "WHERE levenshtein(a.word, b.word) <= 2 ORDER BY w1, w2",
+        "events_type_affinity":
+            "WITH ut AS (SELECT DISTINCT user_id, event_type FROM events), "
+            "tc AS (SELECT event_type, count(*) AS u FROM ut GROUP BY 1), "
+            "nu AS (SELECT count(*) AS n FROM "
+            "(SELECT DISTINCT user_id FROM events)), "
+            "p AS (SELECT a.event_type AS t1, b.event_type AS t2, "
+            "count(*) AS pair_users FROM ut a JOIN ut b "
+            "ON a.user_id = b.user_id AND a.event_type < b.event_type "
+            "GROUP BY 1, 2) "
+            "SELECT t1, t2, pair_users::BIGINT AS pair_users, "
+            "((pair_users * nu.n * 1000000) // (ta.u * tb.u))::BIGINT "
+            "AS lift_ppm FROM p "
+            "JOIN tc ta ON ta.event_type = p.t1 "
+            "JOIN tc tb ON tb.event_type = p.t2 CROSS JOIN nu "
+            "WHERE pair_users > 0 ORDER BY t1, t2",
         "events_dow_hour_heatmap":
             "SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hr, "
             "count(*)::BIGINT AS n, "
