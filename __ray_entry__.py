@@ -2292,6 +2292,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         fd = default_fixture_dir(n_pages=_sf_pages(sf_dir))
         return kg_triples(fd)
 
+    def kg_triples_warc(sf_dir):
+        """Flagship from the WARC container (ISO 28500, Common-Crawl
+        gzip-per-record layout) instead of Parquet: the SAME
+        deterministic corpus serialized as WARC, ingested via
+        sources/warc.py::read_warc, then the unchanged extract→segment→
+        parse→compose→link pipeline.  Rows-only (the pages table is not
+        an oracle view); tests/test_warc.py gates writer↔parser
+        round-trip, malformed-record quarantine, and byte-identical
+        extraction vs the Parquet path."""
+        import glob as _glob
+        from ie_ray.sources.warc import read_warc, write_warc_fixture
+        n = _sf_pages(sf_dir)
+        fd = default_fixture_dir(n_pages=n)  # alias table lives here
+        wdir = "/tmp/ie_ray_fixtures/warc_p%d" % n
+        if not _glob.glob(os.path.join(wdir, "pages-*.warc.gz")):
+            write_warc_fixture(os.path.join(wdir, "pages.warc.gz"),
+                               n_pages=n, gzip_per_record=True,
+                               shards=4, pool_size=1200)
+        paths = sorted(_glob.glob(os.path.join(wdir, "pages-*.warc.gz")))
+        pages = read_warc(paths).select_columns(["url", "html", "lang"])
+        return kg_triples(fd, pages_ds=pages)
+
     def kg_comention_pairs(sf_dir):
         """Top-50 same-sentence entity co-mention pairs (relatedness
         signal): block-local per-sentence sets → bounded pair explode →
@@ -5041,6 +5063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "page_link_graph": page_link_graph,
         "host_pagerank": host_pagerank,
         "kg_triples": kg_triples_q,
+        "kg_triples_warc": kg_triples_warc,
         "kg_entity_types": kg_entity_types,
         "kg_comention_pairs": kg_comention_pairs,
         "kg_nodes": kg_nodes,
