@@ -37,6 +37,27 @@ def _sf_pages(sf_dir: str) -> int:
     return max(60, int(sf * 20000))
 
 
+def _word_count_partial(b: pa.Table) -> pa.Table:
+    """Block-local word-count combiner shared by top_words /
+    doc_oov_rate / word_edit2_pairs.  NULL text contributes nothing
+    (the oracle's unnest(regexp_split_to_array(NULL, …)) yields no
+    rows); tokenization is whitespace-run splitting with empties
+    dropped — Python str.split() semantics, which is what the oracles'
+    regexp_split_to_array(lower(text), '\\s+') + word != '' express.
+    Fully Arrow-vectorized: lower → split → value_counts hash-agg, no
+    per-token Python loop on the corpus-scale path."""
+    import pyarrow.compute as pc
+    col = pc.utf8_lower(b.column("text").combine_chunks().drop_null())
+    words = pc.utf8_split_whitespace(col).flatten()
+    words = pc.filter(words, pc.not_equal(words, ""))
+    if len(words) == 0:
+        return pa.table({"word": pa.array([], type=pa.string()),
+                         "n": pa.array([], type=pa.int64())})
+    vc = words.value_counts()
+    return pa.table({"word": vc.field("values"),
+                     "n": vc.field("counts").cast(pa.int64())})
+
+
 def _strip_meta(b: pa.Table) -> pa.Table:
     """Drop parquet field metadata (pandas dicts) — it defeats Ray's schema
     dedup hashing in groupby reduces (zero-copy cast, types unchanged)."""
@@ -1863,17 +1884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         → one small groupby → sort+limit (heavy-hitter pattern)."""
         ds = _docs(sf_dir)
 
-        def partial(b: pa.Table) -> pa.Table:
-            counts: dict = {}
-            for t in b.column("text").to_pylist():
-                for w in t.lower().split():
-                    counts[w] = counts.get(w, 0) + 1
-            keys = sorted(counts)
-            return pa.table({
-                "word": pa.array(keys, type=pa.string()),
-                "n": pa.array([counts[k] for k in keys], type=pa.int64())})
-
-        agg = (ds.map_batches(partial, batch_format="pyarrow")
+        agg = (ds.map_batches(_word_count_partial, batch_format="pyarrow")
                .groupby("word").sum("n")
                .map_batches(lambda t: t.rename_columns(["word", "n"]),
                             batch_format="pyarrow"))
@@ -1890,17 +1901,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray as _ray
         ds = _docs(sf_dir)
 
-        def partial(b: pa.Table) -> pa.Table:
-            counts: dict = {}
-            for t in b.column("text").to_pylist():
-                for w in t.lower().split():
-                    counts[w] = counts.get(w, 0) + 1
-            keys = sorted(counts)
-            return pa.table({
-                "word": pa.array(keys, type=pa.string()),
-                "n": pa.array([counts[k] for k in keys], type=pa.int64())})
-
-        vocab_rows = (ds.map_batches(partial, batch_format="pyarrow")
+        vocab_rows = (ds.map_batches(_word_count_partial,
+                                     batch_format="pyarrow")
                       .groupby("word").sum("n")
                       .map_batches(lambda t: t.rename_columns(["word", "n"]),
                                    batch_format="pyarrow")
@@ -2305,11 +2307,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ie_ray.sources.warc import read_warc, write_warc_fixture
         n = _sf_pages(sf_dir)
         fd = default_fixture_dir(n_pages=n)  # alias table lives here
-        wdir = "/tmp/ie_ray_fixtures/warc_p%d" % n
-        if not _glob.glob(os.path.join(wdir, "pages-*.warc.gz")):
-            write_warc_fixture(os.path.join(wdir, "pages.warc.gz"),
+        # v2: atomic publish — shards are generated into a temp dir and
+        # renamed into place as a unit, so a crash mid-generation can
+        # never leave a half-fixture that later runs mistake for
+        # complete (a lone pages-000 shard would silently quarter the
+        # corpus)
+        wdir = "/tmp/ie_ray_fixtures/warc_v2_p%d" % n
+        if not os.path.isdir(wdir):
+            import shutil as _shutil
+            tmp = "%s.tmp.%d" % (wdir, os.getpid())
+            write_warc_fixture(os.path.join(tmp, "pages.warc.gz"),
                                n_pages=n, gzip_per_record=True,
                                shards=4, pool_size=1200)
+            try:
+                os.rename(tmp, wdir)
+            except OSError:  # lost a publish race — theirs is complete
+                _shutil.rmtree(tmp, ignore_errors=True)
         paths = sorted(_glob.glob(os.path.join(wdir, "pages-*.warc.gz")))
         pages = read_warc(paths).select_columns(["url", "html", "lang"])
         return kg_triples(fd, pages_ds=pages)
@@ -4796,17 +4809,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ie_ray.stages.strsim import edit_pairs
         ds = _docs(sf_dir)
 
-        def partial(b: pa.Table) -> pa.Table:
-            counts: dict = {}
-            for t in b.column("text").to_pylist():
-                for w in t.lower().split():
-                    counts[w] = counts.get(w, 0) + 1
-            keys = sorted(counts)
-            return pa.table({
-                "word": pa.array(keys, type=pa.string()),
-                "n": pa.array([counts[k] for k in keys], type=pa.int64())})
-
-        vocab = (ds.map_batches(partial, batch_format="pyarrow")
+        vocab = (ds.map_batches(_word_count_partial,
+                                batch_format="pyarrow")
                  .groupby("word").sum("n")
                  .map_batches(lambda t: t.rename_columns(["word", "n"]),
                               batch_format="pyarrow")
@@ -4822,8 +4826,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # poison the driver's to_pandas()
         t = _small_table(edit_pairs(vocab, k=2, parts=16),
                          [("w1", pa.string()), ("w2", pa.string()),
-                          ("d", pa.int64())])
-        return t.sort_by([("w1", "ascending"), ("w2", "ascending")])
+                          ("d", pa.int64()),
+                          ("truncated", pa.bool_())])
+        if t.num_rows and pc.any(t.column("truncated")).as_py():
+            # capped variant run → result may be a SUBSET (see
+            # strsim.edit_pairs docstring); surface instead of silently
+            # shipping an incomplete pair set against an exact oracle
+            import logging
+            logging.getLogger("ie_ray").warning(
+                "word_edit2_pairs: variant-run cap hit — pair set may "
+                "be incomplete; raise max_run for exactness")
+        return t.drop_columns(["truncated"]) \
+            .sort_by([("w1", "ascending"), ("w2", "ascending")])
 
     def events_type_affinity(sf_dir):
         """Market-basket lift between event types: for each unordered

@@ -59,23 +59,34 @@ def _format_warc_date(epoch_us: int) -> str:
     return d.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
-def _gunzip_multistream(data: bytes) -> bytes:
+def _gunzip_multistream(data: bytes) -> Tuple[bytes, int]:
     """Decompress concatenated gzip members (Common Crawl's per-record
     layout) into one byte stream.  At real scale the member boundaries
     are the split points (each member is a whole record); inside one
     read task sequential decompression is the correct, bounded shape —
-    the task already owns the whole file."""
+    the task already owns the whole file.
+
+    Returns ``(bytes, bad)``: ``bad=1`` when a member is corrupt
+    (``zlib.error``) or the final member is truncated mid-stream
+    (``eof`` never reached) — the decompressed prefix is kept and the
+    caller marks the file quarantined instead of the Ray task dying on
+    an uncaught codec exception."""
     out = io.BytesIO()
     pos = 0
     while pos < len(data):
         d = zlib.decompressobj(wbits=31)
-        out.write(d.decompress(data[pos:]))
-        out.write(d.flush())
+        try:
+            out.write(d.decompress(data[pos:]))
+            out.write(d.flush())
+        except zlib.error:
+            return out.getvalue(), 1
+        if not d.eof:  # truncated final member — an incomplete upload
+            return out.getvalue(), 1
         consumed = len(data) - pos - len(d.unused_data)
         if consumed <= 0:  # trailing garbage — stop rather than spin
-            break
+            return out.getvalue(), 1
         pos += consumed
-    return out.getvalue()
+    return out.getvalue(), 0
 
 
 def parse_warc(data: bytes) -> Tuple[List[dict], int]:
@@ -90,8 +101,9 @@ def parse_warc(data: bytes) -> Tuple[List[dict], int]:
     (when the server sent one) populates ``lang`` so the language filter
     downstream keeps working, else ``lang`` is ''.
     """
+    gz_bad = 0
     if data[:2] == b"\x1f\x8b":
-        data = _gunzip_multistream(data)
+        data, gz_bad = _gunzip_multistream(data)
     rows: List[dict] = []
     pos = 0
     n = len(data)
@@ -143,7 +155,7 @@ def parse_warc(data: bytes) -> Tuple[List[dict], int]:
                 return rows, 1
             rows.append({"url": uri, "warc_ts": ts, "html": html,
                          "lang": lang})
-    return rows, 0
+    return rows, gz_bad
 
 
 def read_warc(paths, override_num_blocks: Optional[int] = None):
@@ -153,7 +165,14 @@ def read_warc(paths, override_num_blocks: Optional[int] = None):
     happens downstream exactly as on the Parquet path).  A
     ``warc_truncated`` int64 column carries the per-file malformed-tail
     counter so callers can alert on quarantined input instead of
-    discovering silent row loss."""
+    discovering silent row loss.  A file that yields ZERO parseable
+    records while flagged bad still leaves a trace: one marker row with
+    empty url/html/lang and ``warc_truncated=1`` (empty ``lang`` means
+    the language filter drops it before any downstream stage, so the
+    marker can't contaminate a pipeline that ignores the counter).
+    Limit: a gzip-multistream cut exactly ON a member boundary is
+    indistinguishable from a legitimately shorter file — real crawls
+    pair archives with record-count indexes for that case."""
     import pyarrow as pa
     import ray.data
 
@@ -169,6 +188,9 @@ def read_warc(paths, override_num_blocks: Optional[int] = None):
         trunc: List[int] = []
         for blob in b.column("bytes").to_pylist():
             rows, t = parse_warc(blob)
+            if not rows and t:  # total loss — leave the marker row
+                rows = [{"url": "", "warc_ts": 0, "html": b"",
+                         "lang": ""}]
             for r in rows:
                 urls.append(r["url"])
                 tss.append(r["warc_ts"])
@@ -194,6 +216,13 @@ def build_warc(rows: Iterator[dict], gzip_per_record: bool = False,
     envelope.  ``gzip_per_record=True`` emits one gzip member per
     record — Common Crawl's splittable layout."""
     import gzip as _gzip
+    import uuid as _uuid
+
+    def rec_id(seed: str) -> bytes:
+        # mandatory per ISO 28500 §5.2; deterministic (content-derived)
+        # so fixtures stay byte-stable across runs
+        return ("<urn:uuid:%s>" % _uuid.uuid5(
+            _uuid.NAMESPACE_URL, seed)).encode("ascii")
 
     def record(rtype: bytes, heads: List[Tuple[bytes, bytes]],
                body: bytes) -> bytes:
@@ -206,6 +235,7 @@ def build_warc(rows: Iterator[dict], gzip_per_record: bool = False,
     if warcinfo:
         info = b"software: ie_ray.sources.warc\r\nformat: WARC File Format 1.0\r\n"
         out.append(record(b"warcinfo", [
+            (b"WARC-Record-ID", rec_id("warcinfo")),
             (b"WARC-Date", b"2017-01-01T00:00:00Z"),
             (b"Content-Type", b"application/warc-fields")], info))
     for r in rows:
@@ -220,6 +250,8 @@ def build_warc(rows: Iterator[dict], gzip_per_record: bool = False,
             http.append(b"Content-Language: " + lang.encode("ascii"))
         body = _CRLF.join(http) + _SEP + html
         out.append(record(b"response", [
+            (b"WARC-Record-ID",
+             rec_id("%s|%d" % (r["url"], int(r["warc_ts"])))),
             (b"WARC-Target-URI", r["url"].encode("utf-8")),
             (b"WARC-Date",
              _format_warc_date(int(r["warc_ts"])).encode("ascii")),

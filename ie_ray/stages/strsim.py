@@ -114,7 +114,15 @@ def _bucket_pairs(g: pa.Table, max_run: int) -> pa.Table:
 def edit_pairs(vocab, k: int = 2, parts: int = 64, max_run: int = 2000):
     """All pairs of distinct words in ``vocab`` (Dataset with a string
     ``word`` column, rows distinct) within Levenshtein distance ``k``
-    (1 <= d <= k), as a Dataset of ``(w1, w2, d)`` with ``w1 < w2``.
+    (1 <= d <= k), as a Dataset of ``(w1, w2, d, truncated)`` with
+    ``w1 < w2``.  ``truncated`` is True on a pair that survived a
+    capped variant run — and when ANY row carries it, pairs whose ONLY
+    shared variant fell past the cap may be missing entirely (e.g. two
+    3-char words at d=2 meet only in a 1-char variant, exactly the run
+    a huge vocabulary overflows), so callers needing exactness must
+    treat any True as "result is a subset" and either raise ``max_run``
+    or fall back — the flag exists so that degradation is VISIBLE, not
+    silent.
 
     Stages: variant fan-out (map) → bucketed exchange on the variant →
     per-bucket candidate pairs → global pair dedup (groupby) → exact
@@ -146,12 +154,15 @@ def edit_pairs(vocab, k: int = 2, parts: int = 64, max_run: int = 2000):
     def verify(t: pa.Table) -> pa.Table:
         a = t.column("w1").to_pylist()
         b = t.column("w2").to_pylist()
+        tr = t.column("max(truncated)").to_pylist()
         d = [levenshtein(x, y) for x, y in zip(a, b)]
         keep = [i for i, dd in enumerate(d) if 1 <= dd <= k]
         return pa.table({
             "w1": pa.array([a[i] for i in keep], type=pa.string()),
             "w2": pa.array([b[i] for i in keep], type=pa.string()),
-            "d": pa.array([d[i] for i in keep], type=pa.int64())})
+            "d": pa.array([d[i] for i in keep], type=pa.int64()),
+            "truncated": pa.array([bool(tr[i]) for i in keep],
+                                  type=pa.bool_())})
 
     return deduped.map_batches(verify, batch_format="pyarrow")
 

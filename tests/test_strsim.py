@@ -106,3 +106,21 @@ def test_edit_pairs_k1_subset_of_k2(ray_session):
 def test_edit_pairs_rejects_bad_k():
     with pytest.raises(ValueError):
         edit_pairs(None, k=3)
+
+
+def test_truncation_flag_surfaces(ray_session):
+    """A capped variant run must be VISIBLE on the surviving pairs —
+    the degradation contract callers rely on at huge vocabularies."""
+    import ray.data
+    vocab = ["x%d" % i for i in range(10)]  # all meet in variant "x"
+    ds = ray.data.from_arrow(
+        pa.table({"word": pa.array(vocab, type=pa.string())}))
+    out = edit_pairs(ds, k=1, parts=2, max_run=3).take_all()
+    assert out and all(r["truncated"] for r in out)
+    # subset semantics: kept pairs are real d=1 pairs, just not all 45
+    assert all(r["d"] == 1 for r in out)
+    assert len(out) < 45
+    # and with a big enough cap the same vocab is exact + unflagged
+    full = edit_pairs(ds, k=1, parts=2, max_run=100).take_all()
+    assert len(full) == 45
+    assert not any(r["truncated"] for r in full)

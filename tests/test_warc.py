@@ -72,6 +72,66 @@ def test_bad_content_length_quarantined():
     assert (rows, trunc) == ([], 1)
 
 
+def test_corrupt_gzip_member_quarantined_not_fatal(pages):
+    """A flipped byte inside one member must degrade to (prefix rows,
+    trunc=1), never an uncaught zlib.error killing the read task."""
+    import gzip
+    recs = [build_warc([p], gzip_per_record=False, warcinfo=False)
+            for p in pages[:5]]
+    members = [gzip.compress(r, mtime=0) for r in recs]
+    data = bytearray(b"".join(members))
+    # corrupt a byte well inside the 4th member's deflate stream
+    off = sum(len(m) for m in members[:3]) + len(members[3]) // 2
+    data[off] ^= 0xFF
+    rows, trunc = parse_warc(bytes(data))
+    assert trunc == 1
+    assert [r["url"] for r in rows] == [p["url"] for p in pages[:3]]
+
+
+def test_truncated_gzip_sweep_never_silent(pages):
+    """Cutting the archive at ANY byte offset either keeps every record
+    (cut exactly on a member boundary — indistinguishable from a
+    shorter file by design) or reports trunc=1.  Row loss with trunc=0
+    must be impossible."""
+    import gzip
+    recs = [build_warc([p], gzip_per_record=False, warcinfo=False)
+            for p in pages[:5]]
+    members = [gzip.compress(r, mtime=0) for r in recs]
+    data = b"".join(members)
+    boundaries = set()
+    acc = 0
+    for m in members:
+        acc += len(m)
+        boundaries.add(acc)
+    full = len(pages[:5])
+    for cut in range(1, len(data), 7):
+        rows, trunc = parse_warc(data[:cut])
+        if trunc == 0:
+            assert cut in boundaries, cut
+            assert len(rows) == sorted(boundaries).index(cut) + 1
+        else:
+            assert len(rows) <= full
+
+
+def test_total_loss_file_leaves_marker_row(ray_session, tmp_path):
+    """A file yielding zero parseable records still surfaces one
+    warc_truncated=1 marker row (empty lang — the language filter drops
+    it downstream), so complete loss of a file is never invisible."""
+    bad = tmp_path / "bad.warc"
+    bad.write_bytes(b"this is not a WARC file at all")
+    got = read_warc([str(bad)]).take_all()
+    assert len(got) == 1
+    assert got[0]["warc_truncated"] == 1
+    assert got[0]["url"] == "" and got[0]["lang"] == ""
+
+
+def test_records_carry_mandatory_record_id(pages):
+    data = build_warc(pages[:2])
+    assert data.count(b"WARC-Record-ID: <urn:uuid:") == 3  # warcinfo + 2
+    # deterministic: same rows → byte-identical archive
+    assert data == build_warc(pages[:2])
+
+
 def test_warc_date_variants():
     assert _parse_warc_date("2017-01-09T22:13:20Z") == 1484000000_000000
     # WARC 1.1 fractional seconds survive at us granularity
