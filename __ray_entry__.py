@@ -2605,6 +2605,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               concurrency=(1, 2), num_cpus=1,
                               batch_format="pyarrow")
 
+    def media_phash_pairs(sf_dir):
+        """Perceptual near-duplicate image pairs — the image arm of the
+        dedup family (SimHash:text :: pHash:images): DCT pHash in an
+        actor pool, 16×4-bit pigeonhole band bucketing (EXACT for
+        Hamming ≤ 15, run at ≤ 8), per-bucket verify, global pair
+        dedup.  Input is the media fixture plus planted ±2-noise
+        re-encodes, so the gate has ground truth.  Rows-only (binary
+        payloads); tests/test_phash.py gates determinism, the measured
+        robustness/discrimination contract, brute-force parity and
+        undecodable-payload degradation."""
+        from ie_ray.stages.multimodal import (phash_pairs,
+                                              synthesize_media_with_neardups)
+        ds = ray.data.from_arrow(synthesize_media_with_neardups(64))
+        return phash_pairs(ds)
+
     def substring_dup_frac(sf_dir):
         """Exact-substring dedup score (Lee et al. 2022 re-expression):
         per-doc fraction of distinct 16-char windows shared with another
@@ -5095,6 +5110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features,
         "media_resize": media_resize,
         "media_frame_sample": media_frame_sample,
+        "media_phash_pairs": media_phash_pairs,
         "embedding_pca_project": embedding_pca_project,
         "word_kcore": word_kcore,
         "docs_bpe_encode": docs_bpe_encode,
