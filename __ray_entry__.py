@@ -2605,6 +2605,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               concurrency=(1, 2), num_cpus=1,
                               batch_format="pyarrow")
 
+    def events_cep_pattern(sf_dir):
+        """Complex-event-processing sequence matcher (the
+        MATCH_RECOGNIZE / multi-pattern-over-streams shape): per user,
+        the ordered event-type sequence is scanned for CONTIGUOUS
+        occurrences of "one or more views, then a click, then a
+        purchase" — regex ``(?:view,)+click,purchase`` over the
+        comma-joined sequence.  Unlike events_funnel (arbitrary gaps
+        between stages), contiguity is the point here.  Leftmost
+        non-overlapping counts — identical semantics in Python re and
+        DuckDB's RE2, verified by the exact oracle.  One user-bucketed
+        exchange; per bucket one lexsort + run-boundary split builds
+        every user's sequence, the regex is compiled once per module.
+        Exact integer output — fp-free hash."""
+        import numpy as np
+        import re as _re
+        from ie_ray.stages.relational import bucketed_map_groups
+        ev = _tbl(sf_dir, "events",
+                  columns=["user_id", "ts", "event_id", "event_type"])
+        pat = _re.compile(r"(?:view,)+click,purchase")
+
+        def bucket_kernel(g: pa.Table) -> pa.Table:
+            uid = np.asarray(g.column("user_id"), dtype=np.int64)
+            if not len(uid):
+                return pa.table({
+                    "user_id": pa.array([], type=pa.int64()),
+                    "n_matches": pa.array([], type=pa.int64())})
+            ts = np.asarray(g.column("ts").cast(pa.timestamp("us"))
+                            .cast(pa.int64()))
+            eid = np.asarray(g.column("event_id"), dtype=np.int64)
+            et = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
+            order = np.lexsort((eid, ts, uid))
+            uid, et = uid[order], et[order]
+            bounds = np.nonzero(np.concatenate(
+                ([True], uid[1:] != uid[:-1], [True])))[0]
+            us, ns = [], []
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                n = len(pat.findall(",".join(et[s:e])))
+                if n:
+                    us.append(int(uid[s]))
+                    ns.append(n)
+            return pa.table({
+                "user_id": pa.array(us, type=pa.int64()),
+                "n_matches": pa.array(ns, type=pa.int64())})
+
+        return bucketed_map_groups(ev, "user_id", bucket_kernel)
+
     def media_phash_pairs(sf_dir):
         """Perceptual near-duplicate image pairs — the image arm of the
         dedup family (SimHash:text :: pHash:images): DCT pHash in an
@@ -4959,6 +5006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    prefix-checked) first --
         "word_edit2_pairs": word_edit2_pairs,
         "events_type_affinity": events_type_affinity,
+        "events_cep_pattern": events_cep_pattern,
         # -- round-5 driver prefix: the four NEW oracle-backed operators
         #    (never prefix-checked — rotation discipline) first, then
         #    the entries whose kernels changed this round (KeyLookup
@@ -5185,6 +5233,13 @@ def oracle_sql() -> dict[str, str]:
             "JOIN tc ta ON ta.event_type = p.t1 "
             "JOIN tc tb ON tb.event_type = p.t2 CROSS JOIN nu "
             "WHERE pair_users > 0 ORDER BY t1, t2",
+        "events_cep_pattern":
+            "WITH seq AS (SELECT user_id, string_agg(event_type, ',' "
+            "ORDER BY ts, event_id) AS s FROM events GROUP BY user_id) "
+            "SELECT user_id, length(regexp_extract_all(s, "
+            "'(?:view,)+click,purchase'))::BIGINT AS n_matches FROM seq "
+            "WHERE length(regexp_extract_all(s, "
+            "'(?:view,)+click,purchase')) > 0 ORDER BY user_id",
         "events_dow_hour_heatmap":
             "SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hr, "
             "count(*)::BIGINT AS n, "

@@ -162,7 +162,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "customer_nation_top3", "orders_rolling_7d_revenue",
                  "docs_bigram_logprob", "docs_bigram_logprob_hashed",
                  "word_edit2_pairs", "events_type_affinity",
-                 "kg_triples_warc", "media_phash_pairs"):
+                 "kg_triples_warc", "media_phash_pairs",
+                 "events_cep_pattern"):
         consume(name)
 
     total = round(time.time() - t0, 3)
