@@ -30,7 +30,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+            # astype(str) utf-8-DECODES bytes (pandas ensure_string_array)
+            # and crashes on binary payload columns (PPM thumbnails,
+            # WARC html) — canonicalize bytes as hex instead
+            df[c] = df[c].map(
+                lambda v: v.hex() if isinstance(v, (bytes, bytearray))
+                else str(v))
         elif str(df[c].dtype).startswith("float"):
             df[c] = df[c].round(4)
         elif str(df[c].dtype).startswith(("int", "uint")):
