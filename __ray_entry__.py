@@ -2652,6 +2652,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bucketed_map_groups(ev, "user_id", bucket_kernel)
 
+    def docs_quality_classifier(sf_dir):
+        """Model-BASED quality filtering (the fastText-style classifier
+        stage of CCNet/GPT-3/LLaMA pipelines), complementing the
+        heuristic (Gopher), perplexity (bigram LM) and DSIR filters:
+        crc32-hashed bag-of-words features (no vocabulary exchange),
+        distributed full-batch gradient training (weights broadcast per
+        iteration, exact dim-bounded partials), broadcast scoring.
+        Training labels here are synthetic (positives = the corpus,
+        negatives = deterministic reversed-vocabulary corruptions) —
+        at scale real labels (wiki-vs-crawl) plug into the same
+        label_col seam.  Rows-only (a trained model has no SQL twin);
+        tests/test_logreg.py gates exact gradient parity vs a dense
+        NumPy twin, bit-deterministic retraining and held-out AUC."""
+        from ie_ray.stages.logreg import (corrupt_text_deterministic,
+                                          featurize, logreg_score,
+                                          logreg_train)
+        DIM = 1024
+        docs = _docs(sf_dir)
+
+        def label(t: pa.Table) -> pa.Table:
+            ids = t.column("doc_id").to_pylist()
+            texts = [x or "" for x in t.column("text").to_pylist()]
+            neg = [corrupt_text_deterministic(x) for x in texts]
+            return pa.table({
+                "doc_id": pa.array(
+                    ids + [i + 10_000_000 for i in ids],
+                    type=pa.int64()),
+                "text": pa.array(texts + neg, type=pa.string()),
+                "y": pa.array([1.0] * len(ids) + [0.0] * len(ids),
+                              type=pa.float64())})
+
+        labeled = docs.map_batches(label, batch_format="pyarrow")
+        w, b, _ = logreg_train(
+            featurize(labeled, dim=DIM, label_col="y"),
+            dim=DIM, iters=20)
+        return logreg_score(featurize(docs, dim=DIM), w, b)
+
     def media_phash_pairs(sf_dir):
         """Perceptual near-duplicate image pairs — the image arm of the
         dedup family (SimHash:text :: pHash:images): DCT pHash in an
@@ -5159,6 +5196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": media_resize,
         "media_frame_sample": media_frame_sample,
         "media_phash_pairs": media_phash_pairs,
+        "docs_quality_classifier": docs_quality_classifier,
         "embedding_pca_project": embedding_pca_project,
         "word_kcore": word_kcore,
         "docs_bpe_encode": docs_bpe_encode,
