@@ -2652,6 +2652,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bucketed_map_groups(ev, "user_id", bucket_kernel)
 
+    def media_audiofp_pairs(sf_dir):
+        """Audio near-dup pairs — the audio arm of the dedup family
+        (SimHash:text :: pHash:images :: afp64:audio): Haitsma-Kalker
+        spectral-shape bits (adjacent low-band energy comparisons —
+        gain-invariant, noise-robust) in an actor pool feeding the same
+        generic 16-band pigeonhole Hamming join as pHash.  Planted
+        noisy/re-gained WAV copies are the ground truth.  Rows-only;
+        tests/test_audiofp.py gates the measured contract (copies ≤ 2,
+        distinct tones ≥ 8), brute-force parity and short/non-audio
+        degradation."""
+        from ie_ray.stages.multimodal import (audio_fp_pairs,
+                                              synthesize_media_with_neardups)
+        ds = ray.data.from_arrow(synthesize_media_with_neardups(64))
+        return audio_fp_pairs(ds)
+
     def docs_quality_classifier(sf_dir):
         """Model-BASED quality filtering (the fastText-style classifier
         stage of CCNet/GPT-3/LLaMA pipelines), complementing the
@@ -5196,6 +5211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": media_resize,
         "media_frame_sample": media_frame_sample,
         "media_phash_pairs": media_phash_pairs,
+        "media_audiofp_pairs": media_audiofp_pairs,
         "docs_quality_classifier": docs_quality_classifier,
         "embedding_pca_project": embedding_pca_project,
         "word_kcore": word_kcore,

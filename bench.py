@@ -163,7 +163,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "docs_bigram_logprob", "docs_bigram_logprob_hashed",
                  "word_edit2_pairs", "events_type_affinity",
                  "kg_triples_warc", "media_phash_pairs",
-                 "events_cep_pattern", "docs_quality_classifier"):
+                 "events_cep_pattern", "docs_quality_classifier",
+                 "media_audiofp_pairs"):
         consume(name)
 
     total = round(time.time() - t0, 3)

