@@ -2667,6 +2667,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = ray.data.from_arrow(synthesize_media_with_neardups(64))
         return audio_fp_pairs(ds)
 
+    def media_dedup_keep(sf_dir):
+        """Cross-modality media keep-list — the flow a multimodal
+        training-data pipeline actually consumes: image (pHash) and
+        audio (afp64) near-dup pairs union into ONE duplicate graph →
+        distributed connected components → one canonical keeper
+        (numeric-min media_id) per cluster plus every untouched item;
+        the keep-list is an anti-join, mirroring minhash_dedup_keep's
+        text flow.  Rows-only; pytest gates it against a driver-side
+        union-find twin over the brute-force pair sets
+        (tests/test_audiofp.py)."""
+        from ie_ray.stages import dedup
+        from ie_ray.stages.link import connected_components
+        from ie_ray.stages.multimodal import (audio_fp_pairs, phash_pairs,
+                                              synthesize_media_with_neardups)
+        tbl = synthesize_media_with_neardups(64)
+        media = ray.data.from_arrow(tbl)
+        pairs = phash_pairs(media).union(audio_fp_pairs(media))
+
+        def as_edges(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "a": pa.array(["%020d" % x
+                               for x in b.column("media_a").to_pylist()],
+                              type=pa.string()),
+                "b": pa.array(["%020d" % x
+                               for x in b.column("media_b").to_pylist()],
+                              type=pa.string())})
+
+        labels = connected_components(
+            pairs.map_batches(as_edges, batch_format="pyarrow"))
+
+        def dup_rows(b: pa.Table) -> pa.Table:
+            out = [int(n) for n, c in zip(b.column("node").to_pylist(),
+                                          b.column("component").to_pylist())
+                   if n != c]
+            return pa.table({
+                "dup_id": pa.array(out, type=pa.int64()),
+                "is_dup": pa.array([1] * len(out), type=pa.int64())})
+
+        dups = labels.map_batches(dup_rows, batch_format="pyarrow")
+        joined = media.select_columns(["media_id"]).join(
+            dups, "left_outer", num_partitions=dedup._join_partitions(),
+            on=("media_id",), right_on=("dup_id",))
+
+        def keep_batch(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            mask = pc.is_null(b.column("is_dup"))
+            return pa.table({"media_id": b.filter(mask).column("media_id")})
+
+        return joined.map_batches(keep_batch, batch_format="pyarrow")
+
     def docs_quality_classifier(sf_dir):
         """Model-BASED quality filtering (the fastText-style classifier
         stage of CCNet/GPT-3/LLaMA pipelines), complementing the
@@ -5212,6 +5262,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": media_frame_sample,
         "media_phash_pairs": media_phash_pairs,
         "media_audiofp_pairs": media_audiofp_pairs,
+        "media_dedup_keep": media_dedup_keep,
         "docs_quality_classifier": docs_quality_classifier,
         "embedding_pca_project": embedding_pca_project,
         "word_kcore": word_kcore,

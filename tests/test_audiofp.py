@@ -82,3 +82,55 @@ def test_non_audio_and_short_clips_flagged(ray_session):
         MediaAudioFpActor, concurrency=1,
         batch_format="pyarrow").take_all()
     assert [r["hashed"] for r in out] == [False, False]
+
+
+def test_media_dedup_keep_matches_unionfind_twin(ray_session):
+    """The cross-modality keep-list equals a driver-side union-find
+    over the brute-force pHash + afp64 pair sets."""
+    import __ray_entry__ as e
+    from ie_ray.stages.multimodal import (phash64, decode_ppm, decode_bmp,
+                                          decode_png, decode_jpeg)
+    t = synthesize_media_with_neardups(64)
+    img_disp = {"image/x-portable-pixmap": decode_ppm,
+                "image/bmp": decode_bmp, "image/png": decode_png,
+                "image/jpeg": decode_jpeg}
+    ph, af = {}, {}
+    for i in range(t.num_rows):
+        m = t.column("mime")[i].as_py()
+        mid = t.column("media_id")[i].as_py()
+        p = t.column("payload")[i].as_py()
+        if m in img_disp:
+            try:
+                ph[mid] = phash64(img_disp[m](p))
+            except ValueError:
+                pass
+        elif m == "audio/wav":
+            af[mid] = afp64(decode_wav(p)[0])
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for hs, thr in ((ph, 8), (af, 4)):
+        ks = sorted(hs)
+        for i, a in enumerate(ks):
+            for b in ks[i + 1:]:
+                if bin(hs[a] ^ hs[b]).count("1") <= thr:
+                    union(a, b)
+    all_ids = set(t.column("media_id").to_pylist())
+    want = sorted(i for i in all_ids
+                  if i not in parent or find(i) == i)
+    got = sorted(r["media_id"]
+                 for r in e.queries()["media_dedup_keep"]("sf0.001")
+                 .take_all())
+    assert got == want
+    assert len(want) < len(all_ids)  # the planted dups actually collapsed
