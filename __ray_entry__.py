@@ -2626,6 +2626,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pat = _re.compile(r"(?:view,)+click,purchase")
 
         def bucket_kernel(g: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            # NULL event_type rows contribute NOTHING — string_agg
+            # skips NULLs, and ','.join would crash on None
+            g = g.filter(pc.is_valid(g.column("event_type")))
             uid = np.asarray(g.column("user_id"), dtype=np.int64)
             if not len(uid):
                 return pa.table({
@@ -2749,10 +2753,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               type=pa.float64())})
 
         labeled = docs.map_batches(label, batch_format="pyarrow")
-        w, b, _ = logreg_train(
-            featurize(labeled, dim=DIM, label_col="y"),
-            dim=DIM, iters=20)
-        return logreg_score(featurize(docs, dim=DIM), w, b)
+        # featurize ONCE (the module's design note): training
+        # materializes the features, and scoring reuses the positive
+        # half instead of re-tokenizing the corpus
+        feats = featurize(labeled, dim=DIM, label_col="y").materialize()
+        w, b, _ = logreg_train(feats, dim=DIM, iters=20)
+        return logreg_score(feats.filter(expr="doc_id < 10000000"), w, b)
 
     def media_phash_pairs(sf_dir):
         """Perceptual near-duplicate image pairs — the image arm of the
@@ -5340,11 +5346,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE pair_users > 0 ORDER BY t1, t2",
         "events_cep_pattern":
             "WITH seq AS (SELECT user_id, string_agg(event_type, ',' "
-            "ORDER BY ts, event_id) AS s FROM events GROUP BY user_id) "
-            "SELECT user_id, length(regexp_extract_all(s, "
-            "'(?:view,)+click,purchase'))::BIGINT AS n_matches FROM seq "
-            "WHERE length(regexp_extract_all(s, "
-            "'(?:view,)+click,purchase')) > 0 ORDER BY user_id",
+            "ORDER BY ts, event_id) AS s FROM events GROUP BY user_id), "
+            "m AS (SELECT user_id, length(regexp_extract_all(s, "
+            "'(?:view,)+click,purchase'))::BIGINT AS n_matches FROM seq) "
+            "SELECT user_id, n_matches FROM m "
+            "WHERE n_matches > 0 ORDER BY user_id",
         "events_dow_hour_heatmap":
             "SELECT dayofweek(ts)::BIGINT AS dow, hour(ts)::BIGINT AS hr, "
             "count(*)::BIGINT AS n, "

@@ -36,21 +36,13 @@ import pyarrow as pa
 
 def _hash_tokens(col, dim: int):
     """(bucket, row, n_rows) for every whitespace token in the block —
-    crc32 per DISTINCT token via dictionary_encode, numpy for the rest
-    (the module-family's documented idiom)."""
-    import pyarrow.compute as pc
-    la = pc.split_pattern(pc.fill_null(col.combine_chunks(), ""), " ")
-    offsets = np.asarray(la.offsets, dtype=np.int64)
-    enc = la.flatten().dictionary_encode()
-    if len(enc) == 0:
-        return (np.empty(0, np.int64), np.empty(0, np.int64), len(la))
-    dh = np.fromiter((zlib.crc32(s.encode("utf-8"))
-                      for s in enc.dictionary.to_pylist()),
-                     dtype=np.int64, count=len(enc.dictionary))
-    buckets = dh[np.asarray(enc.indices, dtype=np.int64)] % dim
-    rows = np.repeat(np.arange(len(la), dtype=np.int64),
+    the shared retrieval.token_crc32 core folded into ``dim``
+    buckets."""
+    from .retrieval import token_crc32
+    h, offsets, n_rows, _ = token_crc32(col)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64),
                      np.diff(offsets))
-    return buckets, rows, len(la)
+    return h % dim, rows, n_rows
 
 
 def featurize(ds, dim: int = 2048, text_col: str = "text",
@@ -124,15 +116,23 @@ def logreg_train(features, dim: int = 2048, iters: int = 40,
         def gpart(t: pa.Table) -> pa.Table:
             ww, bb = ray.get(w_ref)
             g, gb, loss, n = _block_grad(t, ww, bb, dim)
+            # k: a content-derived sort key — take_all() returns blocks
+            # in COMPLETION order (preserve_order is off), and float64
+            # partial sums are order-sensitive, so the driver re-sorts
+            # partials by k before folding to keep retraining
+            # bit-identical on a loaded cluster
+            k = int(pa.compute.min(t.column("doc_id")).as_py())
             return pa.table({
+                "k": pa.array([k], type=pa.int64()),
                 "g": pa.array([g.tolist()],
                               type=pa.list_(pa.float64())),
                 "gb": pa.array([gb], type=pa.float64()),
                 "loss": pa.array([loss], type=pa.float64()),
                 "n": pa.array([n], type=pa.int64())})
 
-        rows = feats.map_batches(gpart,
-                                 batch_format="pyarrow").take_all()
+        rows = sorted(feats.map_batches(gpart,
+                                        batch_format="pyarrow").take_all(),
+                      key=lambda r: r["k"])
         n = sum(r["n"] for r in rows)
         if n == 0:
             break
@@ -195,7 +195,7 @@ def dense_twin_grad(texts, ys, w, b, dim):
     """O(n·dim) NumPy twin of one distributed gradient pass (tests)."""
     X = np.zeros((len(texts), dim), dtype=np.float64)
     for i, t in enumerate(texts):
-        ws = [x for x in t.split(" ") if x or True]
+        ws = t.split(" ")  # empty tokens KEPT — parity with split_pattern
         n = len(ws)
         for word in ws:
             X[i, zlib.crc32(word.encode("utf-8")) % dim] += 1.0 / n

@@ -1215,6 +1215,10 @@ def hamming_pairs(hashed, hash_col: str, max_hamming: int,
     width = 64 // bands
     mask = (1 << width) - 1
 
+    # output pair columns derive from id_col: media_id → media_a/media_b
+    stem = id_col[:-3] if id_col.endswith("_id") else id_col
+    col_a, col_b = stem + "_a", stem + "_b"
+
     def to_buckets(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         b = batch.filter(pc.equal(batch.column(flag_col), True))
@@ -1227,12 +1231,12 @@ def hamming_pairs(hashed, hash_col: str, max_hamming: int,
                 hs.append(h)
         return pa.table({
             "bucket": pa.array(keys, type=pa.string()),
-            "media_id": pa.array(ids, type=pa.int64()),
+            "_id": pa.array(ids, type=pa.int64()),
             "h": pa.array(hs, type=pa.uint64())})
 
     def emit_pairs(group: pa.Table) -> pa.Table:
         uniq = {}
-        for i, h in zip(group.column("media_id").to_pylist(),
+        for i, h in zip(group.column("_id").to_pylist(),
                         group.column("h").to_pylist()):
             uniq.setdefault(i, h)
         ids_u = sorted(uniq)[:max_bucket]
@@ -1245,15 +1249,15 @@ def hamming_pairs(hashed, hash_col: str, max_hamming: int,
                     b_out.append(ids_u[j])
                     d_out.append(d)
         return pa.table({
-            "media_a": pa.array(a_out, type=pa.int64()),
-            "media_b": pa.array(b_out, type=pa.int64()),
+            col_a: pa.array(a_out, type=pa.int64()),
+            col_b: pa.array(b_out, type=pa.int64()),
             "hamming": pa.array(d_out, type=pa.int32())})
 
     pairs = hashed.map_batches(to_buckets, batch_format="pyarrow") \
         .groupby("bucket").map_groups(emit_pairs, batch_format="pyarrow")
-    return (pairs.groupby(["media_a", "media_b"]).min("hamming")
+    return (pairs.groupby([col_a, col_b]).min("hamming")
             .map_batches(lambda t: t.rename_columns(
-                ["media_a", "media_b", "hamming"]),
+                [col_a, col_b, "hamming"]),
                 batch_format="pyarrow"))
 
 
