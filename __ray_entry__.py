@@ -5009,6 +5009,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return t.drop_columns(["truncated"]) \
             .sort_by([("w1", "ascending"), ("w2", "ascending")])
 
+    def word_canonical_map(sf_dir):
+        """Typo/variant NORMALIZATION map — what a vocabulary pipeline
+        does with the edit-distance join's output: distributed
+        connected components over the d≤2 pair graph, then per
+        component the most-frequent member (ties: lexicographic min)
+        becomes canonical; singleton words map to themselves.  The
+        multi-hop cluster {fast, part, sort, spark, hash} → hash on the
+        fixture exercises transitivity.  Everything after the word
+        count is vocabulary-bounded.  Exact recursive-CTE DuckDB
+        oracle."""
+        import numpy as np
+        import pyarrow.compute as pc
+        from ie_ray.stages import dedup
+        from ie_ray.stages.link import connected_components
+        from ie_ray.stages.strsim import edit_pairs
+        ds = _docs(sf_dir)
+        vocab = (ds.map_batches(_word_count_partial,
+                                batch_format="pyarrow")
+                 .groupby("word").sum("n")
+                 .map_batches(lambda t: t.rename_columns(["word", "n"]),
+                              batch_format="pyarrow")
+                 .map_batches(lambda t: t.filter(pc.and_(
+                     pc.greater_equal(t.column("n"), 5),
+                     pc.match_substring_regex(t.column("word"),
+                                              r"^[a-z]{3,}$"))),
+                              batch_format="pyarrow")
+                 .materialize())  # feeds BOTH the pair join and the map
+        pairs = edit_pairs(vocab.select_columns(["word"]),
+                           k=2, parts=16)
+        edges = pairs.map_batches(
+            lambda t: pa.table({"a": t.column("w1"),
+                                "b": t.column("w2")}),
+            batch_format="pyarrow")
+        labels = connected_components(edges)
+        joined = vocab.join(labels, "left_outer",
+                            num_partitions=dedup._join_partitions(),
+                            on=("word",), right_on=("node",))
+
+        def fill(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "word": t.column("word"),
+                "n": t.column("n"),
+                "comp": pc.coalesce(t.column("component"),
+                                    t.column("word"))})
+
+        def pick(g: pa.Table) -> pa.Table:
+            order = pc.sort_indices(g, sort_keys=[
+                ("n", "descending"), ("word", "ascending")])
+            canonical = g.column("word")[order[0].as_py()].as_py()
+            return pa.table({
+                "word": g.column("word"),
+                "canonical": pa.array([canonical] * g.num_rows,
+                                      type=pa.string())})
+
+        return joined.map_batches(fill, batch_format="pyarrow") \
+            .groupby("comp").map_groups(pick, batch_format="pyarrow")
+
     def events_type_affinity(sf_dir):
         """Market-basket lift between event types: for each unordered
         type pair, how many users did both, and the lift vs
@@ -5113,6 +5170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- round-5 session-2 additions (oracle-backed, never
         #    prefix-checked) first --
         "word_edit2_pairs": word_edit2_pairs,
+        "word_canonical_map": word_canonical_map,
         "events_type_affinity": events_type_affinity,
         "events_cep_pattern": events_cep_pattern,
         # -- round-5 driver prefix: the four NEW oracle-backed operators
@@ -5344,6 +5402,31 @@ def oracle_sql() -> dict[str, str]:
             "JOIN tc ta ON ta.event_type = p.t1 "
             "JOIN tc tb ON tb.event_type = p.t2 CROSS JOIN nu "
             "WHERE pair_users > 0 ORDER BY t1, t2",
+        "word_canonical_map":
+            "WITH RECURSIVE w AS (SELECT unnest(regexp_split_to_array("
+            "lower(text), '\\s+')) AS word FROM documents "
+            "WHERE trim(text) != ''), "
+            "v AS (SELECT word, count(*)::BIGINT AS n FROM w "
+            "WHERE regexp_matches(word, '^[a-z]{3,}$') "
+            "GROUP BY word HAVING count(*) >= 5), "
+            "p AS (SELECT a.word AS w1, b.word AS w2 FROM v a JOIN v b "
+            "ON a.word < b.word "
+            "AND abs(length(a.word) - length(b.word)) <= 2 "
+            "WHERE levenshtein(a.word, b.word) <= 2), "
+            "e AS (SELECT w1 AS x, w2 AS y FROM p "
+            "UNION ALL SELECT w2 AS x, w1 AS y FROM p), "
+            "reach(x, y) AS (SELECT x, y FROM e "
+            "UNION SELECT r.x, e.y FROM reach r JOIN e ON r.y = e.x "
+            "WHERE e.y != r.x), "
+            "comp AS (SELECT v.word, least(v.word, coalesce("
+            "(SELECT min(y) FROM reach WHERE x = v.word), v.word)) "
+            "AS rep FROM v), "
+            "sel AS (SELECT c.rep, v2.word AS canonical, row_number() "
+            "OVER (PARTITION BY c.rep ORDER BY v2.n DESC, v2.word ASC) "
+            "AS rn FROM comp c JOIN v v2 ON v2.word = c.word) "
+            "SELECT c.word AS word, s.canonical AS canonical "
+            "FROM comp c JOIN sel s ON s.rep = c.rep AND s.rn = 1 "
+            "ORDER BY word",
         "events_cep_pattern":
             "WITH seq AS (SELECT user_id, string_agg(event_type, ',' "
             "ORDER BY ts, event_id) AS s FROM events GROUP BY user_id), "

@@ -164,7 +164,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "word_edit2_pairs", "events_type_affinity",
                  "kg_triples_warc", "media_phash_pairs",
                  "events_cep_pattern", "docs_quality_classifier",
-                 "media_audiofp_pairs", "media_dedup_keep"):
+                 "media_audiofp_pairs", "media_dedup_keep",
+                 "word_canonical_map"):
         consume(name)
 
     total = round(time.time() - t0, 3)
