@@ -5066,6 +5066,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return joined.map_batches(fill, batch_format="pyarrow") \
             .groupby("comp").map_groups(pick, batch_format="pyarrow")
 
+    def word_clustering_coeff(sf_dir):
+        """Per-node local clustering coefficient of the df≥60
+        co-occurrence graph — 2·triangles(v) / (deg(v)·(deg(v)−1)) —
+        completing the graph-metrics family (degree/PageRank/k-core/
+        triangle COUNTS existed; this is the per-node density view).
+        Triangle rows come from the skew-safe Suri–Vassilvitskii join
+        (stages/cooccur.py); everything after the corpus-scale edge
+        reduce is vocab-bounded.  Exact oracle (three-way self-join)."""
+        import pyarrow.compute as pc
+        from ie_ray.stages import dedup
+        from ie_ray.stages.cooccur import cooccur_edges, triangles
+        edges = cooccur_edges(_docs(sf_dir), df_min=60).materialize()
+
+        def endpoints(t: pa.Table) -> pa.Table:
+            return pa.table({"node": pa.array(
+                t.column("w1").to_pylist() + t.column("w2").to_pylist(),
+                type=pa.string())})
+
+        deg = edges.map_batches(endpoints, batch_format="pyarrow") \
+            .groupby("node").count() \
+            .map_batches(lambda t: t.rename_columns(["node", "degree"]),
+                         batch_format="pyarrow")
+
+        def tri_nodes(t: pa.Table) -> pa.Table:
+            return pa.table({"tnode": pa.array(
+                t.column("w1").to_pylist() + t.column("w2").to_pylist()
+                + t.column("w3").to_pylist(), type=pa.string())})
+
+        tcnt = triangles(edges).map_batches(tri_nodes,
+                                            batch_format="pyarrow") \
+            .groupby("tnode").count() \
+            .map_batches(lambda t: t.rename_columns(["tnode", "tri"]),
+                         batch_format="pyarrow")
+        joined = deg.join(tcnt, "left_outer",
+                          num_partitions=dedup._join_partitions(),
+                          on=("node",), right_on=("tnode",))
+
+        def finish(t: pa.Table) -> pa.Table:
+            import numpy as np
+            d = np.asarray(t.column("degree"), dtype=np.int64)
+            tri = np.asarray(pc.fill_null(t.column("tri"), 0),
+                             dtype=np.int64)
+            coeff = np.where(d >= 2, 2.0 * tri / (d * np.maximum(d - 1, 1)),
+                             0.0)
+            return pa.table({
+                "node": t.column("node"),
+                "degree": pa.array(d, type=pa.int64()),
+                "triangles": pa.array(tri, type=pa.int64()),
+                "coeff": pc.round(pa.array(coeff, type=pa.float64()), 4,
+                                  round_mode="half_towards_infinity")})
+
+        return joined.map_batches(finish, batch_format="pyarrow")
+
     def events_type_affinity(sf_dir):
         """Market-basket lift between event types: for each unordered
         type pair, how many users did both, and the lift vs
@@ -5171,6 +5224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    prefix-checked) first --
         "word_edit2_pairs": word_edit2_pairs,
         "word_canonical_map": word_canonical_map,
+        "word_clustering_coeff": word_clustering_coeff,
         "events_type_affinity": events_type_affinity,
         "events_cep_pattern": events_cep_pattern,
         # -- round-5 driver prefix: the four NEW oracle-backed operators
@@ -5402,6 +5456,32 @@ def oracle_sql() -> dict[str, str]:
             "JOIN tc ta ON ta.event_type = p.t1 "
             "JOIN tc tb ON tb.event_type = p.t2 CROSS JOIN nu "
             "WHERE pair_users > 0 ORDER BY t1, t2",
+        "word_clustering_coeff":
+            "WITH words AS (SELECT doc_id, w, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY i) AS rn FROM (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS w, generate_subscripts("
+            "string_split(text, ' '), 1) AS i FROM documents)), "
+            "bg AS (SELECT DISTINCT a.doc_id, least(a.w, b.w) AS w1, "
+            "greatest(a.w, b.w) AS w2 FROM words a JOIN words b ON "
+            "a.doc_id = b.doc_id AND b.rn = a.rn + 1 AND a.w <> b.w "
+            "AND a.w <> '' AND b.w <> ''), "
+            "e AS (SELECT w1, w2 FROM bg GROUP BY w1, w2 "
+            "HAVING count(*) >= 60), "
+            "sym AS (SELECT w1 AS a, w2 AS b FROM e "
+            "UNION ALL SELECT w2, w1 FROM e), "
+            "deg AS (SELECT a AS node, count(*)::BIGINT AS degree "
+            "FROM sym GROUP BY a), "
+            "tri AS (SELECT s1.a AS node, count(*)::BIGINT AS t "
+            "FROM sym s1 JOIN sym s2 ON s1.b = s2.a "
+            "JOIN e ON e.w1 = least(s1.a, s2.b) "
+            "AND e.w2 = greatest(s1.a, s2.b) "
+            "WHERE s1.a <> s2.b GROUP BY s1.a) "
+            "SELECT d.node, d.degree, "
+            "(coalesce(tri.t, 0) // 2)::BIGINT AS triangles, "
+            "round(CASE WHEN d.degree >= 2 THEN coalesce(tri.t, 0)"
+            "::DOUBLE / (d.degree * (d.degree - 1)) ELSE 0.0 END, 4) "
+            "AS coeff FROM deg d LEFT JOIN tri ON tri.node = d.node "
+            "ORDER BY d.node",
         "word_canonical_map":
             "WITH RECURSIVE w AS (SELECT unnest(regexp_split_to_array("
             "lower(text), '\\s+')) AS word FROM documents "
