@@ -4966,6 +4966,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lowcard_combine(ds, partial, final, combine_fn=combine)
 
+    def doc_keyphrases(sf_dir):
+        """RAKE keyphrase extraction (Rose et al. 2010) — top-3
+        keyphrases per document.  Candidate phrases are stopword-
+        separated islands (gaps-and-islands); word scores deg/freq
+        aggregate corpus-wide through a VOCABULARY-bounded exchange,
+        then broadcast; phrase scoring + per-doc top-k are fully
+        block-local (a doc's text is one row).  Exact integer-ppm
+        scores → bit-exact window-function DuckDB oracle.  Lightweight
+        sibling of the reference's per-document extraction
+        (ie/semantics/ccg.py) for corpora too big to parse fully."""
+        from ie_ray.stages.keyphrase import rake_keyphrases
+        return rake_keyphrases(_docs(sf_dir), top_k=3) \
+            .sort(["doc_id", "rank"])
+
     def word_edit2_pairs(sf_dir):
         """Typo-clustering string-similarity self-join: every pair of
         vocabulary words (lowercase a-z, len ≥ 3, corpus count ≥ 5)
@@ -5220,8 +5234,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # oracle-less entries (sketches, kg_* / CCG family, iterative algos —
     # each gated by named pytest suites in its docstring) come last.
     return {
-        # -- round-5 session-2 additions (oracle-backed, never
+        # -- round-5 session-3 additions (oracle-backed, never
         #    prefix-checked) first --
+        "doc_keyphrases": doc_keyphrases,
+        # -- round-5 session-2 additions --
         "word_edit2_pairs": word_edit2_pairs,
         "word_canonical_map": word_canonical_map,
         "word_clustering_coeff": word_clustering_coeff,
@@ -5429,7 +5445,9 @@ def oracle_sql() -> dict[str, str]:
     from ie_ray.stages.decontam import decontam_sql
     from ie_ray.stages.textstats import (FINGERPRINT_SQL, REPETITION_SQL,
                                          langid_sql)
+    from ie_ray.stages.keyphrase import rake_oracle_sql as _rake_sql
     return {
+        "doc_keyphrases": _rake_sql(3),
         "word_edit2_pairs":
             "WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), "
             "'\\s+')) AS word FROM documents WHERE trim(text) != ''), "

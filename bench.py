@@ -165,7 +165,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "kg_triples_warc", "media_phash_pairs",
                  "events_cep_pattern", "docs_quality_classifier",
                  "media_audiofp_pairs", "media_dedup_keep",
-                 "word_canonical_map", "word_clustering_coeff"):
+                 "word_canonical_map", "word_clustering_coeff",
+                 "doc_keyphrases"):
         consume(name)
 
     total = round(time.time() - t0, 3)
