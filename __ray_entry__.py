@@ -4980,6 +4980,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rake_keyphrases(_docs(sf_dir), top_k=3) \
             .sort(["doc_id", "rank"])
 
+    def word_jw_pairs(sf_dir):
+        """Jaro-Winkler similarity self-join over the corpus vocabulary
+        (the name/alias-matching metric next to the edit-distance
+        join's typo metric): every pair with jw >= 0.75 plus the
+        similarity itself, bit-exact to DuckDB's float64
+        implementation (fuzz-gated).  Corpus-scale work is the block
+        word count; the join broadcasts the bounded vocab and prunes
+        with the bag-of-characters upper bound (completeness is a
+        theorem — tests/test_strsim.py) before exact scoring."""
+        import pyarrow.compute as pc
+        from ie_ray.stages.strsim import jw_pairs
+        vocab = (_docs(sf_dir).map_batches(_word_count_partial,
+                                           batch_format="pyarrow")
+                 .groupby("word").sum("n")
+                 .map_batches(lambda t: t.rename_columns(["word", "n"]),
+                              batch_format="pyarrow")
+                 .map_batches(lambda t: t.filter(pc.and_(
+                     pc.greater_equal(t.column("n"), 5),
+                     pc.match_substring_regex(t.column("word"),
+                                              r"^[a-z]{3,}$"))),
+                              batch_format="pyarrow")
+                 .select_columns(["word"]))
+        return _small_table(jw_pairs(vocab, threshold=0.75, parts=16),
+                            [("w1", pa.string()), ("w2", pa.string()),
+                             ("sim", pa.float64())]) \
+            .sort_by([("w1", "ascending"), ("w2", "ascending")])
+
     def word_edit2_pairs(sf_dir):
         """Typo-clustering string-similarity self-join: every pair of
         vocabulary words (lowercase a-z, len ≥ 3, corpus count ≥ 5)
@@ -5237,6 +5264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- round-5 session-3 additions (oracle-backed, never
         #    prefix-checked) first --
         "doc_keyphrases": doc_keyphrases,
+        "word_jw_pairs": word_jw_pairs,
         # -- round-5 session-2 additions --
         "word_edit2_pairs": word_edit2_pairs,
         "word_canonical_map": word_canonical_map,
@@ -5448,6 +5476,17 @@ def oracle_sql() -> dict[str, str]:
     from ie_ray.stages.keyphrase import rake_oracle_sql as _rake_sql
     return {
         "doc_keyphrases": _rake_sql(3),
+        "word_jw_pairs":
+            "WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), "
+            "'\\s+')) AS word FROM documents WHERE trim(text) != ''), "
+            "v AS (SELECT word FROM w WHERE "
+            "regexp_matches(word, '^[a-z]{3,}$') "
+            "GROUP BY word HAVING count(*) >= 5) "
+            "SELECT a.word AS w1, b.word AS w2, "
+            "round(jaro_winkler_similarity(a.word, b.word), 4) AS sim "
+            "FROM v a JOIN v b ON a.word < b.word "
+            "WHERE jaro_winkler_similarity(a.word, b.word) >= 0.75 "
+            "ORDER BY w1, w2",
         "word_edit2_pairs":
             "WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), "
             "'\\s+')) AS word FROM documents WHERE trim(text) != ''), "

@@ -178,3 +178,161 @@ def edit_pairs_bruteforce(words: List[str], k: int = 2) \
             if 1 <= d <= k:
                 out.append((ws[i], ws[j], d))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler similarity join
+# ---------------------------------------------------------------------------
+
+def jaro_winkler(a: str, b: str) -> float:
+    """Jaro-Winkler similarity, BIT-EXACT to DuckDB's
+    ``jaro_winkler_similarity`` (fuzz-gated in tests/test_strsim.py):
+    standard Jaro (match window ``max//2 - 1``, transpositions halved),
+    Winkler prefix boost (scale 0.1, prefix capped at 4) applied only
+    when jaro > 0.7, and the DuckDB convention that ANY empty operand
+    scores 0.0 (even empty-vs-empty).  Same float64 operation order as
+    the C++ implementation, so thresholds and 4-digit rounding agree
+    across engines."""
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    if a == b:
+        return 1.0
+    win = max(la, lb) // 2 - 1
+    if win < 0:
+        win = 0
+    am = [False] * la
+    bm = [False] * lb
+    m = 0
+    for i, ca in enumerate(a):
+        lo = 0 if i < win else i - win
+        hi = min(lb, i + win + 1)
+        for j in range(lo, hi):
+            if not bm[j] and b[j] == ca:
+                am[i] = bm[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(la):
+        if am[i]:
+            while not bm[k]:
+                k += 1
+            if a[i] != b[k]:
+                t += 1
+            k += 1
+    t //= 2
+    j = (m / la + m / lb + (m - t) / m) / 3.0
+    if j > 0.7:
+        p = 0
+        for ca, cb in zip(a, b):
+            if ca != cb or p == 4:
+                break
+            p += 1
+        j = j + p * 0.1 * (1.0 - j)
+    return j
+
+
+def _char_counts(words: List[str]) -> np.ndarray:
+    """n×26 lowercase-letter count matrix (the vocab filter guarantees
+    ``^[a-z]+$``; any other codepoint is simply not counted, which only
+    LOOSENS the upper bound — still sound)."""
+    m = np.zeros((len(words), 26), dtype=np.int16)
+    for i, w in enumerate(words):
+        for c in w:
+            o = ord(c) - 97
+            if 0 <= o < 26:
+                m[i, o] += 1
+    return m
+
+
+def jw_pairs(vocab, threshold: float = 0.75, parts: int = 16):
+    """All pairs of distinct vocabulary words with Jaro-Winkler
+    similarity >= ``threshold``, as a Dataset of ``(w1, w2, sim)``
+    with ``w1 < w2`` and ``sim`` rounded to 4 digits (DuckDB
+    half-away-from-zero convention).
+
+    Shape: the vocabulary is BOUNDED by construction (corpus-scale
+    word counting happens upstream in block combiners), so the join
+    broadcasts the vocab once (``ray.put``) and fans the ROW ranges
+    out across ``parts`` tasks — each task scores its slice against
+    the full vocab with a vectorized BAG-OF-CHARACTERS upper bound
+    before any exact scoring:
+
+    every Jaro match pairs two equal characters, so
+    ``m <= B = |bag(a) ∩ bag(b)|``; with transpositions at best 0,
+    ``jaro <= (B/la + B/lb + 1)/3``, and with the best possible
+    Winkler boost (prefix 4) ``jw <= j + 0.4(1-j)``.  Pairs whose
+    bound misses the threshold never reach the exact O(|a|·|b|)
+    scorer — completeness is a theorem, not a heuristic (gated in
+    tests/test_strsim.py).  Exact scoring runs once per surviving
+    DISTINCT pair.
+    """
+    import ray
+    import pyarrow.compute as pc
+
+    words: List[str] = []
+    for blk in vocab.iter_batches(batch_format="pyarrow"):
+        if blk.num_rows and "word" in blk.column_names:
+            words.extend(blk.column("word").to_pylist())
+    words = sorted(set(words))
+    n = len(words)
+    counts = _char_counts(words)
+    lens = np.array([len(w) for w in words], dtype=np.float64)
+    ref = ray.put((words, counts, lens))
+
+    # best-boost inversion: jw >= th and jw <= 0.4 + 0.6*j  =>  the
+    # jaro upper bound must reach (th - 0.4) / 0.6
+    j_min = (threshold - 0.4) / 0.6
+
+    class SliceJoin:
+        def __init__(self):
+            self.words, self.counts, self.lens = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids = np.asarray(t.column("id"), dtype=np.int64)
+            W, M, L = self.words, self.counts, self.lens
+            w1: List[str] = []
+            w2: List[str] = []
+            sims: List[float] = []
+            for chunk in np.array_split(ids, max(1, len(ids) // 128)):
+                if not len(chunk):
+                    continue
+                B = np.zeros((len(chunk), len(W)), dtype=np.float64)
+                sub = M[chunk]
+                for c in range(26):
+                    B += np.minimum.outer(sub[:, c], M[:, c])
+                ub = (B / L[chunk][:, None] + B / L[None, :] + 1.0) / 3.0
+                np.minimum(ub, 1.0, out=ub)
+                cand = ub >= j_min
+                # strict upper triangle only: i scores against j > i
+                cand &= np.arange(len(W))[None, :] > chunk[:, None]
+                for r, i in enumerate(chunk):
+                    for j in np.nonzero(cand[r])[0]:
+                        s = jaro_winkler(W[i], W[j])
+                        if s >= threshold:
+                            w1.append(W[i])
+                            w2.append(W[j])
+                            sims.append(s)
+            return pa.table({
+                "w1": pa.array(w1, type=pa.string()),
+                "w2": pa.array(w2, type=pa.string()),
+                "sim": pc.round(pa.array(sims, type=pa.float64()), 4,
+                                round_mode="half_towards_infinity")})
+
+    ids = ray.data.range(n).repartition(max(1, min(parts, n))) \
+        .map_batches(lambda t: t.rename_columns(["id"]),
+                     batch_format="pyarrow")
+    return ids.map_batches(SliceJoin, concurrency=(1, 8),
+                           batch_format="pyarrow")
+
+
+def jw_pairs_bruteforce(words: List[str], threshold: float = 0.75) \
+        -> List[Tuple[str, str, float]]:
+    """O(n²) twin for tests (unrounded sims)."""
+    ws = sorted(set(words))
+    return [(ws[i], ws[j], jaro_winkler(ws[i], ws[j]))
+            for i in range(len(ws)) for j in range(i + 1, len(ws))
+            if jaro_winkler(ws[i], ws[j]) >= threshold]

@@ -7,6 +7,7 @@ honesty pattern as tests/test_pii.py)."""
 
 import random
 
+import numpy as np
 import pyarrow as pa
 import pytest
 
@@ -124,3 +125,78 @@ def test_truncation_flag_surfaces(ray_session):
     full = edit_pairs(ds, k=1, parts=2, max_run=100).take_all()
     assert len(full) == 45
     assert not any(r["truncated"] for r in full)
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler join
+# ---------------------------------------------------------------------------
+
+def test_jaro_winkler_matches_duckdb_fuzz():
+    """Bit-exact float64 parity with DuckDB, including the boost
+    threshold (jaro > 0.7), the 4-char prefix cap (tiny alphabet runs
+    force long prefixes) and the empty-operand convention."""
+    import duckdb
+    from ie_ray.stages.strsim import jaro_winkler
+    con = duckdb.connect()
+    rng = random.Random(41)
+    cases = [("", ""), ("", "a"), ("martha", "marhta"),
+             ("dixon", "dicksonx"), ("dwayne", "duane"),
+             ("aaaaaab", "aaaaaba")]
+    for alphabet, reps in (("abcdef", 1200), ("ab", 1200)):
+        for _ in range(reps):
+            cases.append((
+                "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 9))),
+                "".join(rng.choice(alphabet)
+                        for _ in range(rng.randint(0, 9)))))
+    for a, b in cases:
+        want = con.execute("SELECT jaro_winkler_similarity(?, ?)",
+                           [a, b]).fetchone()[0]
+        assert jaro_winkler(a, b) == want, (a, b)
+
+
+def test_jw_bag_bound_is_complete():
+    """The pruning theorem: jw(a,b) >= th  ⇒  the bag-of-chars upper
+    bound reaches (th-0.4)/0.6 — no true pair is ever pruned."""
+    from ie_ray.stages.strsim import _char_counts, jaro_winkler
+    rng = random.Random(17)
+    th = 0.75
+    j_min = (th - 0.4) / 0.6
+    hits = 0
+    for _ in range(2000):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randint(3, 9)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randint(3, 9)))
+        if a == b or jaro_winkler(a, b) < th:
+            continue
+        hits += 1
+        m = _char_counts([a, b])
+        bag = int(np.minimum(m[0], m[1]).sum())
+        ub = min((bag / len(a) + bag / len(b) + 1.0) / 3.0, 1.0)
+        assert ub >= j_min, (a, b)
+    assert hits > 50  # the fuzz actually exercised true pairs
+
+
+PLANTED_JW = ["martha", "marhta", "marsha", "dixon", "dicksonx",
+              "dwayne", "duane", "jellyfish", "smellyfish", "table",
+              "tables", "stable", "spark", "sparks", "part", "zzz"]
+
+
+def test_jw_pairs_distributed_matches_bruteforce(ray_session):
+    import ray
+
+    from ie_ray.stages.strsim import jw_pairs, jw_pairs_bruteforce
+    vocab = ray.data.from_arrow(pa.table(
+        {"word": pa.array(PLANTED_JW, type=pa.string())})).repartition(3)
+    got = []
+    for blk in jw_pairs(vocab, threshold=0.75, parts=4) \
+            .iter_batches(batch_format="pyarrow"):
+        if blk.num_rows:
+            got.extend(zip(blk.column("w1").to_pylist(),
+                           blk.column("w2").to_pylist(),
+                           blk.column("sim").to_pylist()))
+    got.sort()
+    want = sorted((a, b, round(s, 4))
+                  for a, b, s in jw_pairs_bruteforce(PLANTED_JW, 0.75))
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, gs), (_, _, ws) in zip(got, want):
+        assert abs(gs - ws) < 5e-5
