@@ -4980,6 +4980,109 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rake_keyphrases(_docs(sf_dir), top_k=3) \
             .sort(["doc_id", "rank"])
 
+    def users_rfm_segments(sf_dir):
+        """RFM (recency / frequency / monetary) user segmentation —
+        the classic lifecycle-marketing shape: per-user last-event
+        recency in days vs the corpus anchor, event count, and exact
+        scaled-int monetary sum; each metric quartiled by the exact
+        streaming ntile (stats pass → bounded histogram exchange →
+        per-bin local rank, relational.global_ntile — no global sort),
+        segment = r·100 + f·10 + m.  The per-user reduce rides the
+        bucketed path (rows-sized key domain); the user-level table
+        materializes ONCE (users ≪ events) and feeds the three ntile
+        passes + joins.  Ordering (metric, user_id) is total, so
+        DuckDB's ntile window oracle matches bit-for-bit."""
+        import numpy as np
+        from ie_ray.stages import dedup
+        from ie_ray.stages.relational import (bucketed_aggregate,
+                                              global_ntile)
+        ds = _tbl(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            ts_us = t.column("ts").cast(pa.timestamp("us")) \
+                .cast(pa.int64())
+            # values sit on a 2-decimal grid: *10000 is exact (same
+            # convention + rationale as events_cumulative_value)
+            sc = np.round(np.asarray(t.column("value"),
+                                     dtype=np.float64) * 10000.0) \
+                .astype(np.int64)
+            g = pa.table({
+                "user_id": t.column("user_id"),
+                "last_us": ts_us,
+                "n": pa.array(np.ones(len(t), dtype=np.int64)),
+                "sc": pa.array(sc),
+            }).group_by("user_id").aggregate(
+                [("last_us", "max"), ("n", "sum"), ("sc", "sum")])
+            return pa.table({"user_id": g.column("user_id"),
+                             "last_us": g.column("last_us_max"),
+                             "n": g.column("n_sum"),
+                             "sc": g.column("sc_sum")})
+
+        per_user = bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            "user_id",
+            [("last_us", "max"), ("n", "sum"), ("sc", "sum")])
+
+        def shape(t: pa.Table) -> pa.Table:
+            return pa.table({"user_id": t.column("user_id"),
+                             "last_us": t.column("last_us_max"),
+                             "freq": t.column("n_sum"),
+                             "monetary_sc": t.column("sc_sum")})
+
+        # user-bounded (≪ events): materialized once to feed the three
+        # ntile passes + joins without re-running the corpus reduce
+        rfm = per_user.map_batches(shape,
+                                   batch_format="pyarrow").materialize()
+        anchor_day = None
+        for blk in rfm.map_batches(
+                lambda t: pa.table({"m": pa.array(
+                    [int(np.asarray(t.column("last_us")).max())]
+                    if len(t) else [], type=pa.int64())}),
+                batch_format="pyarrow").iter_batches(
+                    batch_format="pyarrow"):
+            for v in blk.column("m").to_pylist():
+                anchor_day = v if anchor_day is None else max(anchor_day, v)
+        anchor_day //= 86_400_000_000
+
+        def days(t: pa.Table) -> pa.Table:
+            last = np.asarray(t.column("last_us"), dtype=np.int64)
+            return pa.table({
+                "user_id": t.column("user_id"),
+                "recency_days": pa.array(
+                    anchor_day - last // 86_400_000_000,
+                    type=pa.int64()),
+                "freq": t.column("freq"),
+                "monetary_sc": t.column("monetary_sc")})
+
+        base = rfm.map_batches(days, batch_format="pyarrow").materialize()
+        parts = dedup._join_partitions()
+        out = base
+        for col, name in (("recency_days", "r_q"), ("freq", "f_q"),
+                          ("monetary_sc", "m_q")):
+            tiles = global_ntile(base, col, "user_id", k=4).map_batches(
+                lambda t, name=name: pa.table(
+                    {"uid": t.column("user_id"),
+                     name: t.column("tile")}),
+                batch_format="pyarrow")
+            out = out.join(tiles, "inner", num_partitions=parts,
+                           on=("user_id",), right_on=("uid",))
+
+        def seg(t: pa.Table) -> pa.Table:
+            r = np.asarray(t.column("r_q"), dtype=np.int64)
+            f = np.asarray(t.column("f_q"), dtype=np.int64)
+            m = np.asarray(t.column("m_q"), dtype=np.int64)
+            return pa.table({
+                "user_id": t.column("user_id"),
+                "recency_days": t.column("recency_days"),
+                "freq": t.column("freq"),
+                "monetary_sc": t.column("monetary_sc"),
+                "r_q": pa.array(r), "f_q": pa.array(f),
+                "m_q": pa.array(m),
+                "segment": pa.array(r * 100 + f * 10 + m)})
+
+        return out.map_batches(seg, batch_format="pyarrow") \
+            .sort("user_id")
+
     def word_jw_pairs(sf_dir):
         """Jaro-Winkler similarity self-join over the corpus vocabulary
         (the name/alias-matching metric next to the edit-distance
@@ -5265,6 +5368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    prefix-checked) first --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
+        "users_rfm_segments": users_rfm_segments,
         # -- round-5 session-2 additions --
         "word_edit2_pairs": word_edit2_pairs,
         "word_canonical_map": word_canonical_map,
@@ -5476,6 +5580,22 @@ def oracle_sql() -> dict[str, str]:
     from ie_ray.stages.keyphrase import rake_oracle_sql as _rake_sql
     return {
         "doc_keyphrases": _rake_sql(3),
+        "users_rfm_segments":
+            "WITH mx AS (SELECT max(ts) AS anchor FROM events), "
+            "u AS (SELECT user_id, "
+            "datediff('day', max(ts), (SELECT anchor FROM mx))::BIGINT "
+            "AS recency_days, count(*)::BIGINT AS freq, "
+            "sum(CAST(round(value * 10000) AS BIGINT))::BIGINT "
+            "AS monetary_sc FROM events GROUP BY user_id), "
+            "q AS (SELECT user_id, recency_days, freq, monetary_sc, "
+            "ntile(4) OVER (ORDER BY recency_days, user_id) AS r_q, "
+            "ntile(4) OVER (ORDER BY freq, user_id) AS f_q, "
+            "ntile(4) OVER (ORDER BY monetary_sc, user_id) AS m_q "
+            "FROM u) "
+            "SELECT user_id, recency_days, freq, monetary_sc, "
+            "r_q::BIGINT AS r_q, f_q::BIGINT AS f_q, m_q::BIGINT AS m_q, "
+            "(r_q * 100 + f_q * 10 + m_q)::BIGINT AS segment "
+            "FROM q ORDER BY user_id",
         "word_jw_pairs":
             "WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), "
             "'\\s+')) AS word FROM documents WHERE trim(text) != ''), "

@@ -166,7 +166,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_cep_pattern", "docs_quality_classifier",
                  "media_audiofp_pairs", "media_dedup_keep",
                  "word_canonical_map", "word_clustering_coeff",
-                 "doc_keyphrases", "word_jw_pairs"):
+                 "doc_keyphrases", "word_jw_pairs",
+                 "users_rfm_segments"):
         consume(name)
 
     total = round(time.time() - t0, 3)
