@@ -4980,6 +4980,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rake_keyphrases(_docs(sf_dir), top_k=3) \
             .sort(["doc_id", "rank"])
 
+    def source_kl_divergence(sf_dir):
+        """Per-source word-distribution KL divergence vs the corpus —
+        the drift/contamination monitor a 100-TB crawl pipeline runs
+        per ingest batch (a source going off-distribution shows up as
+        a KL spike).  One bucketed (source, word) exchange is the only
+        corpus-scale reduce; see stages/textstats.py::source_kl."""
+        from ie_ray.stages.textstats import source_kl
+        return source_kl(_docs(sf_dir)).sort("source")
+
     def users_rfm_segments(sf_dir):
         """RFM (recency / frequency / monetary) user segmentation —
         the classic lifecycle-marketing shape: per-user last-event
@@ -5369,6 +5378,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
         "users_rfm_segments": users_rfm_segments,
+        "source_kl_divergence": source_kl_divergence,
         # -- round-5 session-2 additions --
         "word_edit2_pairs": word_edit2_pairs,
         "word_canonical_map": word_canonical_map,
@@ -5580,6 +5590,7 @@ def oracle_sql() -> dict[str, str]:
     from ie_ray.stages.keyphrase import rake_oracle_sql as _rake_sql
     return {
         "doc_keyphrases": _rake_sql(3),
+        "source_kl_divergence": __import__("ie_ray.stages.textstats", fromlist=["SOURCE_KL_SQL"]).SOURCE_KL_SQL,
         "users_rfm_segments":
             "WITH mx AS (SELECT max(ts) AS anchor FROM events), "
             "u AS (SELECT user_id, "

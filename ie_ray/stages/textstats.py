@@ -234,3 +234,102 @@ FINGERPRINT_SQL = (
     "SELECT doc_id, CASE WHEN len(mins) = 0 THEN '' ELSE "
     "md5(array_to_string(list_sort(list_distinct(mins)), ',')) END "
     "AS fingerprint, md5(text) AS text_md5 FROM sel")
+
+
+def source_kl(docs):
+    """Per-source word-distribution drift: ``KL(P_source || P_corpus)
+    = Σ_w p_s(w)·ln(p_s(w)/p(w))`` over whitespace tokens — the
+    corpus-monitoring statistic a curation pipeline tracks to catch a
+    crawler source going off-distribution (spam bursts, template
+    floods, language drift).
+
+    Shape: block-local (source, word) counts → ONE bucketed exchange
+    on the pair key (sources × vocabulary — the only corpus-scale
+    reduce, materialized once since it feeds three consumers); word
+    totals stay a Dataset and hash-join back; source totals and the
+    grand total are driver-bounded scalars.  The per-term double
+    formula matches the DuckDB oracle operation-for-operation and the
+    per-source sum rounds to 4 dp (absorbing shuffle-order float
+    association, same convention as the logprob family).
+    """
+    import polars as pl
+    from ie_ray.stages.dedup import _join_partitions
+    from ie_ray.stages.relational import bucketed_aggregate, lowcard_combine
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = pl.from_arrow(b.select(["source", "text"]))
+        e = (df.with_columns(pl.col("text").str.split(" ").alias("w"))
+             .drop("text").explode("w").drop_nulls("w"))
+        g = e.group_by(["source", "w"]).agg(
+            pl.len().cast(pl.Int64).alias("c"))
+        out = g.rename({"w": "word"}).to_arrow()
+        return out.cast(pa.schema([
+            pa.field(f.name, pa.string() if f.type == pa.large_string()
+                     else f.type) for f in out.schema]))
+
+    sw = (bucketed_aggregate(
+        docs.map_batches(partial, batch_format="pyarrow"),
+        ["source", "word"], [("c", "sum")])
+        .map_batches(lambda t: pa.table({
+            "source": t.column("source"), "word": t.column("word"),
+            "c": t.column("c_sum").cast(pa.int64())}),
+            batch_format="pyarrow")).materialize()
+
+    cw = (bucketed_aggregate(sw.select_columns(["word", "c"]), "word",
+                             [("c", "sum")])
+          .map_batches(lambda t: pa.table({
+              "word": t.column("word"),
+              "cw": t.column("c_sum").cast(pa.int64())}),
+              batch_format="pyarrow"))
+
+    ns: dict = {}
+    n_total = 0
+    for blk in sw.iter_batches(batch_format="pyarrow"):
+        if blk.num_rows == 0 or "source" not in blk.column_names:
+            continue
+        g = blk.group_by("source").aggregate([("c", "sum")])
+        for s, c in zip(g.column("source").to_pylist(),
+                        g.column("c_sum").to_pylist()):
+            ns[s] = ns.get(s, 0) + c
+            n_total += c
+
+    joined = sw.join(cw, "inner", num_partitions=_join_partitions(),
+                     on=("word",))
+
+    def contrib(t: pa.Table) -> pa.Table:
+        import numpy as np
+        src = t.column("source").to_pylist()
+        c = np.asarray(t.column("c"), dtype=np.float64)
+        cwv = np.asarray(t.column("cw"), dtype=np.float64)
+        nsv = np.fromiter((ns[s] for s in src), dtype=np.float64,
+                          count=len(src))
+        ps = c / nsv
+        term = ps * np.log(ps / (cwv / float(n_total)))
+        out = pa.table({"source": t.column("source"),
+                        "kl": pa.array(term, type=pa.float64())})
+        return out.group_by("source").aggregate([("kl", "sum")]) \
+            .rename_columns(["source", "kl"])
+
+    def final(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        g = t.group_by("source").aggregate([("kl", "sum")])
+        return pa.table({
+            "source": g.column("source"),
+            "kl": pc.round(g.column("kl_sum"), 4,
+                           round_mode="half_towards_infinity")})
+
+    return lowcard_combine(joined, contrib, final_fn=final)
+
+
+SOURCE_KL_SQL = (
+    "WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS word "
+    "FROM documents), "
+    "sw AS (SELECT source, word, count(*)::DOUBLE AS c FROM tok "
+    "GROUP BY 1, 2), "
+    "w AS (SELECT word, count(*)::DOUBLE AS cw FROM tok GROUP BY 1), "
+    "s AS (SELECT source, count(*)::DOUBLE AS ns FROM tok GROUP BY 1), "
+    "t AS (SELECT count(*)::DOUBLE AS n FROM tok) "
+    "SELECT sw.source, round(sum((sw.c / s.ns) * "
+    "ln((sw.c / s.ns) / (w.cw / t.n))), 4) AS kl "
+    "FROM sw JOIN w USING (word) JOIN s ON s.source = sw.source "
+    "CROSS JOIN t GROUP BY sw.source ORDER BY sw.source")
