@@ -4989,6 +4989,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ie_ray.stages.textstats import source_kl
         return source_kl(_docs(sf_dir)).sort("source")
 
+    def word_lpa_communities(sf_dir):
+        """Community detection over the df>=60 co-occurrence graph:
+        5 synchronous rounds of DETERMINISTIC label propagation
+        (Raghavan et al. 2007; frequency-desc/label-asc tie-break) —
+        unlike connected components, a dense cluster outvotes a bridge
+        label, so bridge-joined clusters keep separate communities.
+        Per round: one adaptive label join + bucketed (node,label)
+        count + bucketed per-node argmax; the fixed schedule unrolls
+        into exact SQL, so an ITERATIVE graph algorithm is
+        driver-hash-checked (stages/community.py)."""
+        from ie_ray.stages.community import lpa_labels
+        from ie_ray.stages.cooccur import cooccur_edges
+        edges = cooccur_edges(_docs(sf_dir), df_min=60)
+        return lpa_labels(edges.select_columns(["w1", "w2"]),
+                          rounds=5).sort("node")
+
     def users_rfm_segments(sf_dir):
         """RFM (recency / frequency / monetary) user segmentation —
         the classic lifecycle-marketing shape: per-user last-event
@@ -5379,6 +5395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_jw_pairs": word_jw_pairs,
         "users_rfm_segments": users_rfm_segments,
         "source_kl_divergence": source_kl_divergence,
+        "word_lpa_communities": word_lpa_communities,
         # -- round-5 session-2 additions --
         "word_edit2_pairs": word_edit2_pairs,
         "word_canonical_map": word_canonical_map,
@@ -5590,6 +5607,19 @@ def oracle_sql() -> dict[str, str]:
     from ie_ray.stages.keyphrase import rake_oracle_sql as _rake_sql
     return {
         "doc_keyphrases": _rake_sql(3),
+        "word_lpa_communities": __import__(
+            "ie_ray.stages.community",
+            fromlist=["lpa_oracle_sql"]).lpa_oracle_sql(
+            "words AS (SELECT doc_id, w, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY i) AS rn FROM (SELECT doc_id, "
+            "unnest(string_split(text, ' ')) AS w, generate_subscripts("
+            "string_split(text, ' '), 1) AS i FROM documents)), "
+            "bg AS (SELECT DISTINCT a.doc_id, least(a.w, b.w) AS w1, "
+            "greatest(a.w, b.w) AS w2 FROM words a JOIN words b ON "
+            "a.doc_id = b.doc_id AND b.rn = a.rn + 1 AND a.w <> b.w "
+            "AND a.w <> '' AND b.w <> ''), "
+            "e AS (SELECT w1, w2 FROM bg GROUP BY w1, w2 "
+            "HAVING count(*) >= 60)", rounds=5),
         "source_kl_divergence": __import__("ie_ray.stages.textstats", fromlist=["SOURCE_KL_SQL"]).SOURCE_KL_SQL,
         "users_rfm_segments":
             "WITH mx AS (SELECT max(ts) AS anchor FROM events), "

@@ -167,7 +167,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "media_audiofp_pairs", "media_dedup_keep",
                  "word_canonical_map", "word_clustering_coeff",
                  "doc_keyphrases", "word_jw_pairs",
-                 "users_rfm_segments", "source_kl_divergence"):
+                 "users_rfm_segments", "source_kl_divergence",
+                 "word_lpa_communities"):
         consume(name)
 
     total = round(time.time() - t0, 3)
