@@ -5005,6 +5005,107 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lpa_labels(edges.select_columns(["w1", "w2"]),
                           rounds=5).sort("node")
 
+    def events_cube(sf_dir):
+        """OLAP CUBE over (event_type, day-of-week): count + exact
+        cents sum at ALL FOUR grouping levels in ONE pass — each block
+        emits tagged partials per level (sentinels 'ALL'/-1, the
+        events_rollup idiom extended to the full lattice), one bounded
+        lowcard combine.  DOW pinned to DuckDB dayofweek (Sunday=0)."""
+        import numpy as np
+        import pyarrow.compute as pc
+        ds = _tbl(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            dow = pc.day_of_week(t.column("ts"), count_from_zero=True,
+                                 week_start=7).cast(pa.int64())
+            cents = np.round(np.asarray(t.column("value"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            ones = pa.array(np.ones(t.num_rows, dtype=np.int64))
+            base = pa.table({"event_type": t.column("event_type"),
+                             "dow": dow, "one": ones,
+                             "cents": pa.array(cents)})
+            outs = []
+            for keys in (["event_type", "dow"], ["event_type"],
+                         ["dow"], []):
+                if keys:
+                    g = base.group_by(keys).aggregate(
+                        [("one", "sum"), ("cents", "sum")])
+                    et = g.column("event_type") if "event_type" in keys \
+                        else pa.array(["ALL"] * g.num_rows)
+                    dw = g.column("dow") if "dow" in keys \
+                        else pa.array(np.full(g.num_rows, -1),
+                                      type=pa.int64())
+                    outs.append(pa.table({
+                        "event_type": et, "dow": dw,
+                        "n": g.column("one_sum"),
+                        "cents": g.column("cents_sum")}))
+                else:
+                    outs.append(pa.table({
+                        "event_type": pa.array(["ALL"]),
+                        "dow": pa.array([-1], type=pa.int64()),
+                        "n": pa.array([t.num_rows], type=pa.int64()),
+                        "cents": pa.array([int(cents.sum())],
+                                          type=pa.int64())}))
+            return pa.concat_tables(outs)
+
+        def finish(t: pa.Table) -> pa.Table:
+            g = t.group_by(["event_type", "dow"]).aggregate(
+                [("n", "sum"), ("cents", "sum")])
+            return pa.table({
+                "event_type": g.column("event_type"),
+                "dow": g.column("dow"),
+                "n": g.column("n_sum").cast(pa.int64()),
+                "value_cents": g.column("cents_sum").cast(pa.int64())})
+
+        return lowcard_combine(ds, partial, finish)
+
+    def events_user_entropy(sf_dir):
+        """Per-user Shannon entropy of the event-type distribution —
+        the behavioral-diversity feature (bots score ~0, explorers
+        high).  Block-local (user, type) counts → one bucketed pair
+        exchange → per-user vectorized entropy in a complete-bucket
+        polars kernel; ln on doubles, 4-dp rounding (logprob-family
+        convention)."""
+        import numpy as np
+        from ie_ray.stages.relational import (bucketed_aggregate,
+                                              bucketed_map_groups)
+        ds = _tbl(sf_dir, "events", columns=["user_id", "event_type"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(["user_id", "event_type"]).aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["user_id", "event_type", "c"])
+
+        pairs = bucketed_aggregate(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["user_id", "event_type"], [("c", "sum")])
+
+        def bucket_entropy(g: pa.Table) -> pa.Table:
+            import polars as pl
+            df = pl.from_arrow(pa.table({
+                "user_id": g.column("user_id"),
+                "c": g.column("c_sum").cast(pa.int64())}))
+            out = (df.with_columns(
+                pl.col("c").sum().over("user_id").alias("n"))
+                .with_columns(
+                    (-(pl.col("c") / pl.col("n"))
+                     * (pl.col("c") / pl.col("n")).log())
+                    .alias("term"))
+                .group_by("user_id")
+                .agg(pl.col("term").sum().alias("entropy"),
+                     pl.col("n").first().cast(pl.Int64).alias("n_events"))
+            ).to_arrow()
+            return pa.table({
+                "user_id": out.column("user_id").cast(pa.int64()),
+                "entropy": pa.compute.round(
+                    out.column("entropy").cast(pa.float64()), 4,
+                    round_mode="half_towards_infinity"),
+                "n_events": out.column("n_events").cast(pa.int64())})
+
+        return bucketed_map_groups(pairs, "user_id", bucket_entropy) \
+            .sort("user_id")
+
     def users_rfm_segments(sf_dir):
         """RFM (recency / frequency / monetary) user segmentation —
         the classic lifecycle-marketing shape: per-user last-event
@@ -5396,6 +5497,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_rfm_segments": users_rfm_segments,
         "source_kl_divergence": source_kl_divergence,
         "word_lpa_communities": word_lpa_communities,
+        "events_cube": events_cube,
+        "events_user_entropy": events_user_entropy,
         # -- round-5 session-2 additions --
         "word_edit2_pairs": word_edit2_pairs,
         "word_canonical_map": word_canonical_map,
@@ -5607,6 +5710,22 @@ def oracle_sql() -> dict[str, str]:
     from ie_ray.stages.keyphrase import rake_oracle_sql as _rake_sql
     return {
         "doc_keyphrases": _rake_sql(3),
+        "events_cube":
+            "SELECT coalesce(event_type, 'ALL') AS event_type, "
+            "coalesce(dayofweek(ts), -1)::BIGINT AS dow, "
+            "count(*)::BIGINT AS n, "
+            "sum(CAST(round(value * 100) AS BIGINT))::BIGINT "
+            "AS value_cents "
+            "FROM events GROUP BY CUBE (event_type, dayofweek(ts))",
+        "events_user_entropy":
+            "WITH p AS (SELECT user_id, event_type, count(*)::DOUBLE "
+            "AS c FROM events GROUP BY 1, 2), "
+            "u AS (SELECT user_id, sum(c) AS n FROM p GROUP BY 1) "
+            "SELECT p.user_id, "
+            "round(sum(-(p.c / u.n) * ln(p.c / u.n)), 4) AS entropy, "
+            "sum(p.c)::BIGINT AS n_events "
+            "FROM p JOIN u ON u.user_id = p.user_id "
+            "GROUP BY p.user_id ORDER BY p.user_id",
         "word_lpa_communities": __import__(
             "ie_ray.stages.community",
             fromlist=["lpa_oracle_sql"]).lpa_oracle_sql(

@@ -168,7 +168,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "word_canonical_map", "word_clustering_coeff",
                  "doc_keyphrases", "word_jw_pairs",
                  "users_rfm_segments", "source_kl_divergence",
-                 "word_lpa_communities"):
+                 "word_lpa_communities", "events_cube",
+                 "events_user_entropy"):
         consume(name)
 
     total = round(time.time() - t0, 3)
