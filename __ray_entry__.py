@@ -5106,6 +5106,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return bucketed_map_groups(pairs, "user_id", bucket_entropy) \
             .sort("user_id")
 
+    def events_user_ewma(sf_dir):
+        """Recency-weighted per-user value: normalized exponential
+        moving average with decay 0.9 over each user's (ts, event_id)
+        ordered stream — the classic online feature next to RFM.
+        One bucketed exchange on user_id; inside a complete bucket the
+        weights, products and sums are one vectorized polars pass over
+        the (user, ts, id)-sorted frame; pow/sum on doubles with 4-dp
+        rounding (logprob-family convention)."""
+        from ie_ray.stages.relational import bucketed_map_groups
+        ds = _tbl(sf_dir, "events",
+                  columns=["user_id", "ts", "event_id", "value"])
+
+        def kernel(g: pa.Table) -> pa.Table:
+            import polars as pl
+            df = pl.from_arrow(pa.table({
+                "user_id": g.column("user_id"),
+                "ts": g.column("ts").cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "event_id": g.column("event_id"),
+                "value": g.column("value")}))
+            out = (df.sort(["user_id", "ts", "event_id"])
+                   .with_columns(
+                       pl.col("value").cum_count().over("user_id")
+                       .cast(pl.Int64).alias("rn"),
+                       pl.col("value").count().over("user_id")
+                       .cast(pl.Int64).alias("n"))
+                   .with_columns(
+                       ((pl.col("n") - pl.col("rn")).cast(pl.Float64)
+                        .map_batches(lambda s: 0.9 ** s)).alias("w"))
+                   .group_by("user_id")
+                   .agg((pl.col("w") * pl.col("value")).sum()
+                        .alias("num"),
+                        pl.col("w").sum().alias("den"))).to_arrow()
+            import pyarrow.compute as pc
+            return pa.table({
+                "user_id": out.column("user_id").cast(pa.int64()),
+                "ewma": pc.round(pc.divide(
+                    out.column("num").cast(pa.float64()),
+                    out.column("den").cast(pa.float64())), 4,
+                    round_mode="half_towards_infinity")})
+
+        return bucketed_map_groups(ds, "user_id", kernel).sort("user_id")
+
     def users_rfm_segments(sf_dir):
         """RFM (recency / frequency / monetary) user segmentation —
         the classic lifecycle-marketing shape: per-user last-event
@@ -5499,6 +5542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_lpa_communities": word_lpa_communities,
         "events_cube": events_cube,
         "events_user_entropy": events_user_entropy,
+        "events_user_ewma": events_user_ewma,
         # -- round-5 session-2 additions --
         "word_edit2_pairs": word_edit2_pairs,
         "word_canonical_map": word_canonical_map,
@@ -5710,6 +5754,13 @@ def oracle_sql() -> dict[str, str]:
     from ie_ray.stages.keyphrase import rake_oracle_sql as _rake_sql
     return {
         "doc_keyphrases": _rake_sql(3),
+        "events_user_ewma":
+            "WITH o AS (SELECT user_id, value, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS rn, "
+            "count(*) OVER (PARTITION BY user_id) AS n FROM events) "
+            "SELECT user_id, round(sum(pow(0.9, n - rn) * value) / "
+            "sum(pow(0.9, n - rn)), 4) AS ewma "
+            "FROM o GROUP BY user_id ORDER BY user_id",
         "events_cube":
             "SELECT coalesce(event_type, 'ALL') AS event_type, "
             "coalesce(dayofweek(ts), -1)::BIGINT AS dow, "

@@ -169,7 +169,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "doc_keyphrases", "word_jw_pairs",
                  "users_rfm_segments", "source_kl_divergence",
                  "word_lpa_communities", "events_cube",
-                 "events_user_entropy"):
+                 "events_user_entropy", "events_user_ewma"):
         consume(name)
 
     total = round(time.time() - t0, 3)
