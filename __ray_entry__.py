@@ -1092,6 +1092,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                   columns=["user_id", "event_id", "value"])
         return top_k_per_group(ev, key="user_id", value="value", k=3)
 
+    def events_ohlc_hourly(sf_dir):
+        """Per-hour OHLC candlestick bars over the event stream —
+        ordered first/last aggregates (kdb+ xbar idiom) made mergeable
+        by carrying the (ts, event_id) arg-key in each partial; see
+        ie_ray/stages/temporal.py::ohlc_bars for the tree-combine
+        shape.  Values ride as exact int64 cents."""
+        from ie_ray.stages.temporal import ohlc_bars
+
+        ev = _tbl(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+        def h_to_us(t: pa.Table) -> pa.Table:
+            return t.set_column(0, "h_us", t.column("h").cast(pa.int64()))
+
+        return ohlc_bars(ev).map_batches(h_to_us, batch_format="pyarrow")
+
     def decontaminate_docs(sf_dir):
         """Training-data decontamination: train docs (source != src0)
         sharing any 8-gram with the src0 eval split."""
@@ -5533,8 +5548,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # oracle-less entries (sketches, kg_* / CCG family, iterative algos —
     # each gated by named pytest suites in its docstring) come last.
     return {
-        # -- round-5 session-3 additions (oracle-backed, never
+        # -- round-5 session-4 additions (oracle-backed, never
         #    prefix-checked) first --
+        "events_ohlc_hourly": events_ohlc_hourly,
+        # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
         "users_rfm_segments": users_rfm_segments,
@@ -6180,6 +6197,18 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id "
             "ORDER BY value DESC, event_id ASC) AS rn FROM events) "
             "SELECT user_id, event_id, value, rn FROM ranked WHERE rn <= 3",
+        "events_ohlc_hourly":
+            "WITH c AS (SELECT epoch_us(date_trunc('hour', ts)) AS h_us, "
+            "ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents "
+            "FROM events), w AS (SELECT h_us, cents, "
+            "row_number() OVER (PARTITION BY h_us "
+            "ORDER BY ts, event_id) AS ra, "
+            "row_number() OVER (PARTITION BY h_us "
+            "ORDER BY ts DESC, event_id DESC) AS rd FROM c) "
+            "SELECT h_us, max(CASE WHEN ra = 1 THEN cents END) AS open_c, "
+            "max(cents) AS high_c, min(cents) AS low_c, "
+            "max(CASE WHEN rd = 1 THEN cents END) AS close_c, "
+            "count(*)::BIGINT AS n FROM w GROUP BY h_us",
         "decontaminate_docs": decontam_sql(),
         "events_props_stats":
             "SELECT event_type, count(*)::BIGINT AS n, "

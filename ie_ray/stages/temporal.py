@@ -212,3 +212,79 @@ def top_k_per_group(ds, key: str, value: str, k: int = 3,
     return bucketed_map_groups(
         ds.map_batches(partial, batch_format="pyarrow"), key,
         bucket_final)
+
+
+def ohlc_bars(ds, period_us: int = 3_600_000_000, ts_col: str = "ts",
+              value_col: str = "value", id_col: str = "event_id"):
+    """Per-period OHLC (open/high/low/close) bars over an event stream —
+    the classic candlestick aggregate (kdb+ ``xbar``, Flink windowed
+    first/last).  open = value at the (ts, id)-least event of the
+    period, close = at the (ts, id)-greatest, high/low = max/min; values
+    ride as exact int64 cents (the 2-decimal-grid convention, see
+    ``_rev_scaled``), so every reduce is integer-exact and associative.
+
+    Scale shape: ordered first/last are NOT Ray/Arrow builtin aggregates
+    but they ARE mergeable once each partial carries its arg-key —
+    each block reduces to ≤|periods| rows of
+    (period, open-key, open, close-key, close, high, low, n), partials
+    tree-combine by re-applying the same lexicographic-min/max rule
+    (``relational.lowcard_combine`` with ``combine_fn``), so no task
+    ever holds more than ~fanin × |periods| rows and the raw stream is
+    never shuffled.  The period domain is bounded (hours of a crawl
+    window ≲ 10^5), which is what makes the lowcard path legal.
+
+    Returns Dataset (h timestamp[us], open_c, high_c, low_c, close_c,
+    n) — one row per non-empty period.
+    """
+    import polars as pl
+
+    from ie_ray.stages.relational import lowcard_combine
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = _ts_us(t.column(ts_col)).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(pc.multiply(
+            t.column(value_col).cast(pa.float64()), 100.0)), pa.int64())
+        df = pl.from_arrow(pa.table({
+            "h": pa.array(ts - ts % period_us, type=pa.int64()),
+            "k_ts": pa.array(ts, type=pa.int64()),
+            "k_id": t.column(id_col).cast(pa.int64()),
+            "c": cents}))
+        return (df.sort(["h", "k_ts", "k_id"])
+                .group_by("h")
+                .agg(pl.col("k_ts").first().alias("ots"),
+                     pl.col("k_id").first().alias("oid"),
+                     pl.col("c").first().alias("open_c"),
+                     pl.col("k_ts").last().alias("cts"),
+                     pl.col("k_id").last().alias("cid"),
+                     pl.col("c").last().alias("close_c"),
+                     pl.col("c").max().alias("high_c"),
+                     pl.col("c").min().alias("low_c"),
+                     pl.len().cast(pl.Int64).alias("n"))).to_arrow()
+
+    def combine(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        ckey = [pl.col("cts"), pl.col("cid")]
+        return (df.sort(["h", "ots", "oid"])
+                .group_by("h")
+                .agg(pl.col("ots").first(), pl.col("oid").first(),
+                     pl.col("open_c").first(),
+                     pl.col("cts").sort_by(ckey).last(),
+                     pl.col("cid").sort_by(ckey).last(),
+                     pl.col("close_c").sort_by(ckey).last(),
+                     pl.col("high_c").max(), pl.col("low_c").min(),
+                     pl.col("n").sum())).to_arrow()
+
+    def final(t: pa.Table) -> pa.Table:
+        out = combine(t)
+        return pa.table({
+            "h": out.column("h").cast(pa.timestamp("us")),
+            "open_c": out.column("open_c").cast(pa.int64()),
+            "high_c": out.column("high_c").cast(pa.int64()),
+            "low_c": out.column("low_c").cast(pa.int64()),
+            "close_c": out.column("close_c").cast(pa.int64()),
+            "n": out.column("n").cast(pa.int64())})
+
+    return lowcard_combine(ds.select_columns(
+        [ts_col, value_col, id_col]), partial, final_fn=final,
+        combine_fn=combine)

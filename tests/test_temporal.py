@@ -144,3 +144,40 @@ def test_decontaminate_planted(ray_session):
     out = {r["doc_id"]: r["n_overlap"]
            for r in decontaminate(_ds(train), _ds(eval_t)).take_all()}
     assert out == {2: 1, 3: 1}
+
+
+def test_ohlc_bars_planted(ray_session):
+    """Open/close must come from (ts, id)-ordered endpoints, not
+    arbitrary block order — feed the rows REVERSED across many tiny
+    blocks so a naive first/last would pick the wrong endpoint."""
+    import ray.data
+
+    from ie_ray.stages.temporal import ohlc_bars
+
+    hour = 3_600_000_000
+    # hour 0: events at t=5,10,20 with values 3.00, 9.50, 1.25
+    # hour 1: single event value 7.00
+    # tie case, hour 2: two events at the same ts, ids 40 < 41 —
+    # open must take id 40, close id 41.
+    rows = [
+        (1, 5, 3.00), (2, 10, 9.50), (3, 20, 1.25),
+        (9, hour + 1, 7.00),
+        (41, 2 * hour + 7, 2.00), (40, 2 * hour + 7, 5.00),
+    ]
+    rows = rows[::-1]  # adversarial arrival order
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows], type=pa.int64()),
+        "value": pa.array([r[2] for r in rows], type=pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(6)  # ~1 row per block
+    out = {r["h"]: r for r in ohlc_bars(ds).take_all()}
+    assert len(out) == 3
+    h0 = out[min(out)]
+    assert h0["open_c"] == 300 and h0["close_c"] == 125
+    assert h0["high_c"] == 950 and h0["low_c"] == 125 and h0["n"] == 3
+    hs = sorted(out)
+    h1, h2 = out[hs[1]], out[hs[2]]
+    assert (h1["open_c"], h1["close_c"], h1["n"]) == (700, 700, 1)
+    assert h2["open_c"] == 500 and h2["close_c"] == 200  # tie by id
+    assert h2["high_c"] == 500 and h2["low_c"] == 200 and h2["n"] == 2
