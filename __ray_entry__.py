@@ -5164,6 +5164,232 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bucketed_map_groups(ds, "user_id", kernel).sort("user_id")
 
+    def events_user_streaks(sf_dir):
+        """Per-user daily-activity streaks — the gaps-and-islands
+        operator: distinct active calendar days collapse into maximal
+        runs of consecutive days (longest streak, streak count); see
+        ie_ray/stages/temporal.py::islands_per_key for the one-pass
+        bucketed kernel."""
+        import pyarrow.compute as pc
+        from ie_ray.stages.temporal import islands_per_key
+
+        ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+
+        def to_day(t: pa.Table) -> pa.Table:
+            day = pc.divide(
+                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                86_400_000_000)
+            return pa.table({
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "day": day})
+
+        out = islands_per_key(
+            ds.map_batches(to_day, batch_format="pyarrow"),
+            "user_id", "day")
+        return out.map_batches(
+            lambda t: t.rename_columns(
+                ["user_id", "n_active_days", "n_streaks", "max_streak"]),
+            batch_format="pyarrow")
+
+    def events_user_type_runs(sf_dir):
+        """Run-length interval build (SCD-type-2 collapse): per user,
+        consecutive events of the same type merge into one validity
+        interval — ie_ray/stages/temporal.py::run_length_intervals."""
+        from ie_ray.stages.temporal import run_length_intervals
+
+        ds = _tbl(sf_dir, "events",
+                  columns=["user_id", "ts", "event_id", "event_type"])
+        return run_length_intervals(ds, "user_id", "ts", "event_id",
+                                    "event_type")
+
+    def events_value_mad(sf_dir):
+        """EXACT distributed median + MAD per event_type via the
+        bounded cent-grid histogram: values sit on a 2-decimal grid
+        (≤ ~50k distinct cents × 5 types), so each block reduces to
+        (type, cents, n) counts and one lowcard tree-combine carries
+        the whole distribution — both quantile passes (median, then
+        median of |v − med|) read the same histogram in the final
+        task; raw rows never shuffle.  Interpolation matches DuckDB's
+        continuous quantile on doubles (h = (n−1)/2)."""
+        import numpy as np
+
+        ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            cents = np.round(np.asarray(t.column("value"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            g = pa.table({
+                "event_type": t.column("event_type"),
+                "cents": pa.array(cents),
+                "n": pa.array(np.ones(len(cents), dtype=np.int64))}) \
+                .group_by(["event_type", "cents"]).aggregate(
+                [("n", "sum")])
+            return g.rename_columns(["event_type", "cents", "n"])
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by(["event_type", "cents"]).aggregate(
+                [("n", "sum")]).rename_columns(
+                ["event_type", "cents", "n"])
+
+        def hist_median(vals: "np.ndarray", cnt: "np.ndarray") -> float:
+            # vals ascending; continuous interpolation at h=(n-1)/2
+            n = int(cnt.sum())
+            h = (n - 1) / 2.0
+            cum = np.cumsum(cnt)
+            vlo = float(vals[np.searchsorted(cum, int(np.floor(h)),
+                                             side="right")])
+            vhi = float(vals[np.searchsorted(cum, int(np.ceil(h)),
+                                             side="right")])
+            return vlo + (h - np.floor(h)) * (vhi - vlo)
+
+        def final(t: pa.Table) -> pa.Table:
+            t = combine(t)
+            et = np.asarray(t.column("event_type").to_pylist(),
+                            dtype=object)
+            cents = np.asarray(t.column("cents"), dtype=np.int64)
+            n = np.asarray(t.column("n"), dtype=np.int64)
+            rows = []
+            for ty in sorted(set(et.tolist())):   # ≤ |types| iterations
+                m = et == ty
+                v, c = cents[m], n[m]
+                o = np.argsort(v)
+                v, c = v[o], c[o]
+                med = hist_median(v, c)
+                d = np.abs(v - med)
+                du, inv = np.unique(d, return_inverse=True)
+                dc = np.bincount(inv, weights=c).astype(np.int64)
+                mad = hist_median(du, dc)
+                rows.append((ty, med / 100.0, mad / 100.0, int(c.sum())))
+            return pa.table({
+                "event_type": pa.array([r[0] for r in rows]),
+                "med": pa.array([round(r[1], 4) for r in rows],
+                                type=pa.float64()),
+                "mad": pa.array([round(r[2], 4) for r in rows],
+                                type=pa.float64()),
+                "n": pa.array([r[3] for r in rows], type=pa.int64())})
+
+        return lowcard_combine(ds, partial, final_fn=final,
+                               combine_fn=combine)
+
+    def events_benford(sf_dir):
+        """Benford leading-digit profile of the value column (fraud /
+        data-quality screen): distribution of the first significant
+        digit of the exact cent amount vs Benford's law expectation.
+        Fraction reported in exact integer basis points (n·10⁴ ÷
+        total, integer division on both engines — no float-rounding
+        hazard).  Digit extraction is a ≤19-step vectorized divide
+        loop, not log10 (whose float error misclassifies exact powers
+        of ten)."""
+        import numpy as np
+
+        ds = _tbl(sf_dir, "events", columns=["value"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            cents = np.round(np.asarray(t.column("value"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            d = cents[cents >= 1]
+            while (d >= 10).any():
+                m = d >= 10
+                d[m] //= 10
+            cnt = np.bincount(d, minlength=10)[1:10]
+            return pa.table({
+                "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64))})
+
+        def final(t: pa.Table) -> pa.Table:
+            g = t.group_by("digit").aggregate([("n", "sum")]) \
+                .rename_columns(["digit", "n"])
+            dig = np.asarray(g.column("digit"), dtype=np.int64)
+            n = np.asarray(g.column("n"), dtype=np.int64)
+            tot = int(n.sum())
+            keep = n > 0
+            return pa.table({
+                "digit": pa.array(dig[keep]),
+                "n": pa.array(n[keep]),
+                "frac_bp": pa.array((n[keep] * 10_000) // tot),
+                "benford_bp": pa.array(np.round(np.log10(
+                    1.0 + 1.0 / dig[keep].astype(np.float64))
+                    * 10_000).astype(np.int64))})
+
+        return lowcard_combine(ds, partial, final)
+
+    def events_seasonal_residuals(sf_dir):
+        """Seasonal-baseline anomaly detection: the (day-of-week,
+        hour) mean is the seasonal profile (168 bounded cells, lowcard
+        pass), then every event's residual vs its cell baseline ranks
+        a global exact top-20 by |residual| (per-block partial top-20
+        → one final reduce).  The residual is carried as the EXACT
+        integer numerator ``cents·n_cell − sum_cell`` with its
+        denominator, so output hashes are float-free; only the
+        ranking key divides — identically on both engines, so order
+        parity is bit-exact."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ds = _tbl(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+        def dow_hr_cents(t: pa.Table):
+            dow = np.asarray(pc.day_of_week(
+                t.column("ts"), count_from_zero=True,
+                week_start=7).cast(pa.int64()))
+            hr = np.asarray(pc.hour(t.column("ts")).cast(pa.int64()))
+            cents = np.round(np.asarray(t.column("value"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            return dow, hr, cents
+
+        def cell_partial(t: pa.Table) -> pa.Table:
+            dow, hr, cents = dow_hr_cents(t)
+            g = pa.table({
+                "dow": pa.array(dow), "hr": pa.array(hr),
+                "s": pa.array(cents),
+                "n": pa.array(np.ones(len(cents), dtype=np.int64))}) \
+                .group_by(["dow", "hr"]).aggregate(
+                [("s", "sum"), ("n", "sum")])
+            return g.rename_columns(["dow", "hr", "s", "n"])
+
+        def cell_final(t: pa.Table) -> pa.Table:
+            return t.group_by(["dow", "hr"]).aggregate(
+                [("s", "sum"), ("n", "sum")]).rename_columns(
+                ["dow", "hr", "s", "n"])
+
+        # bounded pull: ≤ 7×24 = 168 baseline rows
+        base = lowcard_combine(ds, cell_partial, cell_final).take_all()
+        s_arr = np.zeros((7, 24), dtype=np.int64)
+        n_arr = np.ones((7, 24), dtype=np.int64)
+        for r in base:
+            s_arr[r["dow"], r["hr"]] = r["s"]
+            n_arr[r["dow"], r["hr"]] = r["n"]
+
+        def top20(t: pa.Table) -> pa.Table:
+            dow, hr, cents = dow_hr_cents(t)
+            ids = np.asarray(t.column("event_id"), dtype=np.int64)
+            cn = n_arr[dow, hr]
+            num = cents * cn - s_arr[dow, hr]
+            key = np.abs(num.astype(np.float64) / cn)
+            o = np.lexsort((ids, -key))[:20]
+            return pa.table({
+                "event_id": pa.array(ids[o]),
+                "dow": pa.array(dow[o]), "hr": pa.array(hr[o]),
+                "cents": pa.array(cents[o]),
+                "resid_num": pa.array(num[o]),
+                "cell_n": pa.array(cn[o])})
+
+        def refine(t: pa.Table) -> pa.Table:
+            key = np.abs(np.asarray(t.column("resid_num"))
+                         .astype(np.float64)
+                         / np.asarray(t.column("cell_n")))
+            o = np.lexsort((np.asarray(t.column("event_id")),
+                            -key))[:20]
+            return t.take(pa.array(o))
+
+        return (ds.map_batches(top20, batch_format="pyarrow")
+                .repartition(1)
+                .map_batches(refine, batch_format="pyarrow",
+                             batch_size=None))
+
     def users_rfm_segments(sf_dir):
         """RFM (recency / frequency / monetary) user segmentation —
         the classic lifecycle-marketing shape: per-user last-event
@@ -5551,6 +5777,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- round-5 session-4 additions (oracle-backed, never
         #    prefix-checked) first --
         "events_ohlc_hourly": events_ohlc_hourly,
+        "events_user_streaks": events_user_streaks,
+        "events_user_type_runs": events_user_type_runs,
+        "events_value_mad": events_value_mad,
+        "events_benford": events_benford,
+        "events_seasonal_residuals": events_seasonal_residuals,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -6197,6 +6428,55 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id "
             "ORDER BY value DESC, event_id ASC) AS rn FROM events) "
             "SELECT user_id, event_id, value, rn FROM ranked WHERE rn <= 3",
+        "events_user_streaks":
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events), "
+            "r AS (SELECT user_id, day, day - row_number() OVER "
+            "(PARTITION BY user_id ORDER BY day) AS isl FROM d), "
+            "i AS (SELECT user_id, count(*)::BIGINT AS run FROM r "
+            "GROUP BY user_id, isl) "
+            "SELECT user_id, sum(run)::BIGINT AS n_active_days, "
+            "count(*)::BIGINT AS n_streaks, max(run)::BIGINT AS "
+            "max_streak FROM i GROUP BY user_id",
+        "events_user_type_runs":
+            "WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS "
+            "ts_us, event_type FROM events), "
+            "b AS (SELECT *, CASE WHEN lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts_us, event_id) "
+            "IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS brk "
+            "FROM o), "
+            "g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id "
+            "ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS "
+            "grp FROM b) "
+            "SELECT user_id, min(event_type) AS state, "
+            "count(*)::BIGINT AS n_events, min(ts_us) AS start_us, "
+            "max(ts_us) AS end_us FROM g GROUP BY user_id, grp",
+        "events_value_mad":
+            "SELECT event_type, round(median(value), 4) AS med, "
+            "round(mad(value), 4) AS mad, count(*)::BIGINT AS n "
+            "FROM events GROUP BY event_type",
+        "events_benford":
+            "WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS "
+            "cents FROM events WHERE round(value * 100) >= 1), "
+            "d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) "
+            "AS BIGINT) AS digit FROM c), "
+            "g AS (SELECT digit, count(*)::BIGINT AS n FROM d "
+            "GROUP BY digit) "
+            "SELECT digit, n, CAST((n * 10000) // "
+            "(SELECT sum(n) FROM g) AS BIGINT) "
+            "AS frac_bp, CAST(round(log10(1 + 1.0 / digit) * 10000) "
+            "AS BIGINT) AS benford_bp FROM g",
+        "events_seasonal_residuals":
+            "WITH e AS (SELECT event_id, dayofweek(ts)::BIGINT AS dow, "
+            "hour(ts)::BIGINT AS hr, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "b AS (SELECT dow, hr, sum(cents)::BIGINT AS s, "
+            "count(*)::BIGINT AS n FROM e GROUP BY dow, hr) "
+            "SELECT e.event_id, e.dow, e.hr, e.cents, "
+            "(e.cents * b.n - b.s)::BIGINT AS resid_num, "
+            "b.n AS cell_n FROM e JOIN b USING (dow, hr) "
+            "ORDER BY abs((e.cents * b.n - b.s)::DOUBLE / b.n) DESC, "
+            "e.event_id LIMIT 20",
         "events_ohlc_hourly":
             "WITH c AS (SELECT epoch_us(date_trunc('hour', ts)) AS h_us, "
             "ts, event_id, CAST(round(value * 100) AS BIGINT) AS cents "

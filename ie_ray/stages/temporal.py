@@ -288,3 +288,100 @@ def ohlc_bars(ds, period_us: int = 3_600_000_000, ts_col: str = "ts",
     return lowcard_combine(ds.select_columns(
         [ts_col, value_col, id_col]), partial, final_fn=final,
         combine_fn=combine)
+
+
+def islands_per_key(ds, key: str, seq_col: str):
+    """Gaps-and-islands per key: collapse each key's set of integer
+    sequence points (days, slots, versions) into maximal runs of
+    consecutive integers and reduce them to per-key streak stats —
+    the classic activity-streak / retention-run shape (SQL: ``seq -
+    row_number() OVER (PARTITION BY key ORDER BY seq)`` island id).
+
+    Scale shape: one bucketed exchange on ``key`` (complete-key
+    buckets via hash partition); inside a bucket the whole
+    dedupe→sort→diff→segment pipeline is a single vectorized polars
+    pass over every key at once — no per-key Python slicing.  Output
+    is one row per key, so downstream never sees the raw stream.
+
+    Returns Dataset (key, n_seq, n_islands, max_island_len) where
+    n_seq counts DISTINCT sequence points (duplicates collapse).
+    """
+    import polars as pl
+
+    from ie_ray.stages.relational import bucketed_map_groups
+
+    def kernel(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(pa.table({
+            "k": g.column(key).cast(pa.int64()),
+            "s": g.column(seq_col).cast(pa.int64())}))
+        out = (df.unique(["k", "s"])
+               .sort(["k", "s"])
+               .with_columns((pl.col("s")
+                              - pl.col("s").cum_count().over("k")
+                              .cast(pl.Int64)).alias("isl"))
+               .group_by(["k", "isl"])
+               .agg(pl.len().cast(pl.Int64).alias("run"))
+               .group_by("k")
+               .agg(pl.col("run").sum().alias("n_seq"),
+                    pl.len().cast(pl.Int64).alias("n_islands"),
+                    pl.col("run").max().alias("max_island_len")))
+        t = out.to_arrow()
+        return pa.table({
+            key: t.column("k"),
+            "n_seq": t.column("n_seq").cast(pa.int64()),
+            "n_islands": t.column("n_islands").cast(pa.int64()),
+            "max_island_len":
+                t.column("max_island_len").cast(pa.int64())})
+
+    return bucketed_map_groups(ds.select_columns([key, seq_col]),
+                               key, kernel)
+
+
+def run_length_intervals(ds, key: str, ts_col: str, id_col: str,
+                         state_col: str):
+    """Run-length interval build (the SCD-type-2 / CDC collapse): per
+    key, order the stream by (ts, id) and merge consecutive rows with
+    the SAME state value into one validity interval — the standard
+    warehouse move from an event log to a slowly-changing-dimension
+    history (``LAG(state)`` break flag → running sum → group).
+
+    Same partitioning contract as ``islands_per_key``: one bucketed
+    exchange on ``key``, then a single vectorized polars
+    sort→shift→cum_sum→group pass per complete bucket.
+
+    Returns Dataset (key, state, n_events, start_us, end_us) — one
+    row per maximal run, timestamps as int64 epoch-microseconds.
+    """
+    import polars as pl
+
+    from ie_ray.stages.relational import bucketed_map_groups
+
+    def kernel(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(pa.table({
+            "k": g.column(key).cast(pa.int64()),
+            "ts": _ts_us(g.column(ts_col)),
+            "id": g.column(id_col).cast(pa.int64()),
+            "st": g.column(state_col)}))
+        out = (df.sort(["k", "ts", "id"])
+               .with_columns(
+                   (pl.col("st") != pl.col("st").shift(1))
+                   .fill_null(True).over("k").alias("brk"))
+               .with_columns(pl.col("brk").cast(pl.Int64).cum_sum()
+                             .over("k").alias("grp"))
+               .group_by(["k", "grp"])
+               .agg(pl.col("st").first().alias("state"),
+                    pl.len().cast(pl.Int64).alias("n_events"),
+                    pl.col("ts").min().alias("start_us"),
+                    pl.col("ts").max().alias("end_us"))
+               .drop("grp"))
+        t = out.to_arrow()
+        return pa.table({
+            key: t.column("k"),
+            "state": t.column("state"),
+            "n_events": t.column("n_events").cast(pa.int64()),
+            "start_us": t.column("start_us").cast(pa.int64()),
+            "end_us": t.column("end_us").cast(pa.int64())})
+
+    return bucketed_map_groups(
+        ds.select_columns([key, ts_col, id_col, state_col]), key,
+        kernel)

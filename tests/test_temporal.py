@@ -181,3 +181,49 @@ def test_ohlc_bars_planted(ray_session):
     assert (h1["open_c"], h1["close_c"], h1["n"]) == (700, 700, 1)
     assert h2["open_c"] == 500 and h2["close_c"] == 200  # tie by id
     assert h2["high_c"] == 500 and h2["low_c"] == 200 and h2["n"] == 2
+
+
+def test_islands_per_key_planted(ray_session):
+    """Duplicates collapse, gaps split runs, single-day users count."""
+    import ray.data
+
+    from ie_ray.stages.temporal import islands_per_key
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 1, 2, 2, 2], type=pa.int64()),
+        # user 1: days 3,4,4,7,8 -> runs [3-4], [7-8]; user 2: 5,5,5
+        "day": pa.array([3, 4, 4, 7, 8, 5, 5, 5], type=pa.int64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    out = {r["user_id"]: r for r in
+           islands_per_key(ds, "user_id", "day").take_all()}
+    assert out[1]["n_seq"] == 4 and out[1]["n_islands"] == 2
+    assert out[1]["max_island_len"] == 2
+    assert out[2] == {"user_id": 2, "n_seq": 1, "n_islands": 1,
+                      "max_island_len": 1}
+
+
+def test_run_length_intervals_planted(ray_session):
+    """Consecutive same-state rows merge; a revisit after a different
+    state opens a NEW interval (SCD2, not a distinct-collapse)."""
+    import ray.data
+
+    from ie_ray.stages.temporal import run_length_intervals
+
+    t = pa.table({
+        "user_id": pa.array([1] * 5 + [2], type=pa.int64()),
+        "ts": pa.array([10, 20, 30, 40, 50, 5], type=pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], type=pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "a", "a", "c"]),
+    })
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = run_length_intervals(ds, "user_id", "ts", "event_id",
+                               "event_type").take_all()
+    u1 = sorted([r for r in out if r["user_id"] == 1],
+                key=lambda r: r["start_us"])
+    assert [(r["state"], r["n_events"], r["start_us"], r["end_us"])
+            for r in u1] == [("a", 2, 10, 20), ("b", 1, 30, 30),
+                             ("a", 2, 40, 50)]
+    u2 = [r for r in out if r["user_id"] == 2]
+    assert u2 == [{"user_id": 2, "state": "c", "n_events": 1,
+                   "start_us": 5, "end_us": 5}]
