@@ -5390,6 +5390,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .map_batches(refine, batch_format="pyarrow",
                              batch_size=None))
 
+    def lineitem_semi_urgent(sf_dir):
+        """Runtime-filter semi-join (the MPP Bloom pushdown): lineitems
+        of URGENT-priority orders via a broadcast Bloom prefilter +
+        exact verify — ie_ray/stages/bloom.py.  The bitmap is built
+        distributed (tree-OR), broadcast once, and drops non-matching
+        probe rows before any exchange; the exact key verify kills the
+        ≤FPR false-positive tail, so the composition is exact."""
+        import pyarrow.compute as pc
+        from ie_ray.stages.bloom import bloom_semi_join
+
+        li = _tbl(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_linenumber"])
+
+        def urgent_keys(t: pa.Table) -> pa.Table:
+            m = pc.equal(t.column("o_orderpriority"), "1-URGENT")
+            return pa.table({
+                "l_orderkey": t.filter(m).column("o_orderkey")
+                .cast(pa.int64())})
+
+        urgent = _tbl(sf_dir, "orders",
+                      columns=["o_orderkey", "o_orderpriority"]) \
+            .map_batches(urgent_keys, batch_format="pyarrow")
+        return bloom_semi_join(li, urgent, "l_orderkey")
+
     def users_rfm_segments(sf_dir):
         """RFM (recency / frequency / monetary) user segmentation —
         the classic lifecycle-marketing shape: per-user last-event
@@ -5782,6 +5806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_mad": events_value_mad,
         "events_benford": events_benford,
         "events_seasonal_residuals": events_seasonal_residuals,
+        "lineitem_semi_urgent": lineitem_semi_urgent,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -6428,6 +6453,10 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id "
             "ORDER BY value DESC, event_id ASC) AS rn FROM events) "
             "SELECT user_id, event_id, value, rn FROM ranked WHERE rn <= 3",
+        "lineitem_semi_urgent":
+            "SELECT l_orderkey, l_linenumber FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')",
         "events_user_streaks":
             "WITH d AS (SELECT DISTINCT user_id, "
             "epoch_us(ts) // 86400000000 AS day FROM events), "

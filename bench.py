@@ -169,7 +169,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "doc_keyphrases", "word_jw_pairs",
                  "users_rfm_segments", "source_kl_divergence",
                  "word_lpa_communities", "events_cube",
-                 "events_user_entropy", "events_user_ewma"):
+                 "events_user_entropy", "events_user_ewma",
+                 # round-5 session-4 additions
+                 "events_ohlc_hourly", "events_user_streaks",
+                 "events_user_type_runs", "events_value_mad",
+                 "events_benford", "events_seasonal_residuals",
+                 "lineitem_semi_urgent"):
         consume(name)
 
     total = round(time.time() - t0, 3)

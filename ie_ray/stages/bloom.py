@@ -1,94 +1,175 @@
-"""Bloom-prefiltered membership: "which rows are NEW vs a seen set" at
-corpus scale.
+"""Broadcast Bloom-filter semi-join prefilter.
 
-The naive anti-join exchanges every probe row.  At continuous-crawl
-scale (10^12 seen URLs/hashes, small daily overlap) that all-to-all is
-the bottleneck, so the classic fix: build a constant-size Bloom filter
-over the seen keys, broadcast it once (``ray.put``), and let every
-probe block drop its definite-new rows locally — only the bloom-POSITIVE
-rows (true hits + the ~(1-e^{-kn/m})^k false-positive sliver) enter the
-exact anti-join exchange.  The result is EXACT: the bloom only
-prefilters; membership for positives is decided by the real key join
-(``relational.anti_join``).
+The scale problem: an exact distributed semi-join ships every probe-side
+row through a key exchange, or broadcasts the full build-side key set to
+every task.  When the build side is too big to broadcast raw but the
+probe side is far bigger still (the 100 TB shape: "keep only lineitems
+of flagged orders", "keep only pages whose host is in the seed list"),
+the classic answer (Bloom 1970; every MPP runtime-filter since) is a
+fixed-size bit array that never false-negatives: build one bitmap from
+the build-side keys, broadcast it ONCE via ``ray.put``, and drop
+(1 − FPR) of the non-matching probe rows before any exchange.
 
-Scale contract: the filter is O(m) bits regardless of corpus size —
-per-block partial blooms are OR-reduced (the reduction moves
-blocks × m/8 bytes, never keys); probe-side exchange volume is
-O(overlap + FP), not O(corpus).
+Shapes here:
 
-Keys are int64 (the md5-prefix idiom shared with the dedup stages); the
-position mix is splitmix64, fixed so build and probe agree forever.
+* ``build_bloom`` — each block sets its keys' bits in a LOCAL bitmap
+  (one vectorized scatter), bitmaps tree-OR through bounded-fanin
+  combine tasks (OR is associative/commutative/idempotent, so block
+  order and retries are free); the driver pulls exactly one
+  ``n_bits/8``-byte blob, never a key set.
+* ``bloom_contains`` — double hashing g_i = h1 + i·h2 (Kirsch &
+  Mitzenmacher 2006: two independent 64-bit mixes simulate k hashes
+  with no quality loss), fully vectorized numpy probe.
+* ``bloom_semi_join`` — bloom-prefilter the probe side, then an EXACT
+  verify of the survivors against the build-side key set (false
+  positives die here, so the composed operator is exact).  The verify
+  is a broadcast probe: correct at any build-side size that fits a
+  worker (the bloom already removed ~all non-members, so the verify is
+  off the hot path); swap it for ``relational.adaptive_join``'s hash
+  exchange when the build side outgrows worker memory.
+
+Sizing: FPR ≈ (1 − e^{−kn/m})^k; the default m = 2²³ bits (1 MiB) and
+k = 4 give ~2.4 % at n = 1 M keys.  Callers size m ≈ 10 bits/key.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import ray
 
-from .relational import anti_join
-
-_M_BITS_DEFAULT = 1 << 20          # 128 KiB — ~0.1% FP at 50k keys, k=4
-_K_DEFAULT = 4
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xC2B2AE3D27D4EB4F)
 
 
-def _positions(keys: np.ndarray, m_bits: int, k: int) -> np.ndarray:
-    """(len(keys), k) bit positions via splitmix64 rounds."""
-    x = keys.astype(np.uint64)
-    out = np.empty((len(keys), k), dtype=np.uint64)
-    golden = np.uint64(0x9E3779B97F4A7C15)
-    for i in range(k):
-        x = x + golden
-        z = x
+def _mix64(x: np.ndarray, seed: np.uint64) -> np.ndarray:
+    """splitmix64 finalizer — a full-avalanche 64-bit mix."""
+    with np.errstate(over="ignore"):
+        z = (x + seed).astype(np.uint64)
         z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        z = z ^ (z >> np.uint64(31))
-        out[:, i] = z % np.uint64(m_bits)
-    return out
+        return z ^ (z >> np.uint64(31))
 
 
-def build_bloom(ds, key_col: str, m_bits: int = _M_BITS_DEFAULT,
-                k: int = _K_DEFAULT) -> np.ndarray:
-    """OR-reduced Bloom filter (packed uint8 array) over ``key_col``."""
+def _positions(keys: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """(len(keys), k) bit positions via double hashing."""
+    x = np.ascontiguousarray(keys, dtype=np.int64).view(np.uint64)
+    h1 = _mix64(x, _C1)
+    h2 = _mix64(x, _C2) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        g = h1[:, None] + i[None, :] * h2[:, None]
+    return (g % np.uint64(n_bits)).astype(np.int64)
+
+
+def local_bitmap(keys: np.ndarray, n_bits: int, k: int) -> np.ndarray:
+    """One block's bitmap: n_bits/64 uint64 words, vectorized scatter."""
+    words = np.zeros(n_bits // 64, dtype=np.uint64)
+    if len(keys):
+        pos = _positions(keys, n_bits, k).ravel()
+        np.bitwise_or.at(words, pos >> 6,
+                         np.uint64(1) << (pos & 63).astype(np.uint64))
+    return words
+
+
+def bloom_contains(words: np.ndarray, keys: np.ndarray,
+                   k: int) -> np.ndarray:
+    """Vectorized membership probe — True may false-positive, False
+    never false-negatives."""
+    if len(keys) == 0:
+        return np.zeros(0, dtype=bool)
+    n_bits = len(words) * 64
+    pos = _positions(keys, n_bits, k)
+    bit = (words[pos >> 6] >> (pos & 63).astype(np.uint64)) \
+        & np.uint64(1)
+    return bit.all(axis=1)
+
+
+def build_bloom(ds, on: str, n_bits: int = 1 << 23, k: int = 4,
+                tree_fanin: int = 16) -> np.ndarray:
+    """Distributed bitmap build: per-block scatter, tree-OR combine.
+    Returns the uint64 word array (bounded driver pull: n_bits/8
+    bytes, independent of key count)."""
+    from ie_ray.stages.relational import lowcard_combine
 
     def partial(t: pa.Table) -> pa.Table:
-        keys = t.column(key_col).to_numpy().astype(np.int64)
-        bits = np.zeros(m_bits, dtype=bool)
-        if len(keys):
-            bits[_positions(keys, m_bits, k).ravel()] = True
-        return pa.table({"bloom": pa.array([np.packbits(bits).tobytes()],
-                                           type=pa.binary())})
+        keys = t.column(on).cast(pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        words = local_bitmap(keys, n_bits, k)
+        return pa.table({"bits": pa.array([words.tobytes()],
+                                          type=pa.large_binary())})
 
-    packed = np.zeros(m_bits // 8, dtype=np.uint8)
-    # one constant-size row per block; the OR-reduce moves blocks × m/8
-    # bytes through the driver — independent of key count
-    for row in ds.map_batches(partial, batch_format="pyarrow").take_all():
-        packed |= np.frombuffer(row["bloom"], dtype=np.uint8)
-    return packed
+    def combine(t: pa.Table) -> pa.Table:
+        acc = np.zeros(n_bits // 64, dtype=np.uint64)
+        for blob in t.column("bits").to_pylist():
+            acc |= np.frombuffer(blob, dtype=np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()],
+                                          type=pa.large_binary())})
+
+    out = lowcard_combine(ds.select_columns([on]), partial,
+                          final_fn=combine, combine_fn=combine,
+                          tree_fanin=tree_fanin).take_all()
+    if not out:   # zero-row build side: map_batches never ran
+        return np.zeros(n_bits // 64, dtype=np.uint64)
+    return np.frombuffer(out[0]["bits"], dtype=np.uint64)
 
 
-def bloom_new_rows(probe_ds, seen_ds, key_col: str,
-                   m_bits: int = _M_BITS_DEFAULT, k: int = _K_DEFAULT):
-    """Rows of ``probe_ds`` whose key does NOT occur in ``seen_ds``.
+def bloom_semi_join(left, right, on: str, n_bits: int = 1 << 23,
+                    k: int = 4):
+    """EXACT semi-join (left rows whose ``on`` appears in right):
+    bloom prefilter + broadcast exact verify of the survivors.
 
-    Exact (the bloom is only a prefilter); bloom-negative rows never
-    enter the verify exchange.
+    The bloom is built distributed from the right side and broadcast
+    once; every left block drops non-members with one vectorized
+    probe, zero exchange.  The exact key set then kills the ≤FPR
+    false-positive tail.  Verify-side contract: the DISTINCT right
+    key set must fit a worker (it is sorted int64, 8 B/key — 10⁸ keys
+    = 800 MB; beyond that, replace the verify stage with
+    ``relational.adaptive_join``'s hash exchange over the already-
+    thinned survivors).
     """
-    packed = build_bloom(seen_ds, key_col, m_bits, k)
-    bloom_ref = ray.put(packed)
+    import ray
 
-    def split(positive: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            bits = np.unpackbits(ray.get(bloom_ref)).view(bool)
-            keys = t.column(key_col).to_numpy().astype(np.int64)
-            if not len(keys):
-                return t
-            pos = bits[_positions(keys, m_bits, k)].all(axis=1)
-            return t.filter(pa.array(pos if positive else ~pos))
-        return fn
+    words = build_bloom(right, on, n_bits=n_bits, k=k)
+    bits_ref = ray.put(words)
 
-    definite_new = probe_ds.map_batches(split(False),
-                                        batch_format="pyarrow")
-    candidates = probe_ds.map_batches(split(True), batch_format="pyarrow")
-    verified_new = anti_join(candidates, seen_ds, key_col, key_col)
-    return definite_new.union(verified_new)
+    # exact distinct right keys for the verify pass (kills false
+    # positives) — distinct-ed distributed, pulled once, broadcast once
+    def key_partial(t: pa.Table) -> pa.Table:
+        return pa.table({on: t.column(on).cast(pa.int64())
+                         .combine_chunks().unique()})
+
+    def key_combine(t: pa.Table) -> pa.Table:
+        return pa.table({on: t.column(on).combine_chunks().unique()})
+
+    from ie_ray.stages.relational import lowcard_combine
+    keys_tbl = lowcard_combine(right.select_columns([on]), key_partial,
+                               final_fn=key_combine,
+                               combine_fn=key_combine)
+    key_tbls = [t for t in ray.get(keys_tbl.to_arrow_refs())
+                if t.num_columns > 0]
+    key_set = np.sort(pa.concat_tables(key_tbls).column(on)
+                      .combine_chunks()
+                      .to_numpy(zero_copy_only=False)) if key_tbls \
+        else np.zeros(0, dtype=np.int64)
+    keys_ref = ray.put(key_set)
+
+    class Prefilter:
+        def __init__(self):
+            self._bits = ray.get(bits_ref)
+            self._keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column(on).cast(pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            m = bloom_contains(self._bits, keys, k)
+            if not m.any() or len(self._keys) == 0:
+                return t.slice(0, 0)
+            t = t.filter(pa.array(m))
+            surv = keys[m]
+            idx = np.clip(np.searchsorted(self._keys, surv), 0,
+                          len(self._keys) - 1)
+            hit = self._keys[idx] == surv
+            return t.filter(pa.array(hit))
+
+    return left.map_batches(Prefilter, batch_format="pyarrow",
+                            concurrency=(1, 8))
