@@ -5414,6 +5414,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(urgent_keys, batch_format="pyarrow")
         return bloom_semi_join(li, urgent, "l_orderkey")
 
+    def events_cusum_changepoint(sf_dir):
+        """Offline CUSUM change-point detection on the hourly value
+        series (Page 1954): the hour where the cumulative deviation
+        from the global mean peaks.  Hour domain is bounded, so the
+        series reduces by one lowcard tree-combine; the final task
+        sorts ≤|hours| rows and picks argmax |cum_i·n − i·tot| — the
+        deviation carried as its EXACT integer numerator (common
+        denominator n cancels in the argmax), so ranking and output
+        are float-free.  Int64 bound: |cum·n| ≤ total-cents ×
+        n-hours — rescale to whole units before the combine if a
+        deployment's product exceeds 2⁶³."""
+        import numpy as np
+
+        ds = _tbl(sf_dir, "events", columns=["ts", "value"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            h = pc.floor_temporal(
+                t.column("ts").cast(pa.timestamp("us")), unit="hour") \
+                .cast(pa.int64())
+            cents = np.round(np.asarray(t.column("value"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            g = pa.table({"h_us": h, "s": pa.array(cents)}) \
+                .group_by("h_us").aggregate([("s", "sum")])
+            return g.rename_columns(["h_us", "s"])
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by("h_us").aggregate([("s", "sum")]) \
+                .rename_columns(["h_us", "s"])
+
+        def final(t: pa.Table) -> pa.Table:
+            t = combine(t)
+            h = np.asarray(t.column("h_us"), dtype=np.int64)
+            s = np.asarray(t.column("s"), dtype=np.int64)
+            o = np.argsort(h)
+            h, s = h[o], s[o]
+            n = len(h)
+            cum = np.cumsum(s)
+            i = np.arange(1, n + 1, dtype=np.int64)
+            num = cum * n - i * cum[-1]
+            best = int(np.lexsort((h, -np.abs(num)))[0])
+            return pa.table({
+                "h_us": pa.array([h[best]], type=pa.int64()),
+                "cusum_num": pa.array([num[best]], type=pa.int64()),
+                "n_hours": pa.array([n], type=pa.int64())})
+
+        return lowcard_combine(ds, partial, final_fn=final,
+                               combine_fn=combine)
+
+    def events_itemsets3(sf_dir):
+        """Frequent 3-itemset support over per-user event-type baskets
+        (the Apriori support-count stage): distinct (user, type) pairs
+        bucket by user; inside a complete bucket two vectorized polars
+        self-joins enumerate each user's ordered type triples, and the
+        bounded 3-set domain (C(|types|,3)) tree-combines to global
+        support counts — candidate generation never leaves the bucket,
+        counts never shuffle raw rows."""
+        import polars as pl
+        from ie_ray.stages.relational import bucketed_map_groups
+
+        ds = _tbl(sf_dir, "events", columns=["user_id", "event_type"])
+
+        def kernel(g: pa.Table) -> pa.Table:
+            df = pl.from_arrow(pa.table({
+                "u": g.column("user_id").cast(pa.int64()),
+                "t": g.column("event_type")})).unique(["u", "t"])
+            a = df.rename({"t": "t1"})
+            b = df.rename({"t": "t2"})
+            c = df.rename({"t": "t3"})
+            tri = (a.join(b, on="u").filter(pl.col("t1") < pl.col("t2"))
+                   .join(c, on="u").filter(pl.col("t2") < pl.col("t3"))
+                   .group_by(["t1", "t2", "t3"])
+                   .agg(pl.len().cast(pl.Int64).alias("support")))
+            return tri.to_arrow()
+
+        per_bucket = bucketed_map_groups(ds, "user_id", kernel)
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by(["t1", "t2", "t3"]).aggregate(
+                [("support", "sum")]).rename_columns(
+                ["t1", "t2", "t3", "support"])
+
+        return lowcard_combine(per_bucket, combine)
+
     def users_rfm_segments(sf_dir):
         """RFM (recency / frequency / monetary) user segmentation —
         the classic lifecycle-marketing shape: per-user last-event
@@ -5807,6 +5892,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_benford": events_benford,
         "events_seasonal_residuals": events_seasonal_residuals,
         "lineitem_semi_urgent": lineitem_semi_urgent,
+        "events_cusum_changepoint": events_cusum_changepoint,
+        "events_itemsets3": events_itemsets3,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -6457,6 +6544,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber FROM lineitem "
             "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT')",
+        "events_cusum_changepoint":
+            "WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) AS "
+            "h_us, sum(CAST(round(value * 100) AS BIGINT)) AS s "
+            "FROM events GROUP BY 1), "
+            "t AS (SELECT count(*) AS n, sum(s) AS tot FROM h), "
+            "c AS (SELECT h_us, sum(s) OVER (ORDER BY h_us) AS cum, "
+            "row_number() OVER (ORDER BY h_us) AS i FROM h) "
+            "SELECT c.h_us, (c.cum * t.n - c.i * t.tot)::BIGINT AS "
+            "cusum_num, t.n::BIGINT AS n_hours FROM c, t "
+            "ORDER BY abs(c.cum * t.n - c.i * t.tot) DESC, c.h_us "
+            "LIMIT 1",
+        "events_itemsets3":
+            "WITH d AS (SELECT DISTINCT user_id, event_type "
+            "FROM events) "
+            "SELECT a.event_type AS t1, b.event_type AS t2, "
+            "c.event_type AS t3, count(*)::BIGINT AS support "
+            "FROM d a JOIN d b ON a.user_id = b.user_id "
+            "AND a.event_type < b.event_type "
+            "JOIN d c ON b.user_id = c.user_id "
+            "AND b.event_type < c.event_type GROUP BY 1, 2, 3",
         "events_user_streaks":
             "WITH d AS (SELECT DISTINCT user_id, "
             "epoch_us(ts) // 86400000000 AS day FROM events), "

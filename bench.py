@@ -174,7 +174,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_ohlc_hourly", "events_user_streaks",
                  "events_user_type_runs", "events_value_mad",
                  "events_benford", "events_seasonal_residuals",
-                 "lineitem_semi_urgent"):
+                 "lineitem_semi_urgent", "events_cusum_changepoint",
+                 "events_itemsets3"):
         consume(name)
 
     total = round(time.time() - t0, 3)
