@@ -4846,6 +4846,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return scored.map_batches(ratio, batch_format="pyarrow")
 
+    def docs_ari(sf_dir):
+        """Automated Readability Index per document — the readability
+        member of the quality-scoring family that is exactly
+        SQL-expressible (chars/words/sentences only; no syllable
+        heuristic).  All three counts are integer Arrow kernels; the
+        single float expression is evaluated with the same
+        association and DuckDB's half-away rounding on both engines,
+        so parity is bit-exact."""
+        import pyarrow.compute as pc
+
+        def ari(t: pa.Table) -> pa.Table:
+            text = t.column("text")
+            chars = pc.utf8_length(pc.replace_substring_regex(
+                text, pattern=r"\s", replacement="")) \
+                .cast(pa.float64())
+            words = pc.list_value_length(pc.split_pattern_regex(
+                pc.utf8_trim_whitespace(text), pattern=r"\s+")) \
+                .cast(pa.float64())
+            sents = pc.max_element_wise(pc.count_substring_regex(
+                text, pattern=r"[.!?]+").cast(pa.float64()), 1.0)
+            score = pc.subtract(pc.add(
+                pc.multiply(pa.scalar(4.71), pc.divide(chars, words)),
+                pc.multiply(pa.scalar(0.5), pc.divide(words, sents))),
+                pa.scalar(21.43))
+            return pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_chars": chars.cast(pa.int64()),
+                "n_words": words.cast(pa.int64()),
+                "n_sentences": sents.cast(pa.int64()),
+                "ari": pc.round(score, 4,
+                                round_mode="half_towards_infinity")})
+
+        return _docs(sf_dir).map_batches(ari, batch_format="pyarrow")
+
     def customer_nation_top3(sf_dir):
         """Top-3 customers by lifetime order revenue per nation —
         per-group top-k with exact-cents ordering and deterministic
@@ -5894,6 +5928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_semi_urgent": lineitem_semi_urgent,
         "events_cusum_changepoint": events_cusum_changepoint,
         "events_itemsets3": events_itemsets3,
+        "docs_ari": docs_ari,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -6544,6 +6579,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber FROM lineitem "
             "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT')",
+        "docs_ari":
+            "WITH c AS (SELECT doc_id, "
+            "length(regexp_replace(text, '\\s', '', 'g'))::BIGINT "
+            "AS n_chars, "
+            "len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT "
+            "AS n_words, "
+            "greatest(len(regexp_extract_all(text, '[.!?]+')), 1)"
+            "::BIGINT AS n_sentences FROM documents) "
+            "SELECT doc_id, n_chars, n_words, n_sentences, "
+            "round(4.71 * (n_chars::DOUBLE / n_words) "
+            "+ 0.5 * (n_words::DOUBLE / n_sentences) - 21.43, 4) "
+            "AS ari FROM c",
         "events_cusum_changepoint":
             "WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) AS "
             "h_us, sum(CAST(round(value * 100) AS BIGINT)) AS s "
