@@ -1,14 +1,14 @@
-"""Broadcast Bloom-filter semi-join prefilter.
+"""Broadcast Bloom-filter runtime filters: semi-join and new-vs-seen.
 
-The scale problem: an exact distributed semi-join ships every probe-side
-row through a key exchange, or broadcasts the full build-side key set to
-every task.  When the build side is too big to broadcast raw but the
-probe side is far bigger still (the 100 TB shape: "keep only lineitems
-of flagged orders", "keep only pages whose host is in the seed list"),
-the classic answer (Bloom 1970; every MPP runtime-filter since) is a
-fixed-size bit array that never false-negatives: build one bitmap from
-the build-side keys, broadcast it ONCE via ``ray.put``, and drop
-(1 − FPR) of the non-matching probe rows before any exchange.
+The scale problem: an exact distributed (semi/anti) join ships every
+probe-side row through a key exchange, or broadcasts the full build-side
+key set to every task.  When the build side is too big to broadcast raw
+but the probe side is far bigger still (the 100 TB shapes: "keep only
+lineitems of flagged orders", "which crawled URLs are NEW vs 10¹² seen
+hashes"), the classic answer (Bloom 1970; every MPP runtime-filter
+since) is a fixed-size bit array that never false-negatives: build one
+bitmap from the build-side keys, broadcast it ONCE via ``ray.put``, and
+decide (1 − FPR) of the probe rows locally, before any exchange.
 
 Shapes here:
 
@@ -18,24 +18,30 @@ Shapes here:
   order and retries are free); the driver pulls exactly one
   ``n_bits/8``-byte blob, never a key set.
 * ``bloom_contains`` — double hashing g_i = h1 + i·h2 (Kirsch &
-  Mitzenmacher 2006: two independent 64-bit mixes simulate k hashes
-  with no quality loss), fully vectorized numpy probe.
-* ``bloom_semi_join`` — bloom-prefilter the probe side, then an EXACT
-  verify of the survivors against the build-side key set (false
-  positives die here, so the composed operator is exact).  The verify
-  is a broadcast probe: correct at any build-side size that fits a
-  worker (the bloom already removed ~all non-members, so the verify is
-  off the hot path); swap it for ``relational.adaptive_join``'s hash
-  exchange when the build side outgrows worker memory.
+  Mitzenmacher 2006: two independent 64-bit splitmix mixes simulate k
+  hashes with no quality loss), fully vectorized numpy probe.
+* ``bloom_semi_join`` — keep probe rows whose key IS in the build set:
+  bloom prefilter, then an EXACT broadcast-key verify of the survivors
+  (false positives die here, so the composed operator is exact).
+* ``bloom_new_rows`` — keep probe rows whose key is NOT in the seen
+  set: bloom-NEGATIVE rows are definitely new and never enter any
+  exchange; only the bloom-positive sliver (true hits + FP) goes
+  through the exact ``relational.anti_join``.  Probe-side exchange
+  volume is O(overlap + FP·probe), not O(probe).
 
-Sizing: FPR ≈ (1 − e^{−kn/m})^k; the default m = 2²³ bits (1 MiB) and
-k = 4 give ~2.4 % at n = 1 M keys.  Callers size m ≈ 10 bits/key.
+Sizing: FPR ≈ (1 − e^{−kn/m})^k; the default m = 2²⁰ bits (128 KiB)
+and k = 4 give ~0.1 % at n = 50 k keys.  Callers size m ≈ 10 bits/key.
+The position mix is fixed (splitmix64) so build and probe agree
+forever.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+
+_N_BITS_DEFAULT = 1 << 20
+_K_DEFAULT = 4
 
 _C1 = np.uint64(0x9E3779B97F4A7C15)
 _C2 = np.uint64(0xC2B2AE3D27D4EB4F)
@@ -84,7 +90,8 @@ def bloom_contains(words: np.ndarray, keys: np.ndarray,
     return bit.all(axis=1)
 
 
-def build_bloom(ds, on: str, n_bits: int = 1 << 23, k: int = 4,
+def build_bloom(ds, on: str, n_bits: int = _N_BITS_DEFAULT,
+                k: int = _K_DEFAULT,
                 tree_fanin: int = 16) -> np.ndarray:
     """Distributed bitmap build: per-block scatter, tree-OR combine.
     Returns the uint64 word array (bounded driver pull: n_bits/8
@@ -113,8 +120,22 @@ def build_bloom(ds, on: str, n_bits: int = 1 << 23, k: int = 4,
     return np.frombuffer(out[0]["bits"], dtype=np.uint64)
 
 
-def bloom_semi_join(left, right, on: str, n_bits: int = 1 << 23,
-                    k: int = 4):
+def _bloom_split(ds, on: str, bits_ref, k: int, positive: bool):
+    """Probe-side partition by bloom verdict, zero exchange."""
+    import ray
+
+    def fn(t: pa.Table) -> pa.Table:
+        words = ray.get(bits_ref)
+        keys = t.column(on).cast(pa.int64()).combine_chunks() \
+            .to_numpy(zero_copy_only=False)
+        m = bloom_contains(words, keys, k)
+        return t.filter(pa.array(m if positive else ~m))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bloom_semi_join(left, right, on: str,
+                    n_bits: int = 1 << 23, k: int = _K_DEFAULT):
     """EXACT semi-join (left rows whose ``on`` appears in right):
     bloom prefilter + broadcast exact verify of the survivors.
 
@@ -122,10 +143,10 @@ def bloom_semi_join(left, right, on: str, n_bits: int = 1 << 23,
     once; every left block drops non-members with one vectorized
     probe, zero exchange.  The exact key set then kills the ≤FPR
     false-positive tail.  Verify-side contract: the DISTINCT right
-    key set must fit a worker (it is sorted int64, 8 B/key — 10⁸ keys
-    = 800 MB; beyond that, replace the verify stage with
-    ``relational.adaptive_join``'s hash exchange over the already-
-    thinned survivors).
+    key set must fit a worker (sorted int64, 8 B/key — 10⁸ keys =
+    800 MB; beyond that, replace the verify stage with the hash
+    exchange of ``relational.adaptive_join`` over the already-thinned
+    survivors — the ``bloom_new_rows`` composition shows the shape).
     """
     import ray
 
@@ -173,3 +194,30 @@ def bloom_semi_join(left, right, on: str, n_bits: int = 1 << 23,
 
     return left.map_batches(Prefilter, batch_format="pyarrow",
                             concurrency=(1, 8))
+
+
+def bloom_new_rows(probe_ds, seen_ds, key_col: str,
+                   n_bits: int = _N_BITS_DEFAULT, k: int = _K_DEFAULT,
+                   m_bits: int | None = None):
+    """Rows of ``probe_ds`` whose key does NOT occur in ``seen_ds``.
+
+    Exact (the bloom is only a prefilter): bloom-negative rows are
+    definitely new and bypass every exchange; bloom-positive rows
+    (true hits + FP sliver) are decided by the real anti-join.
+    ``m_bits`` is an accepted alias for ``n_bits``.
+    """
+    import ray
+
+    from ie_ray.stages.relational import anti_join
+
+    if m_bits is not None:
+        n_bits = m_bits
+    words = build_bloom(seen_ds, key_col, n_bits=n_bits, k=k)
+    bits_ref = ray.put(words)
+
+    definite_new = _bloom_split(probe_ds, key_col, bits_ref, k,
+                                positive=False)
+    candidates = _bloom_split(probe_ds, key_col, bits_ref, k,
+                              positive=True)
+    verified_new = anti_join(candidates, seen_ds, key_col, key_col)
+    return definite_new.union(verified_new)

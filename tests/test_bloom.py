@@ -67,3 +67,40 @@ def test_bloom_semi_join_empty_right(ray_session):
     right = pa.table({"k": pa.array([], type=pa.int64())})
     out = bloom_semi_join(_ds(left, 1), _ds(right, 1), "k")
     assert out.count() == 0
+
+
+def test_bloom_new_rows_exact(ray_session):
+    import ray.data
+    from ie_ray.stages.bloom import bloom_new_rows
+
+    rng = np.random.RandomState(3)
+    seen_keys = rng.randint(0, 1 << 31, 5000).astype(np.int64)
+    # probe: half overlapping, half fresh (disjoint range)
+    fresh = (rng.randint(0, 1 << 30, 5000) + (1 << 32)).astype(np.int64)
+    probe_keys = np.concatenate([seen_keys[:5000:2], fresh])
+    seen = ray.data.from_arrow(pa.table({"k": seen_keys}))
+    probe = ray.data.from_arrow(pa.table(
+        {"k": probe_keys, "row": np.arange(len(probe_keys))}))
+    got = sorted(r["k"] for r in bloom_new_rows(probe, seen, "k",
+                                                m_bits=1 << 16).take_all())
+    expect = sorted(int(k) for k in probe_keys
+                    if k not in set(seen_keys.tolist()))
+    # EXACT despite the deliberately small filter (high FP rate): the
+    # bloom only prefilters, the anti-join decides
+    assert got == expect
+
+
+def test_bloom_filter_saves_exchange_volume(ray_session):
+    import ray.data
+    from ie_ray.stages.bloom import bloom_contains, build_bloom
+
+    keys = np.arange(1000, dtype=np.int64)
+    ds = ray.data.from_arrow(pa.table({"k": keys}))
+    words = build_bloom(ds, "k", n_bits=1 << 20)
+    # every seen key hits...
+    assert bloom_contains(words, keys, 4).all()
+    # ...and fresh keys rarely do (the rows a broadcast filter keeps
+    # out of the exchange)
+    fresh = np.arange(10_000_000, 10_010_000, dtype=np.int64)
+    fp = bloom_contains(words, fresh, 4).mean()
+    assert fp < 0.01, fp
