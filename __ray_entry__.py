@@ -4861,8 +4861,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             chars = pc.utf8_length(pc.replace_substring_regex(
                 text, pattern=r"\s", replacement="")) \
                 .cast(pa.float64())
+            # DuckDB trim() strips SPACES only — pc.utf8_trim(" "),
+            # not utf8_trim_whitespace (which eats \t\n and would
+            # change the token count at the string edges)
             words = pc.list_value_length(pc.split_pattern_regex(
-                pc.utf8_trim_whitespace(text), pattern=r"\s+")) \
+                pc.utf8_trim(text, " "), pattern=r"\s+")) \
                 .cast(pa.float64())
             sents = pc.max_element_wise(pc.count_substring_regex(
                 text, pattern=r"[.!?]+").cast(pa.float64()), 1.0)
@@ -4870,13 +4873,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 pc.multiply(pa.scalar(4.71), pc.divide(chars, words)),
                 pc.multiply(pa.scalar(0.5), pc.divide(words, sents))),
                 pa.scalar(21.43))
+            # pc.round(x, 4) can return a DIFFERENT float64 than
+            # DuckDB's round (it keeps the input when x·10⁴ is already
+            # integral, e.g. 27.735999999999997·10⁴ == 277360.0 —
+            # 1 ULP off the oracle).  Replicate DuckDB's algorithm:
+            # scale, round to integer, unscale.
+            ari4 = pc.divide(pc.round(
+                pc.multiply(score, pa.scalar(10_000.0)), 0,
+                round_mode="half_towards_infinity"),
+                pa.scalar(10_000.0))
             return pa.table({
                 "doc_id": t.column("doc_id"),
                 "n_chars": chars.cast(pa.int64()),
                 "n_words": words.cast(pa.int64()),
                 "n_sentences": sents.cast(pa.int64()),
-                "ari": pc.round(score, 4,
-                                round_mode="half_towards_infinity")})
+                "ari": ari4})
 
         return _docs(sf_dir).map_batches(ari, batch_format="pyarrow")
 
@@ -5483,6 +5494,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             t = combine(t)
             h = np.asarray(t.column("h_us"), dtype=np.int64)
             s = np.asarray(t.column("s"), dtype=np.int64)
+            if len(h) == 0:   # empty input: zero rows, like the oracle
+                return pa.table({
+                    "h_us": pa.array([], type=pa.int64()),
+                    "cusum_num": pa.array([], type=pa.int64()),
+                    "n_hours": pa.array([], type=pa.int64())})
             o = np.argsort(h)
             h, s = h[o], s[o]
             n = len(h)

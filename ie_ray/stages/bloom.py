@@ -67,8 +67,19 @@ def _positions(keys: np.ndarray, n_bits: int, k: int) -> np.ndarray:
     return (g % np.uint64(n_bits)).astype(np.int64)
 
 
+def _round_bits(n_bits: int) -> int:
+    """Word-align the bitmap size.  Every public entry point rounds
+    n_bits UP to a multiple of 64 so build and probe always agree on
+    the modulus (``bloom_contains`` recomputes it as len(words)·64 —
+    a misaligned build would either crash the scatter or, worse,
+    silently mod by a different value and break the no-false-negative
+    contract)."""
+    return max(64, (int(n_bits) + 63) // 64 * 64)
+
+
 def local_bitmap(keys: np.ndarray, n_bits: int, k: int) -> np.ndarray:
     """One block's bitmap: n_bits/64 uint64 words, vectorized scatter."""
+    n_bits = _round_bits(n_bits)
     words = np.zeros(n_bits // 64, dtype=np.uint64)
     if len(keys):
         pos = _positions(keys, n_bits, k).ravel()
@@ -97,6 +108,8 @@ def build_bloom(ds, on: str, n_bits: int = _N_BITS_DEFAULT,
     Returns the uint64 word array (bounded driver pull: n_bits/8
     bytes, independent of key count)."""
     from ie_ray.stages.relational import lowcard_combine
+
+    n_bits = _round_bits(n_bits)
 
     def partial(t: pa.Table) -> pa.Table:
         keys = t.column(on).cast(pa.int64()).combine_chunks() \
@@ -147,11 +160,17 @@ def bloom_semi_join(left, right, on: str,
     800 MB; beyond that, replace the verify stage with the hash
     exchange of ``relational.adaptive_join`` over the already-thinned
     survivors — the ``bloom_new_rows`` composition shows the shape).
+
+    The build side is scanned ONCE: the distinct-key pass both feeds
+    the verify set and builds the bitmap driver-side (the bitmap is
+    derived data — at the too-big-to-pull scale where ``build_bloom``'s
+    distributed tree-OR is needed, the verify stage must be the hash
+    exchange anyway).  The bloom probe stays in front of the verify
+    searchsorted because it is O(1)/row vs O(log n): on a mostly-miss
+    probe stream (the runtime-filter case) it removes the binary
+    search for ~every non-member row.
     """
     import ray
-
-    words = build_bloom(right, on, n_bits=n_bits, k=k)
-    bits_ref = ray.put(words)
 
     # exact distinct right keys for the verify pass (kills false
     # positives) — distinct-ed distributed, pulled once, broadcast once
@@ -173,6 +192,7 @@ def bloom_semi_join(left, right, on: str,
                       .to_numpy(zero_copy_only=False)) if key_tbls \
         else np.zeros(0, dtype=np.int64)
     keys_ref = ray.put(key_set)
+    bits_ref = ray.put(local_bitmap(key_set, n_bits, k))
 
     class Prefilter:
         def __init__(self):

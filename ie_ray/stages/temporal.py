@@ -363,9 +363,12 @@ def run_length_intervals(ds, key: str, ts_col: str, id_col: str,
             "id": g.column(id_col).cast(pa.int64()),
             "st": g.column(state_col)}))
         out = (df.sort(["k", "ts", "id"])
+               # ne_missing = SQL IS DISTINCT FROM: null-vs-null is NOT
+               # a break (consecutive null states merge into one
+               # interval, matching the oracle); null-vs-value is
                .with_columns(
-                   (pl.col("st") != pl.col("st").shift(1))
-                   .fill_null(True).over("k").alias("brk"))
+                   pl.col("st").ne_missing(pl.col("st").shift(1))
+                   .over("k").alias("brk"))
                .with_columns(pl.col("brk").cast(pl.Int64).cum_sum()
                              .over("k").alias("grp"))
                .group_by(["k", "grp"])

@@ -104,3 +104,26 @@ def test_bloom_filter_saves_exchange_volume(ray_session):
     fresh = np.arange(10_000_000, 10_010_000, dtype=np.int64)
     fp = bloom_contains(words, fresh, 4).mean()
     assert fp < 0.01, fp
+
+
+def test_bloom_unaligned_n_bits(ray_session):
+    """n_bits not a multiple of 64 rounds UP word-aligned on every
+    entry point — build and probe agree on the modulus, so the
+    no-false-negative contract holds."""
+    import ray.data
+    from ie_ray.stages.bloom import (bloom_contains, bloom_semi_join,
+                                     build_bloom, local_bitmap)
+
+    keys = np.arange(500, dtype=np.int64)
+    words = local_bitmap(keys, 1000, 4)
+    assert len(words) * 64 == 1024
+    assert bloom_contains(words, keys, 4).all()
+
+    ds = ray.data.from_arrow(pa.table({"k": keys}))
+    words2 = build_bloom(ds, "k", n_bits=1000)
+    assert (words2 == words).all()
+
+    left = pa.table({"k": pa.array([0, 1, 9_999], type=pa.int64())})
+    got = sorted(r["k"] for r in bloom_semi_join(
+        ray.data.from_arrow(left), ds, "k", n_bits=1000).take_all())
+    assert got == [0, 1]

@@ -227,3 +227,23 @@ def test_run_length_intervals_planted(ray_session):
     u2 = [r for r in out if r["user_id"] == 2]
     assert u2 == [{"user_id": 2, "state": "c", "n_events": 1,
                    "start_us": 5, "end_us": 5}]
+
+
+def test_run_length_intervals_null_state(ray_session):
+    """Consecutive NULL states merge into ONE interval (IS DISTINCT
+    FROM semantics), matching the SQL oracle."""
+    import ray.data
+
+    from ie_ray.stages.temporal import run_length_intervals
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1], type=pa.int64()),
+        "ts": pa.array([10, 20, 30, 40], type=pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "event_type": pa.array(["a", None, None, "a"]),
+    })
+    out = sorted(run_length_intervals(
+        ray.data.from_arrow(t), "user_id", "ts", "event_id",
+        "event_type").take_all(), key=lambda r: r["start_us"])
+    assert [(r["state"], r["n_events"]) for r in out] == \
+        [("a", 1), (None, 2), ("a", 1)]
