@@ -472,13 +472,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ds = _tbl(sf_dir, "events", columns=["ts", "event_type", "value"])
 
         def wnd(b: pa.Table) -> pa.Table:
+            import numpy as np
             import pyarrow.compute as pc
             w = pc.floor_temporal(b.column("ts"), unit="hour").cast(
                 pa.timestamp("s"))
+            # exact int64 cents (2-decimal grid, see _rev_scaled):
+            # distributed float sums are association-ordered and land a
+            # ULP off the oracle before rounding — integers don't
+            cents = np.round(np.asarray(b.column("value"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
             return pa.table({
                 "window_start": pc.strftime(w, format="%Y-%m-%d %H:%M:%S"),
                 "event_type": b.column("event_type"),
-                "value": b.column("value"),
+                "value": pa.array(cents),
             })
 
         def partial(t: pa.Table) -> pa.Table:
@@ -501,7 +508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "window_start": g.column("window_start"),
                 "event_type": g.column("event_type"),
                 "n": g.column("n_sum").cast(pa.int64()),
-                "total_value": pc.round(g.column("total_value_sum"), 2)})
+                "total_value": pc.round(pc.divide(
+                    g.column("total_value_sum").cast(pa.float64()),
+                    100.0), 2)})
 
         # windows × types GROWS with the time range (a decade of hours
         # ≈ 90k keys) — too wide for the bare single-reducer contract at
@@ -2190,7 +2199,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         centroid.  The centroid table is O(labels × dim) — small by
         construction — so it is collected once and broadcast (`ray.put`),
         and the scan is a pure streaming map_batches filter; no per-row
-        state, no second exchange."""
+        state, no second exchange.  Parity note: `dist` is 4-dp-stable,
+        not bit-exact — the centroid means are float averages whose
+        association order differs between engines by design (full-
+        precision audit r5s4: ULP-level only; embeddings have no exact
+        integer grid to ride, unlike the money columns)."""
         import numpy as np
         import ray
 
@@ -6483,7 +6496,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10",
         "events_by_type":
             "SELECT event_type, count(*)::BIGINT AS n, "
-            "round(sum(value), 2) AS total_value FROM events "
+            "round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2) "
+            "AS total_value FROM events "
             "GROUP BY event_type",
         "events_hourly_window":
             "SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, "
