@@ -751,6 +751,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _tbl(sf_dir, "events", columns=["event_type", "ts", "value"]),
             partial, finish)
 
+    def events_trend_by_type(sf_dir):
+        """Per-type OLS trend line of value over event time (slope per
+        DAY, intercept, R²) — the regression sibling of
+        events_corr_value_time, riding the same Chan centered-comoment
+        merge (stages/moments.py): slope = Cxy/M2x is stable at any
+        time offset where raw Σx² would cancel catastrophically."""
+        import numpy as np
+
+        from ie_ray.stages.moments import (block_comoments_by,
+                                           reduce_grouped_comoments)
+
+        def partial(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({
+                    "event_type": pa.array([], type=pa.string()),
+                    **{c: pa.array([], type=pa.float64())
+                       for c in ("n", "mx", "my", "m2x", "m2y", "cxy")}})
+            y = np.asarray(t.column("value"), dtype=np.float64)
+            x = np.asarray(
+                t.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                dtype=np.float64) / 86_400_000_000.0   # days
+            return block_comoments_by(t, "event_type", x, y)
+
+        def finish(t: pa.Table) -> pa.Table:
+            agg = reduce_grouped_comoments(
+                zip(t.column("event_type").to_pylist(),
+                    *(np.asarray(t.column(c)) for c in
+                      ("n", "mx", "my", "m2x", "m2y", "cxy"))))
+            types = sorted(agg)
+            slope = [agg[k][5] / agg[k][3] for k in types]
+            icept = [agg[k][2] - s * agg[k][1]
+                     for k, s in zip(types, slope)]
+            r2 = [agg[k][5] ** 2 / (agg[k][3] * agg[k][4])
+                  for k in types]
+            return pa.table({
+                "event_type": pa.array(types, type=pa.string()),
+                "slope_per_day": pa.array(np.round(slope, 4),
+                                          type=pa.float64()),
+                "intercept": pa.array(np.round(icept, 4),
+                                      type=pa.float64()),
+                "r2": pa.array(np.round(r2, 4), type=pa.float64())})
+
+        return lowcard_combine(
+            _tbl(sf_dir, "events", columns=["event_type", "ts", "value"]),
+            partial, finish)
+
+    def events_throttled(sf_dir):
+        """Debounce/throttle (the streaming rate-limit shape): per
+        (user, type) ordered stream, keep an event only if ≥ 60 s have
+        passed since its PREDECESSOR (lag semantics — per-row
+        decidable, so the whole operator is one bucketed exchange +
+        one vectorized sort/shift pass; the chained every-Nth variant
+        is iterative and documented out of scope)."""
+        import polars as pl
+        from ie_ray.stages.relational import bucketed_map_groups
+
+        ds = _tbl(sf_dir, "events",
+                  columns=["user_id", "event_type", "event_id", "ts"])
+
+        def kernel(g: pa.Table) -> pa.Table:
+            df = pl.from_arrow(pa.table({
+                "user_id": g.column("user_id").cast(pa.int64()),
+                "event_type": g.column("event_type"),
+                "event_id": g.column("event_id").cast(pa.int64()),
+                "ts_us": g.column("ts").cast(pa.timestamp("us"))
+                .cast(pa.int64())}))
+            out = (df.sort(["user_id", "event_type", "ts_us",
+                            "event_id"])
+                   .with_columns(pl.col("ts_us").shift(1)
+                                 .over(["user_id", "event_type"])
+                                 .alias("prev_us"))
+                   .filter(pl.col("prev_us").is_null()
+                           | ((pl.col("ts_us") - pl.col("prev_us"))
+                              > 60_000_000))
+                   .drop("prev_us"))
+            return out.to_arrow()
+
+        return bucketed_map_groups(ds, "user_id", kernel)
+
     def events_rollup(sf_dir):
         """ROLLUP-style hierarchical aggregate: event counts at three
         levels — (type, hour-of-day), (type), grand total — computed in
@@ -5958,6 +6037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum_changepoint": events_cusum_changepoint,
         "events_itemsets3": events_itemsets3,
         "docs_ari": docs_ari,
+        "events_trend_by_type": events_trend_by_type,
+        "events_throttled": events_throttled,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -6549,6 +6630,21 @@ def oracle_sql() -> dict[str, str]:
         "events_corr_value_time":
             "SELECT event_type, round(corr(value, epoch(ts)), 4) "
             "AS corr_vt FROM events GROUP BY event_type",
+        "events_trend_by_type":
+            "SELECT event_type, "
+            "round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4) "
+            "AS slope_per_day, "
+            "round(regr_intercept(value, epoch_us(ts) / 86400000000.0)"
+            ", 4) AS intercept, "
+            "round(regr_r2(value, epoch_us(ts) / 86400000000.0), 4) "
+            "AS r2 FROM events GROUP BY event_type",
+        "events_throttled":
+            "WITH o AS (SELECT user_id, event_type, event_id, "
+            "epoch_us(ts) AS ts_us, lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id, event_type ORDER BY ts, event_id) "
+            "AS prev_us FROM events) "
+            "SELECT user_id, event_type, event_id, ts_us FROM o "
+            "WHERE prev_us IS NULL OR ts_us - prev_us > 60000000",
         "events_rollup":
             "SELECT coalesce(event_type, 'ALL') AS event_type, "
             "coalesce(hour(ts), -1)::BIGINT AS hr, count(*)::BIGINT AS n "
