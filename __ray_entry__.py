@@ -830,6 +830,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bucketed_map_groups(ds, "user_id", kernel)
 
+    def events_zorder_key(sf_dir):
+        """Z-order (Morton) layout key over (user_id, cents) — the
+        multi-dimensional clustering primitive behind ZORDER-BY write
+        optimization (ie_ray/stages/zorder.py): any aligned range of
+        the interleaved key is a bounded (user, value) rectangle, so
+        z-sorted files prune on EITHER column from min/max stats
+        alone.  Pure vectorized bit-ladder; the oracle reproduces the
+        interleave bit-for-bit via generated BIGINT SQL."""
+        import numpy as np
+        from ie_ray.stages.zorder import morton2
+
+        ds = _tbl(sf_dir, "events",
+                  columns=["event_id", "user_id", "value"])
+
+        def key(t: pa.Table) -> pa.Table:
+            cents = np.round(np.asarray(t.column("value"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            z = morton2(
+                t.column("user_id").cast(pa.int64()).combine_chunks()
+                .to_numpy(zero_copy_only=False), cents)
+            return pa.table({
+                "event_id": t.column("event_id").cast(pa.int64()),
+                "zkey": pa.array(z, type=pa.int64())})
+
+        return ds.map_batches(key, batch_format="pyarrow")
+
     def events_rollup(sf_dir):
         """ROLLUP-style hierarchical aggregate: event counts at three
         levels — (type, hour-of-day), (type), grand total — computed in
@@ -6039,6 +6066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ari": docs_ari,
         "events_trend_by_type": events_trend_by_type,
         "events_throttled": events_throttled,
+        "events_zorder_key": events_zorder_key,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -6234,6 +6262,7 @@ def oracle_sql() -> dict[str, str]:
                                          bm25_oracle_sql as _bm25_oracle,
                                          pmi_oracle_sql as _pmi_oracle)
     from ie_ray.stages.tokenizer import bpe_pairs_oracle_sql as _bpe_oracle
+    from ie_ray.stages.zorder import morton2_sql as _morton_sql
     from ie_ray.stages.sketches import heavy_hitters_oracle_sql as _hh_oracle
     keep_sql = (
         "WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(translate("
@@ -6630,6 +6659,10 @@ def oracle_sql() -> dict[str, str]:
         "events_corr_value_time":
             "SELECT event_type, round(corr(value, epoch(ts)), 4) "
             "AS corr_vt FROM events GROUP BY event_type",
+        "events_zorder_key":
+            "SELECT event_id, %s AS zkey FROM (SELECT event_id, "
+            "user_id, CAST(round(value * 100) AS BIGINT) AS cents "
+            "FROM events)" % _morton_sql("user_id", "cents"),
         "events_trend_by_type":
             "SELECT event_type, "
             "round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4) "

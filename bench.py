@@ -176,7 +176,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_benford", "events_seasonal_residuals",
                  "lineitem_semi_urgent", "events_cusum_changepoint",
                  "events_itemsets3", "docs_ari",
-                 "events_trend_by_type", "events_throttled"):
+                 "events_trend_by_type", "events_throttled",
+                 "events_zorder_key"):
         consume(name)
 
     total = round(time.time() - t0, 3)
