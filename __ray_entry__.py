@@ -2527,6 +2527,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         good = canon.filter(expr="kind != 'quarantine' and kind != 'empty'")
         return build_edges(good)
 
+    def kg_khop2(sf_dir):
+        """2-hop neighborhood subgraph around the two highest-degree
+        canonical entities (deterministic seeds: row-count degree,
+        lexicographic tie-break) — the KG-serving expand primitive;
+        each hop is one broadcast-frontier streaming probe of the edge
+        set, no edge exchange (stages/graph.py::khop_subgraph).
+        Rows-only (iterative frontier — no SQL oracle); exact
+        brute-force twin in tests/test_khop.py."""
+        from ie_ray.stages.graph import khop_subgraph
+
+        edges = kg_edges(sf_dir).materialize()
+
+        def deg(t: pa.Table) -> pa.Table:
+            both = pa.concat_arrays([
+                t.column("subj_id").combine_chunks().cast(pa.string()),
+                t.column("obj_id").combine_chunks().cast(pa.string())])
+            g = pa.table({"node": both}).group_by("node").aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["node", "d"])
+
+        def deg_combine(t: pa.Table) -> pa.Table:
+            return t.group_by("node").aggregate([("d", "sum")]) \
+                .rename_columns(["node", "d"])
+
+        top = lowcard_combine(edges, deg, final_fn=deg_combine,
+                              combine_fn=deg_combine) \
+            .sort(["d", "node"], descending=[True, False]).limit(2)
+        seeds = [r["node"] for r in top.take_all()]
+        return khop_subgraph(edges, seeds, hops=2)
+
     def kg_pagerank(sf_dir):
         """PageRank over the canonical KG edge set: 5 rounds of
         hash-join + groupby with the rank table materialized in the
@@ -6221,6 +6251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": kg_nodes,
         "kg_edges": kg_edges,
         "kg_pagerank": kg_pagerank,
+        "kg_khop2": kg_khop2,
         "kg_canonical_edges": kg_canonical_edges,
         "kg_incremental": kg_incremental,
         "extraction_identity": extraction_identity,

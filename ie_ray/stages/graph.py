@@ -358,3 +358,79 @@ def co_mention_pairs(triples_ds, k: int = 50):
             batch_format="pyarrow")
     return agg.sort(["n", "ent_a", "ent_b"],
                     descending=[True, False, False]).limit(k)
+
+
+def khop_subgraph(edges_ds, seeds, hops: int = 2):
+    """K-hop neighborhood extraction around seed entities — the
+    "expand this entity's subgraph" primitive of every KG-serving
+    path (cf. the reference's wiki-page neighborhood views).
+
+    Each hop is ONE streaming pass over the edge set: the current
+    frontier (an entity-id set) is broadcast via ``ray.put`` and every
+    edge block keeps rows touching it with a vectorized ``pc.is_in``
+    probe — no edge exchange, no driver-side adjacency.  The next
+    frontier is the touched endpoints minus everything visited,
+    reduced through the distinct-combine path (bounded pull: the
+    frontier itself, which the broadcast already requires to fit).
+
+    Scale contract (documented per the custom-operator rule): hop
+    count ≤ ~3 and frontier must fit a worker — on a web graph a hub
+    in the frontier explodes hop 2; callers cap degree upstream
+    (``build_edges`` already pre-counts, so a degree filter is one
+    predicate).  Returns the deduplicated touched edge rows.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from ie_ray.stages.relational import lowcard_combine
+
+    edges = edges_ds.materialize()   # probed once per hop
+    visited = np.unique(np.asarray(list(seeds), dtype=object))
+    frontier = visited
+    touched = []
+    for _ in range(hops):
+        if len(frontier) == 0:
+            break
+        fref = ray.put(set(frontier.tolist()))
+
+        def touch(t: pa.Table, _fref=fref) -> pa.Table:
+            fset = pa.array(sorted(ray.get(_fref)), type=pa.string())
+            m = pc.or_(pc.is_in(t.column("subj_id"), value_set=fset),
+                       pc.is_in(t.column("obj_id"), value_set=fset))
+            return t.filter(m)
+
+        hop_edges = edges.map_batches(
+            touch, batch_format="pyarrow").materialize()
+        touched.append(hop_edges)
+
+        def ends(t: pa.Table) -> pa.Table:
+            both = pa.concat_arrays([
+                t.column("subj_id").combine_chunks().cast(pa.string()),
+                t.column("obj_id").combine_chunks().cast(pa.string())])
+            return pa.table({"node": both.unique()})
+
+        def ends_combine(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t.column("node").combine_chunks().unique()})
+
+        nodes = lowcard_combine(hop_edges, ends,
+                                final_fn=ends_combine,
+                                combine_fn=ends_combine).take_all()
+        reached = np.unique(np.asarray(
+            [r["node"] for r in nodes], dtype=object))
+        frontier = np.setdiff1d(reached, visited)
+        visited = np.union1d(visited, reached)
+
+    if not touched:
+        return edges.limit(0)
+    out = touched[0]
+    for extra in touched[1:]:
+        out = out.union(extra)
+    # dedup rows picked up on multiple hops
+    cols = edges_ds.schema(fetch_if_missing=True).names
+
+    def dedup(t: pa.Table) -> pa.Table:
+        return t.group_by(cols).aggregate([]).select(cols)
+
+    return lowcard_combine(out, dedup)
