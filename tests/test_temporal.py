@@ -247,3 +247,91 @@ def test_run_length_intervals_null_state(ray_session):
         "event_type").take_all(), key=lambda r: r["start_us"])
     assert [(r["state"], r["n_events"]) for r in out] == \
         [("a", 1), (None, 2), ("a", 1)]
+
+
+def test_new_temporal_ops_fuzz_vs_duckdb(ray_session):
+    """Randomized parity fuzz: OHLC, islands and run-length collapse
+    must be invariant to block splits and match the window-SQL
+    semantics on arbitrary data (ties, duplicates, singletons)."""
+    import duckdb
+    import ray.data
+
+    from ie_ray.stages.temporal import (islands_per_key, ohlc_bars,
+                                        run_length_intervals)
+
+    rng = np.random.RandomState(97)
+    for trial, parts in ((0, 3), (1, 7), (2, 1)):
+        n = 400
+        hour = 3_600_000_000
+        t = pa.table({
+            "event_id": pa.array(rng.permutation(n).astype("int64")),
+            # coarse grid forces (ts, id) ties across blocks
+            "ts": pa.array((rng.randint(0, 48, n) * (hour // 4))
+                           .astype("int64")),
+            "user_id": pa.array(rng.randint(0, 9, n).astype("int64")),
+            "state": pa.array(np.array(["a", "b", "c"])[
+                rng.randint(0, 3, n)]),
+            "value": pa.array(np.round(
+                rng.uniform(0.01, 50.0, n), 2)),
+        })
+        ds = ray.data.from_arrow(t).repartition(parts)
+        con = duckdb.connect()
+        con.register("t", t)
+
+        from datetime import datetime
+
+        def h_us(v):   # operator emits timestamp[us]; SQL int64 µs
+            return int((v - datetime(1970, 1, 1)).total_seconds()
+                       * 1e6)
+
+        got = {(h_us(r["h"]), r["open_c"], r["high_c"], r["low_c"],
+                r["close_c"], r["n"]) for r in ohlc_bars(
+            ds, ts_col="ts", value_col="value",
+            id_col="event_id").take_all()}
+        want = set(map(tuple, con.execute("""
+            WITH c AS (SELECT ts - ts % 3600000000 AS h, ts, event_id,
+                              CAST(round(value*100) AS BIGINT) AS cents
+                       FROM t),
+            w AS (SELECT h, cents,
+                  row_number() OVER (PARTITION BY h ORDER BY ts, event_id) ra,
+                  row_number() OVER (PARTITION BY h ORDER BY ts DESC,
+                                     event_id DESC) rd FROM c)
+            SELECT h, max(CASE WHEN ra=1 THEN cents END),
+                   max(cents), min(cents),
+                   max(CASE WHEN rd=1 THEN cents END),
+                   count(*) FROM w GROUP BY h""").fetchall()))
+        assert got == want, ("ohlc", trial)
+
+        day = pa.table({"user_id": t.column("user_id"),
+                        "day": pa.array((np.asarray(t.column("ts"))
+                                         // hour).astype("int64"))})
+        got = {(r["user_id"], r["n_seq"], r["n_islands"],
+                r["max_island_len"]) for r in islands_per_key(
+            ray.data.from_arrow(day).repartition(parts),
+            "user_id", "day").take_all()}
+        con.register("d", day)
+        want = set(map(tuple, con.execute("""
+            WITH dd AS (SELECT DISTINCT user_id, day FROM d),
+            r AS (SELECT user_id, day, day - row_number() OVER
+                  (PARTITION BY user_id ORDER BY day) isl FROM dd),
+            i AS (SELECT user_id, count(*) run FROM r
+                  GROUP BY user_id, isl)
+            SELECT user_id, sum(run), count(*), max(run)
+            FROM i GROUP BY user_id""").fetchall()))
+        assert got == want, ("islands", trial)
+
+        got = {(r["user_id"], r["state"], r["n_events"], r["start_us"],
+                r["end_us"]) for r in run_length_intervals(
+            ds, "user_id", "ts", "event_id", "state").take_all()}
+        want = set(map(tuple, con.execute("""
+            WITH b AS (SELECT user_id, state, ts, event_id,
+                  CASE WHEN lag(state) OVER w IS DISTINCT FROM state
+                       THEN 1 ELSE 0 END brk FROM t
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+            g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) grp
+                  FROM b)
+            SELECT user_id, min(state), count(*), min(ts), max(ts)
+            FROM g GROUP BY user_id, grp""").fetchall()))
+        assert got == want, ("runs", trial)
