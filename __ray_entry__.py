@@ -5698,6 +5698,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lowcard_combine(per_bucket, combine)
 
+    def part_copurchase_top20(sf_dir):
+        """Market-basket pair mining over an UNBOUNDED item domain —
+        the scale-shaped sibling of events_itemsets3 (whose 5-type
+        lattice is lowcard): parts co-occurring in the same order.
+        Basket pair generation stays inside complete-order buckets
+        (vectorized polars self-join, |parts/order| ≈ 4 so the blowup
+        is quadratic-in-4, not in-catalog); the rows-sized (p1, p2)
+        pair domain then reduces through bucketed_aggregate, and the
+        global exact top-20 by support uses per-block partial top-k
+        with a total (n desc, p1, p2) tie-break order."""
+        import numpy as np
+        import polars as pl
+        from ie_ray.stages.relational import (bucketed_aggregate,
+                                              bucketed_map_groups)
+
+        li = _tbl(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_partkey"])
+
+        def pair_kernel(g: pa.Table) -> pa.Table:
+            df = pl.from_arrow(pa.table({
+                "o": g.column("l_orderkey").cast(pa.int64()),
+                "p": g.column("l_partkey").cast(pa.int64())})) \
+                .unique(["o", "p"])
+            a = df.rename({"p": "p1"})
+            b = df.rename({"p": "p2"})
+            return (a.join(b, on="o")
+                    .filter(pl.col("p1") < pl.col("p2"))
+                    .group_by(["p1", "p2"])
+                    .agg(pl.len().cast(pl.Int64).alias("n_orders"))
+                    ).to_arrow()
+
+        pairs = bucketed_map_groups(li, "l_orderkey", pair_kernel)
+        counts = bucketed_aggregate(pairs, ["p1", "p2"],
+                                    [("n_orders", "sum")])
+
+        def rename(t: pa.Table) -> pa.Table:
+            return t.rename_columns(["p1", "p2", "n_orders"])
+
+        counts = counts.map_batches(rename, batch_format="pyarrow")
+
+        def top20(t: pa.Table) -> pa.Table:
+            n = np.asarray(t.column("n_orders"), dtype=np.int64)
+            p1 = np.asarray(t.column("p1"), dtype=np.int64)
+            p2 = np.asarray(t.column("p2"), dtype=np.int64)
+            o = np.lexsort((p2, p1, -n))[:20]
+            return t.take(pa.array(o))
+
+        return (counts.map_batches(top20, batch_format="pyarrow")
+                .repartition(1)
+                .map_batches(top20, batch_format="pyarrow",
+                             batch_size=None))
+
     def users_rfm_segments(sf_dir):
         """RFM (recency / frequency / monetary) user segmentation —
         the classic lifecycle-marketing shape: per-user last-event
@@ -6097,6 +6149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trend_by_type": events_trend_by_type,
         "events_throttled": events_throttled,
         "events_zorder_key": events_zorder_key,
+        "part_copurchase_top20": part_copurchase_top20,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -6694,6 +6747,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, %s AS zkey FROM (SELECT event_id, "
             "user_id, CAST(round(value * 100) AS BIGINT) AS cents "
             "FROM events)" % _morton_sql("user_id", "cents"),
+        "part_copurchase_top20":
+            "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey "
+            "FROM lineitem) "
+            "SELECT a.l_partkey AS p1, b.l_partkey AS p2, "
+            "count(*)::BIGINT AS n_orders "
+            "FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey "
+            "GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 20",
         "events_trend_by_type":
             "SELECT event_type, "
             "round(regr_slope(value, epoch_us(ts) / 86400000000.0), 4) "

@@ -177,7 +177,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "lineitem_semi_urgent", "events_cusum_changepoint",
                  "events_itemsets3", "docs_ari",
                  "events_trend_by_type", "events_throttled",
-                 "events_zorder_key", "kg_khop2"):
+                 "events_zorder_key", "kg_khop2",
+                 "part_copurchase_top20"):
         consume(name)
 
     total = round(time.time() - t0, 3)
