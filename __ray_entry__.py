@@ -5750,6 +5750,140 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 .map_batches(top20, batch_format="pyarrow",
                              batch_size=None))
 
+    def orders_monthly_growth(sf_dir):
+        """Month-over-month revenue growth — the LAG-window KPI:
+        bounded month domain reduces by one lowcard tree-combine
+        (exact int64 cents), the ≤|months| ordered rows diff in the
+        final task; growth ratio divides the same exact cents on both
+        engines (first month NULL, div-by-zero → NULL)."""
+        import numpy as np
+
+        ds = _tbl(sf_dir, "orders",
+                  columns=["o_orderdate", "o_totalprice"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            m = pc.strftime(t.column("o_orderdate")
+                            .cast(pa.timestamp("us")), format="%Y-%m")
+            cents = np.round(np.asarray(t.column("o_totalprice"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            g = pa.table({"month": m, "s": pa.array(cents)}) \
+                .group_by("month").aggregate([("s", "sum")])
+            return g.rename_columns(["month", "s"])
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by("month").aggregate([("s", "sum")]) \
+                .rename_columns(["month", "s"])
+
+        def final(t: pa.Table) -> pa.Table:
+            t = combine(t)
+            order = np.argsort(np.asarray(t.column("month"),
+                                          dtype=object))
+            m = np.asarray(t.column("month"), dtype=object)[order]
+            s = np.asarray(t.column("s"), dtype=np.int64)[order]
+            growth = np.full(len(s), np.nan)
+            if len(s) > 1:
+                prev = s[:-1].astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    growth[1:] = np.where(
+                        prev != 0.0, (s[1:] - s[:-1]) / prev, np.nan)
+            # DuckDB rounds half AWAY from zero; np.round is half-even
+            # — a dau/wau-style integer ratio CAN land exactly on a
+            # 4-dp midpoint (e.g. 1/32), so match the oracle's mode
+            g4 = np.copysign(
+                np.floor(np.abs(growth) * 1e4 + 0.5) / 1e4, growth)
+            return pa.table({
+                "month": pa.array(m, type=pa.string()),
+                "revenue": pa.array(
+                    np.round(s / 100.0, 2), type=pa.float64()),
+                "growth": pa.array(np.where(
+                    np.isnan(growth), None, g4), type=pa.float64())})
+
+        return lowcard_combine(ds, partial, final_fn=final,
+                               combine_fn=combine)
+
+    def events_dau_wau_stickiness(sf_dir):
+        """DAU / WAU / stickiness per day — the growth-analytics KPI
+        whose WAU is a SLIDING-WINDOW DISTINCT (not mergeable from
+        daily counts): each distinct (user, day) pair expands to the
+        ≤7 target days it supports, pairs dedup through ONE bucketed
+        exchange, and the bounded day domain carries the final counts.
+        The 7× expansion is the documented cost knob (window length ×
+        distinct pairs), traded for never shuffling raw events."""
+        import numpy as np
+        import pyarrow.compute as pc
+        from ie_ray.stages.relational import bucketed_aggregate
+
+        ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+
+        # bounded pull: the set of days present in the stream
+        def days_partial(t: pa.Table) -> pa.Table:
+            d = pc.divide(t.column("ts").cast(pa.timestamp("us"))
+                          .cast(pa.int64()), 86_400_000_000)
+            return pa.table({"day": d.combine_chunks().unique()})
+
+        def days_combine(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "day": t.column("day").combine_chunks().unique()})
+
+        present = np.sort(np.asarray(
+            [r["day"] for r in lowcard_combine(
+                ds, days_partial, final_fn=days_combine,
+                combine_fn=days_combine).take_all()], dtype=np.int64))
+
+        def expand(t: pa.Table) -> pa.Table:
+            d = np.asarray(pc.divide(
+                t.column("ts").cast(pa.timestamp("us"))
+                .cast(pa.int64()), 86_400_000_000), dtype=np.int64)
+            u = np.asarray(t.column("user_id"), dtype=np.int64)
+            # block-local (user, day) dedup before the 7x expansion
+            ud = np.unique(np.stack([u, d], axis=1), axis=0)
+            k = np.arange(7, dtype=np.int64)
+            tgt = (ud[:, 1][:, None] + k[None, :]).ravel()
+            usr = np.repeat(ud[:, 0], 7)
+            keep = np.isin(tgt, present)
+            base = pa.table({
+                "user_id": pa.array(usr[keep]),
+                "day": pa.array(tgt[keep]),
+                "is_dau": pa.array((tgt[keep] == np.repeat(
+                    ud[:, 1], 7)[keep]).astype(np.int64))})
+            # pre-combine: a pair may recur across a block's rows
+            return base.group_by(["user_id", "day"]).aggregate(
+                [("is_dau", "max")]).rename_columns(
+                ["user_id", "day", "is_dau"])
+
+        pairs = bucketed_aggregate(
+            ds.map_batches(expand, batch_format="pyarrow"),
+            ["user_id", "day"], [("is_dau", "max")])
+
+        def count_partial(t: pa.Table) -> pa.Table:
+            t = t.rename_columns(["user_id", "day", "is_dau"])
+            g = t.group_by("day").aggregate(
+                [([], "count_all"), ("is_dau", "sum")])
+            return g.rename_columns(["day", "wau", "dau"])
+
+        def count_combine(t: pa.Table) -> pa.Table:
+            return t.group_by("day").aggregate(
+                [("wau", "sum"), ("dau", "sum")]).rename_columns(
+                ["day", "wau", "dau"])
+
+        def finish(t: pa.Table) -> pa.Table:
+            t = count_combine(t)
+            dau = np.asarray(t.column("dau"), dtype=np.int64)
+            wau = np.asarray(t.column("wau"), dtype=np.int64)
+            ratio = dau / wau.astype(np.float64)
+            return pa.table({
+                "day": t.column("day").cast(pa.int64()),
+                "dau": pa.array(dau), "wau": pa.array(wau),
+                # half-away to match DuckDB (1/32 = .03125 is a real
+                # 4-dp midpoint)
+                "stickiness": pa.array(
+                    np.floor(ratio * 1e4 + 0.5) / 1e4)})
+
+        return lowcard_combine(pairs, count_partial, final_fn=finish,
+                               combine_fn=count_combine)
+
     def users_rfm_segments(sf_dir):
         """RFM (recency / frequency / monetary) user segmentation —
         the classic lifecycle-marketing shape: per-user last-event
@@ -6150,6 +6284,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_throttled": events_throttled,
         "events_zorder_key": events_zorder_key,
         "part_copurchase_top20": part_copurchase_top20,
+        "orders_monthly_growth": orders_monthly_growth,
+        "events_dau_wau_stickiness": events_dau_wau_stickiness,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -6747,6 +6883,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, %s AS zkey FROM (SELECT event_id, "
             "user_id, CAST(round(value * 100) AS BIGINT) AS cents "
             "FROM events)" % _morton_sql("user_id", "cents"),
+        "orders_monthly_growth":
+            "WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS "
+            "month, sum(CAST(round(o_totalprice * 100) AS BIGINT)) "
+            "AS s FROM orders GROUP BY 1), "
+            "g AS (SELECT month, s, lag(s) OVER (ORDER BY month) AS "
+            "prev FROM m) "
+            "SELECT month, round(s / 100.0, 2) AS revenue, "
+            "round((s - prev)::DOUBLE / nullif(prev, 0), 4) AS growth "
+            "FROM g",
+        "events_dau_wau_stickiness":
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events), "
+            "days AS (SELECT DISTINCT day FROM d), "
+            "w AS (SELECT days.day, d.user_id, "
+            "max(CASE WHEN d.day = days.day THEN 1 ELSE 0 END) AS "
+            "is_dau FROM days JOIN d ON d.day BETWEEN days.day - 6 "
+            "AND days.day GROUP BY days.day, d.user_id) "
+            "SELECT day, sum(is_dau)::BIGINT AS dau, "
+            "count(*)::BIGINT AS wau, "
+            "round(sum(is_dau)::DOUBLE / count(*), 4) AS stickiness "
+            "FROM w GROUP BY day",
         "part_copurchase_top20":
             "WITH d AS (SELECT DISTINCT l_orderkey, l_partkey "
             "FROM lineitem) "

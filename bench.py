@@ -178,7 +178,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_itemsets3", "docs_ari",
                  "events_trend_by_type", "events_throttled",
                  "events_zorder_key", "kg_khop2",
-                 "part_copurchase_top20"):
+                 "part_copurchase_top20", "orders_monthly_growth",
+                 "events_dau_wau_stickiness"):
         consume(name)
 
     total = round(time.time() - t0, 3)
