@@ -5884,6 +5884,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lowcard_combine(pairs, count_partial, final_fn=finish,
                                combine_fn=count_combine)
 
+    def events_enriched_user_n(sf_dir):
+        """Probe-side enrichment through the SKEW-SALTED join
+        (relational.py::salted_join): every event picks up its user's
+        total event count.  The build side (per-user counts) is
+        rows-sized — too big to assume broadcastable at 10¹² events —
+        and a hot user would straggler an unsalted exchange, so the
+        probe keys are salted and the build rows replicated ×salt
+        (planted-skew equivalence gated in tests/test_salted_join.py)."""
+        from ie_ray.stages.relational import (bucketed_aggregate,
+                                              salted_join)
+
+        ev = _tbl(sf_dir, "events", columns=["event_id", "user_id"])
+        counts = bucketed_aggregate(ev, "user_id",
+                                    [("event_id", "count")])
+
+        def rename(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": t.column(0).cast(pa.int64()),
+                "user_n": t.column(1).cast(pa.int64())})
+
+        dim = counts.map_batches(rename, batch_format="pyarrow") \
+            .materialize()
+        return salted_join(ev, dim, "user_id", salt=8)
+
     def users_rfm_segments(sf_dir):
         """RFM (recency / frequency / monetary) user segmentation —
         the classic lifecycle-marketing shape: per-user last-event
@@ -6286,6 +6310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_copurchase_top20": part_copurchase_top20,
         "orders_monthly_growth": orders_monthly_growth,
         "events_dau_wau_stickiness": events_dau_wau_stickiness,
+        "events_enriched_user_n": events_enriched_user_n,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -6883,6 +6908,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, %s AS zkey FROM (SELECT event_id, "
             "user_id, CAST(round(value * 100) AS BIGINT) AS cents "
             "FROM events)" % _morton_sql("user_id", "cents"),
+        "events_enriched_user_n":
+            "SELECT event_id, user_id, count(*) OVER "
+            "(PARTITION BY user_id)::BIGINT AS user_n FROM events",
         "orders_monthly_growth":
             "WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS "
             "month, sum(CAST(round(o_totalprice * 100) AS BIGINT)) "

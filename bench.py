@@ -179,7 +179,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_trend_by_type", "events_throttled",
                  "events_zorder_key", "kg_khop2",
                  "part_copurchase_top20", "orders_monthly_growth",
-                 "events_dau_wau_stickiness"):
+                 "events_dau_wau_stickiness",
+                 "events_enriched_user_n"):
         consume(name)
 
     total = round(time.time() - t0, 3)

@@ -718,3 +718,87 @@ class KeyLookup:
             pc.index_in(pa.array(probe, type=pa.int64()),
                         value_set=self._keys_pa), -1)
         return self._vals_ext[np.asarray(idx, dtype=np.int64)]
+
+
+def salted_join(left, right, on: str, salt: int = 8, parts: int = 64):
+    """Skew-defeating large × large inner equi-join — the classic key
+    salting / build-side replication pattern: a hot probe key (one
+    user with 10⁸ rows) concentrates an unsalted hash exchange into a
+    single straggler partition; here every left row gets a salt in
+    [0, salt) appended to its key while every right row is REPLICATED
+    ``salt`` times (one copy per salt), so the hot key's rows spread
+    over up to ``salt`` partitions and each still meets its matching
+    build rows.  The cost knob is explicit: right-side shuffle volume
+    × salt — use when the probe side is skewed and the build side is
+    (much) smaller but too big to broadcast
+    (``adaptive_join`` handles the broadcast-size case).
+
+    Per-bucket the actual join is one vectorized polars inner join
+    over all keys in the bucket.  Result is EXACTLY the unsalted
+    inner join (salt only routes).  Column collisions take the left
+    value; right payload columns keep their names.
+    """
+    import polars as pl
+
+    rschema = right.schema(fetch_if_missing=True)
+    rpay = [n for n in rschema.names if n != on]
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        s = (np.arange(n, dtype=np.int64) % salt)
+        return pa.table({
+            "__side": pa.array(np.zeros(n, dtype=np.int8)),
+            "__salt": pa.array(s),
+            **{c: t.column(c) for c in t.column_names}})
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), salt))
+        rep = t.take(idx)
+        s = np.tile(np.arange(salt, dtype=np.int64), n)
+        return pa.table({
+            "__side": pa.array(np.ones(n * salt, dtype=np.int8)),
+            "__salt": pa.array(s),
+            **{c: rep.column(c) for c in rep.column_names}})
+
+    lcols = left.schema(fetch_if_missing=True).names
+    tagged = left.map_batches(tag_left, batch_format="pyarrow")
+    rep = right.map_batches(replicate_right, batch_format="pyarrow")
+
+    # union of mismatched schemas is illegal — pad each side with the
+    # other's columns as nulls
+    def pad(cols_missing, types):
+        def fn(t: pa.Table) -> pa.Table:
+            for c, ty in zip(cols_missing, types):
+                t = t.append_column(c, pa.nulls(t.num_rows, ty))
+            return t
+        return fn
+
+    ltypes = {n: t for n, t in zip(lcols,
+                                   left.schema(fetch_if_missing=True)
+                                   .types)}
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
+    lmiss = [c for c in rpay if c not in lcols]
+    rmiss = [c for c in lcols if c not in rschema.names]
+    tagged = tagged.map_batches(
+        pad(lmiss, [rtypes[c] for c in lmiss]), batch_format="pyarrow")
+    rep = rep.map_batches(
+        pad(rmiss, [ltypes[c] for c in rmiss]), batch_format="pyarrow")
+    both = tagged.union(rep)
+
+    out_cols = lcols + [c for c in rpay if c not in lcols]
+
+    def bucket_join(g: pa.Table) -> pa.Table:
+        side = np.asarray(g.column("__side"))
+        lt = g.filter(pa.array(side == 0)).select(lcols)
+        rt = g.filter(pa.array(side == 1)).select(
+            [on] + [c for c in rpay if c not in lcols])
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table({c: pa.array([], type=(
+                ltypes.get(c) or rtypes[c])) for c in out_cols})
+        j = pl.from_arrow(lt).join(pl.from_arrow(rt), on=on,
+                                   how="inner")
+        return j.select(out_cols).to_arrow()
+
+    return bucketed_map_groups(both, [on, "__salt"], bucket_join,
+                               parts=parts)
