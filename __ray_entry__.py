@@ -2527,6 +2527,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         good = canon.filter(expr="kind != 'quarantine' and kind != 'empty'")
         return build_edges(good)
 
+    def events_type_user_overlap(sf_dir):
+        """Audience-overlap matrix between event types via KMV
+        k-minimum-values sketches (stages/sketches.py::kmv_overlap) —
+        the set-INTERSECTION estimate HLL cannot give: per type the k
+        smallest value hashes merge by union+truncate, and the union's
+        k-sample yields Jaccard + intersection size per type pair.
+        Sketch-defined (no SQL oracle); accuracy and block-layout
+        invariance pytest-gated (tests/test_kmv.py)."""
+        from ie_ray.stages.sketches import kmv_overlap
+
+        ev = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
+        return kmv_overlap(ev, "user_id", "event_type", k=256)
+
     def kg_khop2(sf_dir):
         """2-hop neighborhood subgraph around the two highest-degree
         canonical entities (deterministic seeds: row-count degree,
@@ -6451,6 +6464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- inherently oracle-less (sketches / kg / CCG / iterative);
         #    each names its pytest gate in the callable's docstring --
         "events_users_approx": events_users_approx,
+        "events_type_user_overlap": events_type_user_overlap,
         "doc_compression_ratio": doc_compression_ratio,
         "events_quantile_digest": events_quantile_digest,
         "knn_top1_ivf": knn_top1_ivf,

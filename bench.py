@@ -180,7 +180,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_zorder_key", "kg_khop2",
                  "part_copurchase_top20", "orders_monthly_growth",
                  "events_dau_wau_stickiness",
-                 "events_enriched_user_n"):
+                 "events_enriched_user_n",
+                 "events_type_user_overlap"):
         consume(name)
 
     total = round(time.time() - t0, 3)

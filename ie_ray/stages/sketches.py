@@ -275,3 +275,92 @@ def quantile_digest(ds, value_col: str, group_col: str, qs,
 
     return (ds.map_batches(partial, batch_format="pyarrow")
             .groupby(group_col).map_groups(merge, batch_format="pyarrow"))
+
+
+def kmv_overlap(ds, value_col: str, group_col: str, k: int = 256):
+    """KMV (k-minimum-values, Bar-Yossef et al. 2002) sketches per
+    group with SET-INTERSECTION estimation between every group pair —
+    the capability HLL lacks: per group keep the k smallest 64-bit
+    hashes of the distinct values; sketches merge by union+truncate
+    (associative/idempotent), distinct cardinality ≈ (k−1)/t_k on the
+    unit-normalized kth minimum, and for a pair the k smallest of the
+    UNION form a uniform sample of X∪Y, so |X∩Y|/|X∪Y| ≈ the fraction
+    of that sample present in BOTH sketches (Jaccard), and the
+    intersection size is J·U.
+
+    Scale shape: each block emits ≤ groups × k hash rows; the bounded
+    (group, hash) domain tree-combines (union+truncate per group);
+    the final task holds |groups| × k values.  Estimates are
+    deterministic (fixed splitmix hash) — accuracy is pytest-gated,
+    no SQL oracle (sketch-defined).
+
+    Returns one row per unordered group pair:
+    (g1, g2, jaccard_est, union_est, overlap_est) rounded to 4 dp.
+    """
+    from ie_ray.stages.relational import lowcard_combine
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = _hash64(t.column(value_col).cast(pa.int64())
+                       .combine_chunks().to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        return combine(pa.table({
+            "g": t.column(group_col),
+            "h": pa.array(keys.view(np.int64))}))
+
+    # Hashes are uint64 but ride as int64 bit patterns; "k smallest"
+    # must use the UNSIGNED order, so the truncate converts views
+    # explicitly everywhere it sorts.
+
+    def combine(t: pa.Table) -> pa.Table:
+        import polars as pl
+        df = pl.from_arrow(pa.table({
+            "g": t.column("g"), "h": t.column("h")})).unique(["g", "h"])
+        out = []
+        for g_name, sub in df.group_by("g"):
+            h = sub.get_column("h").to_numpy().astype(np.int64) \
+                .view(np.uint64)
+            h = np.sort(h)[:k]
+            out.append(pl.DataFrame({
+                "g": [g_name[0] if isinstance(g_name, tuple)
+                      else g_name] * len(h),
+                "h": h.view(np.int64)}))
+        return pl.concat(out).to_arrow() if out else \
+            pa.table({"g": pa.array([], type=pa.string()),
+                      "h": pa.array([], type=pa.int64())})
+
+    def final(t: pa.Table) -> pa.Table:
+        t = combine(t)
+        groups = sorted(set(t.column("g").to_pylist()))
+        sk = {}
+        garr = np.asarray(t.column("g").to_pylist(), dtype=object)
+        harr = np.asarray(t.column("h"), dtype=np.int64).view(np.uint64)
+        for g in groups:
+            sk[g] = np.sort(harr[garr == g])[:k]
+        rows = []
+        denom = float(2 ** 64)
+        for i, g1 in enumerate(groups):
+            for g2 in groups[i + 1:]:
+                a, b = sk[g1], sk[g2]
+                uni = np.unique(np.concatenate([a, b]))[:k]
+                ku = len(uni)
+                if ku == 0:
+                    continue
+                # union cardinality from the kth minimum of the union
+                t_k = uni[-1] / denom
+                u_est = (ku - 1) / t_k if t_k > 0 else 0.0
+                inter = np.intersect1d(uni, a, assume_unique=True)
+                inter = np.intersect1d(inter, b, assume_unique=True)
+                j_est = len(inter) / ku
+                rows.append((g1, g2, j_est, u_est, j_est * u_est))
+        return pa.table({
+            "g1": pa.array([r[0] for r in rows], type=pa.string()),
+            "g2": pa.array([r[1] for r in rows], type=pa.string()),
+            "jaccard_est": pa.array(
+                [round(r[2], 4) for r in rows], type=pa.float64()),
+            "union_est": pa.array(
+                [round(r[3], 4) for r in rows], type=pa.float64()),
+            "overlap_est": pa.array(
+                [round(r[4], 4) for r in rows], type=pa.float64())})
+
+    return lowcard_combine(ds.select_columns([group_col, value_col]),
+                           partial, final_fn=final, combine_fn=combine)
