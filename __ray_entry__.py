@@ -2527,6 +2527,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         good = canon.filter(expr="kind != 'quarantine' and kind != 'empty'")
         return build_edges(good)
 
+    def events_median_interarrival_us(sf_dir):
+        """EXACT global median of per-user inter-event gaps — an
+        UNBOUNDED int64 domain (µs latencies), so the cent-grid
+        histogram trick does not apply: distributed selection by
+        iterative range narrowing (stages/selection.py — ≤4 counting
+        passes of 2¹⁶ bounded bins + one bounded collect; the gap
+        stream is materialized once so passes re-scan blocks, not
+        lineage).  Continuous interpolation matches quantile_cont."""
+        import polars as pl
+        from ie_ray.stages.relational import bucketed_map_groups
+        from ie_ray.stages.selection import exact_quantile_int64
+
+        ds = _tbl(sf_dir, "events",
+                  columns=["user_id", "ts", "event_id"])
+
+        def gaps(g: pa.Table) -> pa.Table:
+            df = pl.from_arrow(pa.table({
+                "u": g.column("user_id").cast(pa.int64()),
+                "ts": g.column("ts").cast(pa.timestamp("us"))
+                .cast(pa.int64()),
+                "id": g.column("event_id").cast(pa.int64())}))
+            out = (df.sort(["u", "ts", "id"])
+                   .with_columns((pl.col("ts") - pl.col("ts").shift(1))
+                                 .over("u").alias("gap"))
+                   .drop_nulls("gap").select("gap"))
+            return out.to_arrow()
+
+        gap_ds = bucketed_map_groups(ds, "user_id", gaps).materialize()
+        med = exact_quantile_int64(gap_ds, "gap", 0.5)
+        return pa.table({"med_us": pa.array([med], type=pa.float64())})
+
     def events_type_user_overlap(sf_dir):
         """Audience-overlap matrix between event types via KMV
         k-minimum-values sketches (stages/sketches.py::kmv_overlap) —
@@ -6324,6 +6355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_growth": orders_monthly_growth,
         "events_dau_wau_stickiness": events_dau_wau_stickiness,
         "events_enriched_user_n": events_enriched_user_n,
+        "events_median_interarrival_us": events_median_interarrival_us,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -6922,6 +6954,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, %s AS zkey FROM (SELECT event_id, "
             "user_id, CAST(round(value * 100) AS BIGINT) AS cents "
             "FROM events)" % _morton_sql("user_id", "cents"),
+        "events_median_interarrival_us":
+            "WITH g AS (SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS gap "
+            "FROM events) SELECT quantile_cont(gap, 0.5) AS med_us "
+            "FROM g WHERE gap IS NOT NULL",
         "events_enriched_user_n":
             "SELECT event_id, user_id, count(*) OVER "
             "(PARTITION BY user_id)::BIGINT AS user_n FROM events",

@@ -181,7 +181,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "part_copurchase_top20", "orders_monthly_growth",
                  "events_dau_wau_stickiness",
                  "events_enriched_user_n",
-                 "events_type_user_overlap"):
+                 "events_type_user_overlap",
+                 "events_median_interarrival_us"):
         consume(name)
 
     total = round(time.time() - t0, 3)
