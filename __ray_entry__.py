@@ -2558,6 +2558,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         med = exact_quantile_int64(gap_ds, "gap", 0.5)
         return pa.table({"med_us": pa.array([med], type=pa.float64())})
 
+    def docs_ks_by_source(sf_dir):
+        """Two-sample Kolmogorov–Smirnov drift statistic per source vs
+        the whole corpus over document length — the nonparametric
+        sibling of the KL monitor (KL needs shared-token smoothing; KS
+        is binless and assumption-free).  Length sits on a bounded
+        grid, so each block reduces to (source, len, n) counts, ONE
+        lowcard tree-combine carries both empirical CDFs, and the
+        final task evaluates D = max|F_src − F_all| on the pooled
+        support.  Division and rounding replicated op-for-op (half-
+        away) so the float output matches DuckDB exactly."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = pa.table({
+                "source": t.column("source"),
+                "len": pc.utf8_length(t.column("text"))
+                .cast(pa.int64())}) \
+                .group_by(["source", "len"]).aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["source", "len", "n"])
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by(["source", "len"]).aggregate(
+                [("n", "sum")]).rename_columns(["source", "len", "n"])
+
+        def final(t: pa.Table) -> pa.Table:
+            t = combine(t)
+            src = np.asarray(t.column("source").to_pylist(),
+                             dtype=object)
+            ln = np.asarray(t.column("len"), dtype=np.int64)
+            n = np.asarray(t.column("n"), dtype=np.int64)
+            grid = np.unique(ln)
+            sources = sorted(set(src.tolist()))
+            tot_all = int(n.sum())
+            # corpus CDF on the grid (|grid| ≤ distinct lengths)
+            cum_all = np.array([int(n[ln <= g_].sum()) for g_ in grid],
+                               dtype=np.int64)
+            rows = []
+            for s in sources:
+                m = src == s
+                ns = int(n[m].sum())
+                cum_s = np.array([int(n[m & (ln <= g_)].sum())
+                                  for g_ in grid], dtype=np.int64)
+                d = np.abs(cum_s / ns - cum_all / tot_all)
+                rows.append((s, np.floor(d.max() * 1e4 + 0.5) / 1e4))
+            return pa.table({
+                "source": pa.array([r[0] for r in rows],
+                                   type=pa.string()),
+                "ks": pa.array([r[1] for r in rows],
+                               type=pa.float64())})
+
+        return lowcard_combine(
+            _docs(sf_dir).map_batches(
+                lambda t: t.select(["source", "text"]),
+                batch_format="pyarrow"),
+            partial, final_fn=final, combine_fn=combine)
+
     def events_type_user_overlap(sf_dir):
         """Audience-overlap matrix between event types via KMV
         k-minimum-values sketches (stages/sketches.py::kmv_overlap) —
@@ -6356,6 +6414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_dau_wau_stickiness": events_dau_wau_stickiness,
         "events_enriched_user_n": events_enriched_user_n,
         "events_median_interarrival_us": events_median_interarrival_us,
+        "docs_ks_by_source": docs_ks_by_source,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -6954,6 +7013,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, %s AS zkey FROM (SELECT event_id, "
             "user_id, CAST(round(value * 100) AS BIGINT) AS cents "
             "FROM events)" % _morton_sql("user_id", "cents"),
+        "docs_ks_by_source":
+            "WITH d AS (SELECT source, length(text)::BIGINT AS len "
+            "FROM documents), "
+            "tot AS (SELECT source, count(*)::BIGINT AS n FROM d "
+            "GROUP BY 1), "
+            "alln AS (SELECT count(*)::BIGINT AS n FROM d), "
+            "grid AS (SELECT DISTINCT len FROM d), "
+            "cs AS (SELECT t.source, t.n AS n_src, g.len, "
+            "(SELECT count(*) FROM d d2 WHERE d2.source = t.source "
+            "AND d2.len <= g.len) AS c_src, "
+            "(SELECT count(*) FROM d d3 WHERE d3.len <= g.len) AS "
+            "c_all FROM tot t CROSS JOIN grid g) "
+            "SELECT source, round(max(abs(c_src::DOUBLE / n_src "
+            "- c_all::DOUBLE / (SELECT n FROM alln))), 4) AS ks "
+            "FROM cs GROUP BY source",
         "events_median_interarrival_us":
             "WITH g AS (SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS gap "

@@ -182,7 +182,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_dau_wau_stickiness",
                  "events_enriched_user_n",
                  "events_type_user_overlap",
-                 "events_median_interarrival_us"):
+                 "events_median_interarrival_us",
+                 "docs_ks_by_source"):
         consume(name)
 
     total = round(time.time() - t0, 3)
