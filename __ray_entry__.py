@@ -780,18 +780,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
                     *(np.asarray(t.column(c)) for c in
                       ("n", "mx", "my", "m2x", "m2y", "cxy"))))
             types = sorted(agg)
-            slope = [agg[k][5] / agg[k][3] for k in types]
-            icept = [agg[k][2] - s * agg[k][1]
-                     for k, s in zip(types, slope)]
-            r2 = [agg[k][5] ** 2 / (agg[k][3] * agg[k][4])
-                  for k in types]
+            # zero-variance / singleton groups: regr_slope & friends
+            # return NULL, not inf/nan (review finding r5s4)
+            slope, icept, r2 = [], [], []
+            for k in types:
+                _, mx, my, m2x, m2y, cxy = agg[k]
+                if m2x == 0.0:
+                    slope.append(None)
+                    icept.append(None)
+                else:
+                    s = cxy / m2x
+                    slope.append(round(s, 4))
+                    icept.append(round(my - s * mx, 4))
+                r2.append(None if m2x == 0.0 or m2y == 0.0
+                          else round(cxy ** 2 / (m2x * m2y), 4))
             return pa.table({
                 "event_type": pa.array(types, type=pa.string()),
-                "slope_per_day": pa.array(np.round(slope, 4),
-                                          type=pa.float64()),
-                "intercept": pa.array(np.round(icept, 4),
-                                      type=pa.float64()),
-                "r2": pa.array(np.round(r2, 4), type=pa.float64())})
+                "slope_per_day": pa.array(slope, type=pa.float64()),
+                "intercept": pa.array(icept, type=pa.float64()),
+                "r2": pa.array(r2, type=pa.float64())})
 
         return lowcard_combine(
             _tbl(sf_dir, "events", columns=["event_type", "ts", "value"]),
@@ -2593,15 +2600,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             grid = np.unique(ln)
             sources = sorted(set(src.tolist()))
             tot_all = int(n.sum())
-            # corpus CDF on the grid (|grid| ≤ distinct lengths)
-            cum_all = np.array([int(n[ln <= g_].sum()) for g_ in grid],
-                               dtype=np.int64)
+            # vectorized CDFs: scatter-add counts onto the grid, then
+            # cumsum — O(rows + grid) instead of the masked-sum
+            # O(sources × grid × rows) (review finding r5s4)
+            gi = np.searchsorted(grid, ln)
+            hall = np.zeros(len(grid), dtype=np.int64)
+            np.add.at(hall, gi, n)
+            cum_all = np.cumsum(hall)
             rows = []
             for s in sources:
                 m = src == s
                 ns = int(n[m].sum())
-                cum_s = np.array([int(n[m & (ln <= g_)].sum())
-                                  for g_ in grid], dtype=np.int64)
+                hs = np.zeros(len(grid), dtype=np.int64)
+                np.add.at(hs, gi[m], n[m])
+                cum_s = np.cumsum(hs)
                 d = np.abs(cum_s / ns - cum_all / tot_all)
                 rows.append((s, np.floor(d.max() * 1e4 + 0.5) / 1e4))
             return pa.table({

@@ -392,10 +392,15 @@ def khop_subgraph(edges_ds, seeds, hops: int = 2):
     for _ in range(hops):
         if len(frontier) == 0:
             break
-        fref = ray.put(set(frontier.tolist()))
+        # broadcast the frontier as a READY Arrow array: per-batch
+        # cost is just the is_in probe (review finding r5s4 — the
+        # per-batch set->sorted->Arrow rebuild was O(|F| log |F|)
+        # per block)
+        fref = ray.put(pa.array(sorted(frontier.tolist()),
+                                type=pa.string()))
 
         def touch(t: pa.Table, _fref=fref) -> pa.Table:
-            fset = pa.array(sorted(ray.get(_fref)), type=pa.string())
+            fset = ray.get(_fref)
             m = pc.or_(pc.is_in(t.column("subj_id"), value_set=fset),
                        pc.is_in(t.column("obj_id"), value_set=fset))
             return t.filter(m)

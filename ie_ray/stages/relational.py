@@ -789,15 +789,21 @@ def salted_join(left, right, on: str, salt: int = 8, parts: int = 64):
     out_cols = lcols + [c for c in rpay if c not in lcols]
 
     def bucket_join(g: pa.Table) -> pa.Table:
+        # join on (key, salt), NOT the key alone: a bucket holds many
+        # (key, salt) cells, and with salt > parts two salt replicas
+        # of the SAME key can co-bucket — joining on the bare key
+        # would then match each probe row against both replicas and
+        # silently duplicate output (review finding, r5s4)
         side = np.asarray(g.column("__side"))
-        lt = g.filter(pa.array(side == 0)).select(lcols)
+        lt = g.filter(pa.array(side == 0)).select(
+            ["__salt"] + lcols)
         rt = g.filter(pa.array(side == 1)).select(
-            [on] + [c for c in rpay if c not in lcols])
+            ["__salt", on] + [c for c in rpay if c not in lcols])
         if lt.num_rows == 0 or rt.num_rows == 0:
             return pa.table({c: pa.array([], type=(
                 ltypes.get(c) or rtypes[c])) for c in out_cols})
-        j = pl.from_arrow(lt).join(pl.from_arrow(rt), on=on,
-                                   how="inner")
+        j = pl.from_arrow(lt).join(pl.from_arrow(rt),
+                                   on=[on, "__salt"], how="inner")
         return j.select(out_cols).to_arrow()
 
     return bucketed_map_groups(both, [on, "__salt"], bucket_join,

@@ -6,10 +6,19 @@ only when the value domain is BOUNDED; arbitrary int64 columns
 The classic answer (the Blum/Floyd–Rivest family adapted to
 shared-nothing scans): repeatedly histogram the candidate range into
 2¹⁶ equal bins with one counting pass over the data, descend into the
-bin containing the target rank, and stop once the range is narrow
-enough to pull its members exactly (a bounded collect).  A 64-bit
-range needs ≤ 4 passes; each pass is one lowcard tree-combine (2¹⁶
-bounded keys), so nothing rows-sized ever shuffles.
+bin containing the target rank, and stop once the surviving ROW count
+(not just the range width) is small enough to pull exactly — a range
+of one value answers directly, so heavy duplicates can never blow up
+the collect.  A 64-bit range needs ≤ 4 passes; each pass is one
+lowcard tree-combine (2¹⁶ bounded keys), so nothing rows-sized ever
+shuffles.
+
+Robustness contracts (review findings, r5s4):
+* values are XOR-biased into uint64 (order-preserving ``v ^ 2⁶³``) so
+  range arithmetic never overflows — full ±2⁶³ spans work;
+* nulls are dropped at ingestion (quantile_cont semantics);
+* adjacent ranks (the even-count median pair) share one descent and
+  one collect when they land in the same narrowed range.
 
 Callers selecting from a DERIVED stream should ``materialize()`` it
 first — each pass re-scans the input, and re-executing an expensive
@@ -23,7 +32,20 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _BINS = 1 << 16
-_COLLECT_MAX = 1 << 18   # pull the survivors once the range is small
+_COLLECT_MAX = 1 << 18   # max ROWS the final collect may pull
+
+_SIGN = np.uint64(1 << 63)
+
+
+def _ucol(t: pa.Table, col: str) -> np.ndarray:
+    """Null-dropped column as order-preserving biased uint64."""
+    arr = t.column(col).cast(pa.int64()).combine_chunks().drop_null()
+    v = arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    return v.view(np.uint64) ^ _SIGN
+
+
+def _unbias(u) -> int:
+    return int(np.int64(np.uint64(u) ^ _SIGN))
 
 
 def _scalar_pass(ds, partial, combine):
@@ -32,31 +54,15 @@ def _scalar_pass(ds, partial, combine):
                            combine_fn=combine).take_all()
 
 
-def _count_below(ds, col: str, lo: int) -> int:
-    def partial(t: pa.Table) -> pa.Table:
-        v = t.column(col).cast(pa.int64()).combine_chunks() \
-            .to_numpy(zero_copy_only=False)
-        return pa.table({"n": pa.array([int((v < lo).sum())],
-                                       type=pa.int64())})
-
-    def combine(t: pa.Table) -> pa.Table:
-        return pa.table({"n": pa.array(
-            [pc.sum(t.column("n")).as_py() or 0], type=pa.int64())})
-
-    rows = _scalar_pass(ds, partial, combine)
-    return int(rows[0]["n"]) if rows else 0
-
-
-def _histogram(ds, col: str, lo: int, hi: int):
-    """Per-bin counts over [lo, hi] (bin -1 = below-range count)."""
-    span = hi - lo + 1
-    width = max(1, -(-span // _BINS))
+def _histogram(ds, col: str, lo: np.uint64, hi: np.uint64):
+    """Per-bin counts over biased [lo, hi] + below-range count."""
+    span = int(hi - lo) + 1
+    width = np.uint64(max(1, -(-span // _BINS)))
 
     def partial(t: pa.Table) -> pa.Table:
-        v = t.column(col).cast(pa.int64()).combine_chunks() \
-            .to_numpy(zero_copy_only=False)
-        below = int((v < lo).sum())
-        inr = v[(v >= lo) & (v <= hi)]
+        u = _ucol(t, col)
+        below = int((u < lo).sum())
+        inr = u[(u >= lo) & (u <= hi)]
         b = ((inr - lo) // width).astype(np.int64)
         cnt = np.bincount(b, minlength=1).astype(np.int64)
         nz = np.nonzero(cnt)[0]
@@ -74,79 +80,123 @@ def _histogram(ds, col: str, lo: int, hi: int):
     return below, counts, width
 
 
-def exact_kth_int64(ds, col: str, ks, lo: int = None,
-                    hi: int = None) -> dict:
-    """Exact values at 0-based ranks ``ks`` (ascending order) of the
-    int64 column; multi-pass histogram descent, {k: value}.
-    ``lo``/``hi`` bound the search (one min/max pass if omitted)."""
+def _descend(ds, col: str, k: int, lo: np.uint64, hi: np.uint64):
+    """Narrow [lo, hi] until the in-range row count ≤ _COLLECT_MAX or
+    the range is a single value.  Returns (lo, hi, in_rows) with
+    in_rows = None when the range collapsed to one value (answer =
+    lo, no collect needed)."""
+    while True:
+        below, counts, width = _histogram(ds, col, lo, hi)
+        rank_in = k - below
+        run, target = 0, None
+        for b in sorted(counts):
+            if run + counts[b] > rank_in:
+                target = b
+                break
+            run += counts[b]
+        if target is None:   # rank at/after max: clamp to top bin
+            target = max(counts)
+        new_lo = lo + np.uint64(target) * width
+        hi = min(hi, new_lo + width - np.uint64(1))
+        lo = new_lo
+        in_rows = counts[target]
+        if hi == lo:
+            return lo, hi, None
+        if in_rows <= _COLLECT_MAX:
+            return lo, hi, in_rows
+
+
+def _collect_sorted(ds, col: str, lo: np.uint64,
+                    hi: np.uint64) -> np.ndarray:
+    def collect(t: pa.Table) -> pa.Table:
+        u = _ucol(t, col)
+        keep = u[(u >= lo) & (u <= hi)]
+        return pa.table({"v": pa.array(np.sort(keep).view(np.int64))})
+
+    def ccomb(t: pa.Table) -> pa.Table:
+        u = np.asarray(t.column("v"), dtype=np.int64).view(np.uint64)
+        return pa.table({"v": pa.array(np.sort(u).view(np.int64))})
+
+    rows = _scalar_pass(ds, collect, ccomb)
+    return np.asarray([r["v"] for r in rows],
+                      dtype=np.int64).view(np.uint64)
+
+
+def _count_below(ds, col: str, lo: np.uint64) -> int:
+    def partial(t: pa.Table) -> pa.Table:
+        u = _ucol(t, col)
+        return pa.table({"n": pa.array([int((u < lo).sum())],
+                                       type=pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array(
+            [pc.sum(t.column("n")).as_py() or 0], type=pa.int64())})
+
+    rows = _scalar_pass(ds, partial, combine)
+    return int(rows[0]["n"]) if rows else 0
+
+
+def exact_kth_int64(ds, col: str, ks) -> dict:
+    """Exact values at 0-based ranks ``ks`` (ascending, nulls ignored)
+    of the int64 column; multi-pass histogram descent, {k: value}."""
     ks = sorted(set(int(k) for k in ks))
-    if lo is None or hi is None:
-        def mm(t: pa.Table) -> pa.Table:
-            v = t.column(col).cast(pa.int64()).combine_chunks() \
-                .to_numpy(zero_copy_only=False)
-            if len(v) == 0:
-                return pa.table({"lo": pa.array([], type=pa.int64()),
-                                 "hi": pa.array([], type=pa.int64())})
-            return pa.table({"lo": pa.array([int(v.min())]),
-                             "hi": pa.array([int(v.max())])})
+    if not ks:
+        return {}
 
-        def mmc(t: pa.Table) -> pa.Table:
-            if t.num_rows == 0:
-                return t
-            return pa.table({
-                "lo": pa.array([pc.min(t.column("lo")).as_py()],
-                               type=pa.int64()),
-                "hi": pa.array([pc.max(t.column("hi")).as_py()],
-                               type=pa.int64())})
+    def mm(t: pa.Table) -> pa.Table:
+        u = _ucol(t, col)
+        if len(u) == 0:
+            return pa.table({"lo": pa.array([], type=pa.int64()),
+                             "hi": pa.array([], type=pa.int64())})
+        return pa.table({
+            "lo": pa.array(np.array([u.min()]).view(np.int64)),
+            "hi": pa.array(np.array([u.max()]).view(np.int64))})
 
-        rows = _scalar_pass(ds, mm, mmc)
-        if not rows:
-            return {}
-        lo, hi = int(rows[0]["lo"]), int(rows[0]["hi"])
+    def mmc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        lo_ = np.asarray(t.column("lo"), dtype=np.int64) \
+            .view(np.uint64).min()
+        hi_ = np.asarray(t.column("hi"), dtype=np.int64) \
+            .view(np.uint64).max()
+        return pa.table({
+            "lo": pa.array(np.array([lo_]).view(np.int64)),
+            "hi": pa.array(np.array([hi_]).view(np.int64))})
+
+    rows = _scalar_pass(ds, mm, mmc)
+    if not rows:
+        return {}
+    glo = np.uint64(np.int64(rows[0]["lo"]))
+    ghi = np.uint64(np.int64(rows[0]["hi"]))
 
     out = {}
+    cache = None   # (lo, hi, sorted_values, offset) of the last collect
     for k in ks:
-        klo, khi = lo, hi
-        while khi - klo + 1 > _COLLECT_MAX:
-            below, counts, width = _histogram(ds, col, klo, khi)
-            rank_in = k - below
-            run, target = 0, None
-            for b in sorted(counts):
-                if run + counts[b] > rank_in:
-                    target = b
-                    break
-                run += counts[b]
-            if target is None:   # rank at/after max: clamp to top bin
-                target = max(counts)
-            new_lo = klo + target * width
-            khi = min(khi, new_lo + width - 1)
-            klo = new_lo
-
-        def collect(t: pa.Table, _lo=klo, _hi=khi) -> pa.Table:
-            v = t.column(col).cast(pa.int64()).combine_chunks() \
-                .to_numpy(zero_copy_only=False)
-            keep = v[(v >= _lo) & (v <= _hi)]
-            return pa.table({"v": pa.array(np.sort(keep))})
-
-        def ccomb(t: pa.Table) -> pa.Table:
-            return pa.table({"v": pa.array(
-                np.sort(np.asarray(t.column("v"), dtype=np.int64)))})
-
-        offset = _count_below(ds, col, klo)
-        vals = _scalar_pass(ds, collect, ccomb)
-        arr = np.asarray([r["v"] for r in vals], dtype=np.int64)
-        out[k] = int(arr[k - offset])
+        if cache is not None:
+            clo, chi, arr, off = cache
+            if off <= k < off + len(arr):
+                out[k] = _unbias(arr[k - off])
+                continue
+        lo, hi, in_rows = _descend(ds, col, k, glo, ghi)
+        if in_rows is None:
+            out[k] = _unbias(lo)
+            # single-value ranges don't cache rank spans; skip
+            continue
+        off = _count_below(ds, col, lo)
+        arr = _collect_sorted(ds, col, lo, hi)
+        cache = (lo, hi, arr, off)
+        out[k] = _unbias(arr[k - off])
     return out
 
 
 def exact_quantile_int64(ds, col: str, q: float, n: int = None):
     """Continuous-interpolation quantile (DuckDB quantile_cont /
-    median semantics) of an int64 column via :func:`exact_kth_int64`;
-    returns float (None on empty input)."""
+    median semantics, nulls ignored) of an int64 column via
+    :func:`exact_kth_int64`; returns float (None on empty input)."""
     if n is None:
         def cp(t: pa.Table) -> pa.Table:
-            return pa.table({"n": pa.array([t.num_rows],
-                                           type=pa.int64())})
+            return pa.table({"n": pa.array(
+                [len(_ucol(t, col))], type=pa.int64())})
 
         def cc(t: pa.Table) -> pa.Table:
             return pa.table({"n": pa.array(

@@ -341,9 +341,22 @@ def kmv_overlap(ds, value_col: str, group_col: str, k: int = 256):
         for i, g1 in enumerate(groups):
             for g2 in groups[i + 1:]:
                 a, b = sk[g1], sk[g2]
-                uni = np.unique(np.concatenate([a, b]))[:k]
+                full_uni = np.unique(np.concatenate([a, b]))
+                uni = full_uni[:k]
                 ku = len(uni)
                 if ku == 0:
+                    continue
+                if len(a) < k and len(b) < k:
+                    # neither sketch truncated -> both are COMPLETE
+                    # sets; the exact answer is free (review finding
+                    # r5s4: the (k-1)/t_k estimator is pure noise on
+                    # small audiences)
+                    u_est = float(len(full_uni))
+                    inter_n = len(np.intersect1d(
+                        a, b, assume_unique=True))
+                    j_est = inter_n / len(full_uni)
+                    rows.append((g1, g2, j_est, u_est,
+                                 float(inter_n)))
                     continue
                 # union cardinality from the kth minimum of the union
                 t_k = uni[-1] / denom

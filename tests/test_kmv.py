@@ -64,3 +64,19 @@ def test_kmv_disjoint_groups(ray_session):
     r = kmv_overlap(ray.data.from_arrow(t).repartition(3),
                     "v", "g", k=128).take_all()[0]
     assert r["jaccard_est"] == 0.0 and r["overlap_est"] == 0.0
+
+
+def test_kmv_small_groups_exact(ray_session):
+    """Untruncated sketches ARE the sets — tiny audiences must get
+    exact union/intersection, not estimator noise (review r5s4)."""
+    import ray.data
+
+    from ie_ray.stages.sketches import kmv_overlap
+
+    t = pa.table({
+        "g": pa.array(["A"] * 3 + ["B"] * 3),
+        "v": pa.array([1, 2, 3, 2, 3, 4], type=pa.int64())})
+    r = kmv_overlap(ray.data.from_arrow(t).repartition(2),
+                    "v", "g", k=256).take_all()[0]
+    assert r["union_est"] == 4.0 and r["overlap_est"] == 2.0
+    assert r["jaccard_est"] == 0.5

@@ -64,3 +64,21 @@ def test_salted_join_duplicate_build_rows(ray_session):
     out = sorted((r["row"], r["v"]) for r in salted_join(
         _ds(left, 2), _ds(right, 1), "k", salt=4).take_all())
     assert out == [(10, "a"), (10, "b"), (11, "a"), (11, "b")]
+
+
+def test_salted_join_salt_exceeds_parts(ray_session):
+    """salt > parts co-buckets salt replicas of the same key; the
+    (key, salt) join condition must not duplicate matches (review
+    finding r5s4: bare-key join returned 2x rows)."""
+    import duckdb
+
+    from ie_ray.stages.relational import salted_join
+
+    left = pa.table({
+        "k": pa.array(np.full(10, 7, dtype=np.int64)),
+        "row": pa.array(np.arange(10, dtype=np.int64))})
+    right = pa.table({"k": pa.array([7], type=pa.int64()),
+                      "v": pa.array(["x"])})
+    out = salted_join(_ds(left, 3), _ds(right, 1), "k",
+                      salt=8, parts=4).take_all()
+    assert sorted(r["row"] for r in out) == list(range(10))

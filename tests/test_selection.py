@@ -57,3 +57,36 @@ def test_exact_quantile_empty(ray_session):
 
     assert exact_quantile_int64(
         _ds(np.array([], dtype=np.int64), parts=1), "x", 0.5) is None
+
+
+def test_exact_kth_full_int64_span(ray_session):
+    """Both int64 extremes present — range arithmetic must not wrap
+    (XOR-bias regression, review finding r5s4)."""
+    from ie_ray.stages.selection import exact_kth_int64
+
+    v = np.array([-2**63, -5, 0, 7, 2**63 - 1], dtype=np.int64)
+    got = exact_kth_int64(_ds(v, parts=2), "x", [0, 2, 4])
+    assert got == {0: -2**63, 2: 0, 4: 2**63 - 1}
+
+
+def test_exact_quantile_ignores_nulls(ray_session):
+    import ray.data
+
+    from ie_ray.stages.selection import exact_quantile_int64
+
+    t = pa.table({"x": pa.array([1, 2, 3, None, None],
+                                type=pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(2)
+    assert exact_quantile_int64(ds, "x", 0.5) == 2.0
+
+
+def test_exact_kth_single_value_short_circuit(ray_session):
+    """A rank buried in a million duplicates resolves WITHOUT a
+    collect blowing past the row cap (range collapses to one value)."""
+    from ie_ray.stages.selection import exact_kth_int64
+
+    v = np.concatenate([
+        np.full(1_000_000, 42, dtype=np.int64),
+        np.array([-2**62, 2**62], dtype=np.int64)])
+    got = exact_kth_int64(_ds(v), "x", [500_000])
+    assert got == {500_000: 42}
