@@ -376,6 +376,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lowcard_combine(ds, partial, final)
 
+    def q1_incremental_refresh(sf_dir):
+        """Incremental view maintenance with RETRACTIONS (the TPC-H
+        RF1/RF2 shape, relational sibling of kg_incremental): the q1
+        aggregate is maintained from three independently-arriving
+        deltas — base load, an insert batch, a delete batch — via
+        SIGNED partials (sign·cents, sign·1) that tree-combine like
+        any other mergeable aggregate; groups whose maintained count
+        reaches zero vanish.  Exact int64 cents make the subtraction
+        safe (float partial sums would not cancel exactly).  The
+        oracle recomputes from scratch on the final state, so the
+        gate proves maintained ≡ recomputed."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        cols = ["l_orderkey", "l_returnflag", "l_linestatus",
+                "l_quantity", "l_extendedprice"]
+
+        def delta(pred, sign):
+            def fn(t: pa.Table) -> pa.Table:
+                ok = np.asarray(t.column("l_orderkey"),
+                                dtype=np.int64)
+                t = t.filter(pa.array(pred(ok)))
+                qty_c = np.round(np.asarray(
+                    t.column("l_quantity"), dtype=np.float64)
+                    * 100.0).astype(np.int64) * sign
+                bp_c = np.round(np.asarray(
+                    t.column("l_extendedprice"), dtype=np.float64)
+                    * 100.0).astype(np.int64) * sign
+                g = pa.table({
+                    "l_returnflag": t.column("l_returnflag"),
+                    "l_linestatus": t.column("l_linestatus"),
+                    "qty_c": pa.array(qty_c),
+                    "bp_c": pa.array(bp_c),
+                    "n": pa.array(np.full(t.num_rows, sign,
+                                          dtype=np.int64))}) \
+                    .group_by(["l_returnflag", "l_linestatus"]) \
+                    .aggregate([("qty_c", "sum"), ("bp_c", "sum"),
+                                ("n", "sum")])
+                return g.rename_columns(
+                    ["l_returnflag", "l_linestatus", "qty_c",
+                     "bp_c", "n"])
+            return fn
+
+        src = lambda: _tbl(sf_dir, "lineitem", columns=cols)  # noqa
+        base = src().map_batches(
+            delta(lambda k: k % 10 != 0, 1), batch_format="pyarrow")
+        ins = src().map_batches(
+            delta(lambda k: k % 10 == 0, 1), batch_format="pyarrow")
+        dele = src().map_batches(
+            delta(lambda k: k % 97 == 0, -1), batch_format="pyarrow")
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by(["l_returnflag", "l_linestatus"]) \
+                .aggregate([("qty_c", "sum"), ("bp_c", "sum"),
+                            ("n", "sum")]).rename_columns(
+                ["l_returnflag", "l_linestatus", "qty_c", "bp_c",
+                 "n"])
+
+        def final(t: pa.Table) -> pa.Table:
+            t = combine(t)
+            t = t.filter(pc.greater(t.column("n"), 0))
+            return pa.table({
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "sum_qty": pc.round(pc.divide(
+                    t.column("qty_c").cast(pa.float64()), 100.0), 2),
+                "sum_base_price": pc.round(pc.divide(
+                    t.column("bp_c").cast(pa.float64()), 100.0), 2),
+                "count_order": t.column("n").cast(pa.int64())})
+
+        return lowcard_combine(base.union(ins).union(dele),
+                               combine, final)
+
     def orders_per_segment(sf_dir):
         # broadcast hash join: customer (small side) shipped once via ray.put
         import ray as _ray
@@ -6427,6 +6500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_enriched_user_n": events_enriched_user_n,
         "events_median_interarrival_us": events_median_interarrival_us,
         "docs_ks_by_source": docs_ks_by_source,
+        "q1_incremental_refresh": q1_incremental_refresh,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -7025,6 +7099,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, %s AS zkey FROM (SELECT event_id, "
             "user_id, CAST(round(value * 100) AS BIGINT) AS cents "
             "FROM events)" % _morton_sql("user_id", "cents"),
+        "q1_incremental_refresh":
+            "SELECT l_returnflag, l_linestatus, "
+            "round(sum(CAST(round(l_quantity * 100) AS BIGINT)) "
+            "/ 100.0, 2) AS sum_qty, "
+            "round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) "
+            "/ 100.0, 2) AS sum_base_price, "
+            "count(*)::BIGINT AS count_order FROM lineitem "
+            "WHERE l_orderkey % 97 <> 0 "
+            "GROUP BY l_returnflag, l_linestatus",
         "docs_ks_by_source":
             "WITH d AS (SELECT source, length(text)::BIGINT AS len "
             "FROM documents), "
