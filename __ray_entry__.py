@@ -449,6 +449,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lowcard_combine(base.union(ins).union(dele),
                                combine, final)
 
+    def orders_backlog_timeseries(sf_dir):
+        """Event-sourced running balance across two tables (the
+        open-orders backlog curve): daily placements from orders,
+        daily completions from each order's LAST lineitem shipment
+        (a rows-sized per-order max through the bucketed path), then
+        one bounded day-grid combine and a final cumulative
+        placed−completed sweep — the raw tables never co-shuffle."""
+        import numpy as np
+        import pyarrow.compute as pc
+        from ie_ray.stages.relational import bucketed_aggregate
+
+        DAY = 86_400_000_000
+
+        def placed_partial(t: pa.Table) -> pa.Table:
+            d = pc.divide(t.column("o_orderdate")
+                          .cast(pa.timestamp("us")).cast(pa.int64()),
+                          DAY)
+            g = pa.table({"day": d}).group_by("day").aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["day", "placed"]) \
+                .append_column("completed", pa.array(
+                    np.zeros(g.num_rows, dtype=np.int64)))
+
+        placed = _tbl(sf_dir, "orders", columns=["o_orderdate"]) \
+            .map_batches(placed_partial, batch_format="pyarrow")
+
+        li = _tbl(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_shipdate"])
+        last_ship = bucketed_aggregate(li, "l_orderkey",
+                                       [("l_shipdate", "max")])
+
+        def completed_partial(t: pa.Table) -> pa.Table:
+            d = pc.divide(t.column(1).cast(pa.timestamp("us"))
+                          .cast(pa.int64()), DAY)
+            g = pa.table({"day": d}).group_by("day").aggregate(
+                [([], "count_all")])
+            g = g.rename_columns(["day", "completed"])
+            return pa.table({
+                "day": g.column("day"),
+                "placed": pa.array(np.zeros(g.num_rows,
+                                            dtype=np.int64)),
+                "completed": g.column("completed").cast(pa.int64())})
+
+        completed = last_ship.map_batches(completed_partial,
+                                          batch_format="pyarrow")
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by("day").aggregate(
+                [("placed", "sum"), ("completed", "sum")]) \
+                .rename_columns(["day", "placed", "completed"])
+
+        def final(t: pa.Table) -> pa.Table:
+            t = combine(t)
+            o = np.argsort(np.asarray(t.column("day"),
+                                      dtype=np.int64))
+            day = np.asarray(t.column("day"), dtype=np.int64)[o]
+            p = np.asarray(t.column("placed"), dtype=np.int64)[o]
+            c = np.asarray(t.column("completed"), dtype=np.int64)[o]
+            return pa.table({
+                "day": pa.array(day), "placed": pa.array(p),
+                "completed": pa.array(c),
+                "backlog": pa.array(np.cumsum(p - c))})
+
+        return lowcard_combine(placed.union(completed), combine,
+                               final)
+
     def orders_per_segment(sf_dir):
         # broadcast hash join: customer (small side) shipped once via ray.put
         import ray as _ray
@@ -6501,6 +6567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_median_interarrival_us": events_median_interarrival_us,
         "docs_ks_by_source": docs_ks_by_source,
         "q1_incremental_refresh": q1_incremental_refresh,
+        "orders_backlog_timeseries": orders_backlog_timeseries,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -7099,6 +7166,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, %s AS zkey FROM (SELECT event_id, "
             "user_id, CAST(round(value * 100) AS BIGINT) AS cents "
             "FROM events)" % _morton_sql("user_id", "cents"),
+        "orders_backlog_timeseries":
+            "WITH pl AS (SELECT epoch_us(o_orderdate) // 86400000000 "
+            "AS day, count(*)::BIGINT AS n FROM orders GROUP BY 1), "
+            "cm AS (SELECT day, count(*)::BIGINT AS n FROM "
+            "(SELECT l_orderkey, epoch_us(max(l_shipdate)) "
+            "// 86400000000 AS day FROM lineitem GROUP BY "
+            "l_orderkey) GROUP BY day), "
+            "grid AS (SELECT DISTINCT day FROM (SELECT day FROM pl "
+            "UNION ALL SELECT day FROM cm)) "
+            "SELECT g.day, coalesce(pl.n, 0)::BIGINT AS placed, "
+            "coalesce(cm.n, 0)::BIGINT AS completed, "
+            "(sum(coalesce(pl.n, 0) - coalesce(cm.n, 0)) OVER "
+            "(ORDER BY g.day ROWS UNBOUNDED PRECEDING))::BIGINT AS "
+            "backlog FROM grid g LEFT JOIN pl USING (day) "
+            "LEFT JOIN cm USING (day)",
         "q1_incremental_refresh":
             "SELECT l_returnflag, l_linestatus, "
             "round(sum(CAST(round(l_quantity * 100) AS BIGINT)) "

@@ -183,7 +183,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_enriched_user_n",
                  "events_type_user_overlap",
                  "events_median_interarrival_us",
-                 "docs_ks_by_source", "q1_incremental_refresh"):
+                 "docs_ks_by_source", "q1_incremental_refresh",
+                 "orders_backlog_timeseries"):
         consume(name)
 
     total = round(time.time() - t0, 3)
