@@ -70,8 +70,6 @@ def test_salted_join_salt_exceeds_parts(ray_session):
     """salt > parts co-buckets salt replicas of the same key; the
     (key, salt) join condition must not duplicate matches (review
     finding r5s4: bare-key join returned 2x rows)."""
-    import duckdb
-
     from ie_ray.stages.relational import salted_join
 
     left = pa.table({
