@@ -2767,6 +2767,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 batch_format="pyarrow"),
             partial, final_fn=final, combine_fn=combine)
 
+    def events_value_band_pairs(sf_dir):
+        """Band self-join count: pairs of same-type events whose
+        values differ by ≤ 5 cents — the ε-band join shape (neither an
+        equi- nor a time-range join): rows block into ε-width value
+        buckets, each row GHOSTS into its left neighbor so every
+        qualifying pair co-locates exactly once (within-bucket pairs
+        in their home bucket, cross-boundary pairs in the lower
+        bucket); the per-bucket count is two vectorized searchsorted
+        sweeps, never an all-pairs loop.  Exact integer output."""
+        import numpy as np
+        from ie_ray.stages.relational import (bucketed_map_groups,
+                                              lowcard_combine)
+
+        EPS = 5
+        ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+
+        def prep(t: pa.Table) -> pa.Table:
+            cents = np.round(np.asarray(t.column("value"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            b = cents // EPS
+            ty = t.column("event_type")
+            home = pa.table({
+                "event_type": ty, "bucket": pa.array(b),
+                "cents": pa.array(cents),
+                "ghost": pa.array(np.zeros(len(cents), dtype=np.int8))})
+            ghost = pa.table({
+                "event_type": ty, "bucket": pa.array(b - 1),
+                "cents": pa.array(cents),
+                "ghost": pa.array(np.ones(len(cents), dtype=np.int8))})
+            return pa.concat_tables([home, ghost])
+
+        def kernel(g: pa.Table) -> pa.Table:
+            import polars as pl
+            df = pl.from_arrow(g)
+            out = []
+            for (ty, bk), sub in df.group_by(["event_type",
+                                              "bucket"]):
+                gh = sub.get_column("ghost").to_numpy()
+                c = sub.get_column("cents").to_numpy()
+                home = np.sort(c[gh == 0])
+                ghosts = np.sort(c[gh == 1])
+                n = 0
+                if len(home):
+                    # within-home unordered pairs with |Δ| <= EPS
+                    hi = np.searchsorted(home, home + EPS,
+                                         side="right")
+                    idx = np.arange(len(home))
+                    n += int((hi - idx - 1).sum())
+                    # home × ghost (ghosts live in the next bucket —
+                    # every pair crosses the boundary, counted here
+                    # only)
+                    if len(ghosts):
+                        lo = np.searchsorted(ghosts, home - EPS,
+                                             side="left")
+                        hi2 = np.searchsorted(ghosts, home + EPS,
+                                              side="right")
+                        n += int((hi2 - lo).sum())
+                if n:
+                    out.append((ty, n))
+            if not out:
+                return pa.table({
+                    "event_type": pa.array([], type=pa.string()),
+                    "n_pairs": pa.array([], type=pa.int64())})
+            return pa.table({
+                "event_type": pa.array([r[0] for r in out],
+                                       type=pa.string()),
+                "n_pairs": pa.array([r[1] for r in out],
+                                    type=pa.int64())})
+
+        per_bucket = bucketed_map_groups(
+            ds.map_batches(prep, batch_format="pyarrow"),
+            ["event_type", "bucket"], kernel)
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by("event_type").aggregate(
+                [("n_pairs", "sum")]).rename_columns(
+                ["event_type", "n_pairs"])
+
+        return lowcard_combine(per_bucket, combine)
+
     def events_type_user_overlap(sf_dir):
         """Audience-overlap matrix between event types via KMV
         k-minimum-values sketches (stages/sketches.py::kmv_overlap) —
@@ -6568,6 +6649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_ks_by_source": docs_ks_by_source,
         "q1_incremental_refresh": q1_incremental_refresh,
         "orders_backlog_timeseries": orders_backlog_timeseries,
+        "events_value_band_pairs": events_value_band_pairs,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -7166,6 +7248,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, %s AS zkey FROM (SELECT event_id, "
             "user_id, CAST(round(value * 100) AS BIGINT) AS cents "
             "FROM events)" % _morton_sql("user_id", "cents"),
+        "events_value_band_pairs":
+            "SELECT e1.event_type, count(*)::BIGINT AS n_pairs "
+            "FROM events e1 JOIN events e2 "
+            "ON e1.event_type = e2.event_type "
+            "AND e1.event_id < e2.event_id "
+            "AND abs(CAST(round(e1.value * 100) AS BIGINT) "
+            "- CAST(round(e2.value * 100) AS BIGINT)) <= 5 "
+            "GROUP BY 1",
         "orders_backlog_timeseries":
             "WITH pl AS (SELECT epoch_us(o_orderdate) // 86400000000 "
             "AS day, count(*)::BIGINT AS n FROM orders GROUP BY 1), "
