@@ -2848,6 +2848,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lowcard_combine(per_bucket, combine)
 
+    def users_churned_monthly(sf_dir):
+        """Monthly churn — the temporal ANTI-join: users active in
+        month m with no activity in m+1.  Distinct (user, month-index)
+        pairs bucket by user; inside a complete bucket the next-month
+        lookup is one vectorized sorted-membership probe (no
+        self-join); the bounded month domain carries the counts."""
+        import numpy as np
+        import polars as pl
+        import pyarrow.compute as pc
+        from ie_ray.stages.relational import bucketed_map_groups
+
+        ds = _tbl(sf_dir, "events", columns=["user_id", "ts"])
+
+        def to_month(t: pa.Table) -> pa.Table:
+            ts = t.column("ts").cast(pa.timestamp("us"))
+            midx = pc.add(pc.multiply(pc.year(ts).cast(pa.int64()),
+                                      12),
+                          pc.month(ts).cast(pa.int64()))
+            return pa.table({
+                "user_id": t.column("user_id").cast(pa.int64()),
+                "midx": midx})
+
+        def kernel(g: pa.Table) -> pa.Table:
+            df = pl.from_arrow(pa.table({
+                "u": g.column("user_id"), "m": g.column("midx")})) \
+                .unique(["u", "m"]).sort(["u", "m"])
+            u = df.get_column("u").to_numpy()
+            m = df.get_column("m").to_numpy()
+            # (u, m+1) present?  one searchsorted over the sorted
+            # composite — same idiom as the as-of join
+            dt = np.dtype([("u", "<i8"), ("m", "<i8")])
+            rec = np.empty(len(u), dtype=dt)
+            rec["u"], rec["m"] = u, m
+            probe = np.empty(len(u), dtype=dt)
+            probe["u"], probe["m"] = u, m + 1
+            idx = np.searchsorted(rec, probe)
+            idx = np.clip(idx, 0, max(len(rec) - 1, 0))
+            retained = (rec[idx] == probe) if len(rec) else \
+                np.zeros(0, dtype=bool)
+            churn_m = m[~retained]
+            out = pa.table({"midx": pa.array(churn_m),
+                            "n": pa.array(np.ones(len(churn_m),
+                                                  dtype=np.int64))})
+            return out.group_by("midx").aggregate([("n", "sum")]) \
+                .rename_columns(["midx", "n_churned"])
+
+        per_bucket = bucketed_map_groups(
+            ds.map_batches(to_month, batch_format="pyarrow"),
+            "user_id", kernel)
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by("midx").aggregate(
+                [("n_churned", "sum")]).rename_columns(
+                ["midx", "n_churned"])
+
+        return lowcard_combine(per_bucket, combine)
+
     def events_type_user_overlap(sf_dir):
         """Audience-overlap matrix between event types via KMV
         k-minimum-values sketches (stages/sketches.py::kmv_overlap) —
@@ -6650,6 +6707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_incremental_refresh": q1_incremental_refresh,
         "orders_backlog_timeseries": orders_backlog_timeseries,
         "events_value_band_pairs": events_value_band_pairs,
+        "users_churned_monthly": users_churned_monthly,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -7248,6 +7306,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, %s AS zkey FROM (SELECT event_id, "
             "user_id, CAST(round(value * 100) AS BIGINT) AS cents "
             "FROM events)" % _morton_sql("user_id", "cents"),
+        "users_churned_monthly":
+            "WITH d AS (SELECT DISTINCT user_id, "
+            "year(ts) * 12 + month(ts) AS midx FROM events) "
+            "SELECT a.midx, count(*)::BIGINT AS n_churned "
+            "FROM d a LEFT JOIN d b ON a.user_id = b.user_id "
+            "AND b.midx = a.midx + 1 WHERE b.user_id IS NULL "
+            "GROUP BY a.midx",
         "events_value_band_pairs":
             "SELECT e1.event_type, count(*)::BIGINT AS n_pairs "
             "FROM events e1 JOIN events e2 "

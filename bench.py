@@ -185,7 +185,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_median_interarrival_us",
                  "docs_ks_by_source", "q1_incremental_refresh",
                  "orders_backlog_timeseries",
-                 "events_value_band_pairs"):
+                 "events_value_band_pairs",
+                 "users_churned_monthly"):
         consume(name)
 
     total = round(time.time() - t0, 3)
