@@ -2848,6 +2848,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lowcard_combine(per_bucket, combine)
 
+    def events_max_concurrency(sf_dir):
+        """Peak concurrency by distributed SWEEP-LINE: each event
+        holds a [ts, ts+30 min) activity interval; +1/−1 edges bucket
+        by hour (complete-hour buckets via the bucketed exchange),
+        each bucket reduces to (hour, Σdelta, max-running-prefix) with
+        one vectorized sort+cumsum, and the bounded hour domain
+        resolves the global running maximum as carry-in + local peak —
+        the rows-sized edge stream is swept exactly once, no global
+        sort.  Same-timestamp ties process −1 before +1 (half-open
+        interval semantics), matching the window oracle's ORDER BY
+        t, d."""
+        import numpy as np
+        from ie_ray.stages.relational import bucketed_map_groups
+
+        W = 1_800_000_000
+        HOUR = 3_600_000_000
+        ds = _tbl(sf_dir, "events", columns=["ts"])
+
+        def edges(t: pa.Table) -> pa.Table:
+            ts = t.column("ts").cast(pa.timestamp("us")) \
+                .cast(pa.int64()).combine_chunks() \
+                .to_numpy(zero_copy_only=False)
+            tt = np.concatenate([ts, ts + W])
+            dd = np.concatenate([
+                np.ones(len(ts), dtype=np.int64),
+                np.full(len(ts), -1, dtype=np.int64)])
+            return pa.table({"hour": pa.array(tt // HOUR),
+                             "t": pa.array(tt), "d": pa.array(dd)})
+
+        def kernel(g: pa.Table) -> pa.Table:
+            import polars as pl
+            df = pl.from_arrow(g)
+            out = (df.sort(["hour", "t", "d"])
+                   .with_columns(pl.col("d").cum_sum().over("hour")
+                                 .alias("run"))
+                   .group_by("hour")
+                   .agg(pl.col("d").sum().alias("sum_d"),
+                        pl.col("run").max().alias("peak")))
+            return out.to_arrow()
+
+        hours = bucketed_map_groups(
+            ds.map_batches(edges, batch_format="pyarrow"),
+            "hour", kernel)
+
+        def final(t: pa.Table) -> pa.Table:
+            h = np.asarray(t.column("hour"), dtype=np.int64)
+            if len(h) == 0:   # empty stream: zero rows, like the oracle
+                return pa.table({"max_concurrent": pa.array(
+                    [], type=pa.int64())})
+            s = np.asarray(t.column("sum_d"), dtype=np.int64)
+            p = np.asarray(t.column("peak"), dtype=np.int64)
+            o = np.argsort(h)
+            s, p = s[o], p[o]
+            carry = np.concatenate([[0], np.cumsum(s)[:-1]])
+            return pa.table({"max_concurrent": pa.array(
+                [int((carry + p).max())], type=pa.int64())})
+
+        return lowcard_combine(hours, lambda t: t, final_fn=final)
+
     def users_churned_monthly(sf_dir):
         """Monthly churn — the temporal ANTI-join: users active in
         month m with no activity in m+1.  Distinct (user, month-index)
@@ -6708,6 +6767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_backlog_timeseries": orders_backlog_timeseries,
         "events_value_band_pairs": events_value_band_pairs,
         "users_churned_monthly": users_churned_monthly,
+        "events_max_concurrency": events_max_concurrency,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -7306,6 +7366,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, %s AS zkey FROM (SELECT event_id, "
             "user_id, CAST(round(value * 100) AS BIGINT) AS cents "
             "FROM events)" % _morton_sql("user_id", "cents"),
+        "events_max_concurrency":
+            "WITH edges AS (SELECT epoch_us(ts) AS t, 1 AS d "
+            "FROM events UNION ALL "
+            "SELECT epoch_us(ts) + 1800000000, -1 FROM events), "
+            "r AS (SELECT sum(d) OVER (ORDER BY t, d "
+            "ROWS UNBOUNDED PRECEDING) AS c FROM edges) "
+            "SELECT max(c)::BIGINT AS max_concurrent FROM r",
         "users_churned_monthly":
             "WITH d AS (SELECT DISTINCT user_id, "
             "year(ts) * 12 + month(ts) AS midx FROM events) "

@@ -186,7 +186,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "docs_ks_by_source", "q1_incremental_refresh",
                  "orders_backlog_timeseries",
                  "events_value_band_pairs",
-                 "users_churned_monthly"):
+                 "users_churned_monthly",
+                 "events_max_concurrency"):
         consume(name)
 
     total = round(time.time() - t0, 3)
