@@ -481,7 +481,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        [("l_shipdate", "max")])
 
         def completed_partial(t: pa.Table) -> pa.Table:
-            d = pc.divide(t.column(1).cast(pa.timestamp("us"))
+            d = pc.divide(t.column("l_shipdate_max")
+                          .cast(pa.timestamp("us"))
                           .cast(pa.int64()), DAY)
             g = pa.table({"day": d}).group_by("day").aggregate(
                 [([], "count_all")])
@@ -2800,42 +2801,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pa.concat_tables([home, ghost])
 
         def kernel(g: pa.Table) -> pa.Table:
-            import polars as pl
-            df = pl.from_arrow(g)
-            out = []
-            for (ty, bk), sub in df.group_by(["event_type",
-                                              "bucket"]):
-                gh = sub.get_column("ghost").to_numpy()
-                c = sub.get_column("cents").to_numpy()
-                home = np.sort(c[gh == 0])
-                ghosts = np.sort(c[gh == 1])
-                n = 0
-                if len(home):
-                    # within-home unordered pairs with |Δ| <= EPS
-                    hi = np.searchsorted(home, home + EPS,
-                                         side="right")
-                    idx = np.arange(len(home))
-                    n += int((hi - idx - 1).sum())
-                    # home × ghost (ghosts live in the next bucket —
-                    # every pair crosses the boundary, counted here
-                    # only)
-                    if len(ghosts):
-                        lo = np.searchsorted(ghosts, home - EPS,
-                                             side="left")
-                        hi2 = np.searchsorted(ghosts, home + EPS,
-                                              side="right")
-                        n += int((hi2 - lo).sum())
-                if n:
-                    out.append((ty, n))
-            if not out:
+            # Fully vectorized across ALL (type, bucket) groups in the
+            # partition: a composite (type-code, bucket, cents)
+            # structured sort makes one global searchsorted respect
+            # group boundaries — probes carry the same (code, bucket),
+            # so they can never cross into a neighboring group (no
+            # per-group Python loop; the group domain is rows-sized).
+            ty = np.asarray(g.column("event_type").to_pylist(),
+                            dtype=object)
+            codes = np.unique(ty, return_inverse=True)[1] \
+                .astype(np.int64)
+            bk = np.asarray(g.column("bucket"), dtype=np.int64)
+            c = np.asarray(g.column("cents"), dtype=np.int64)
+            gh = np.asarray(g.column("ghost"), dtype=np.int8)
+
+            dt = np.dtype([("k", "<i8"), ("b", "<i8"), ("c", "<i8")])
+
+            def rec(mask):
+                r = np.empty(int(mask.sum()), dtype=dt)
+                r["k"], r["b"], r["c"] = codes[mask], bk[mask], c[mask]
+                r.sort()
+                return r
+
+            home, ghosts = rec(gh == 0), rec(gh == 1)
+            n_per_home = np.zeros(len(home), dtype=np.int64)
+            if len(home):
+                probe = home.copy()
+                probe["c"] = home["c"] + EPS
+                # within-home unordered pairs with Δ <= EPS
+                hi = np.searchsorted(home, probe, side="right")
+                n_per_home += hi - np.arange(len(home)) - 1
+                if len(ghosts):
+                    # home × ghost: every pair crosses the bucket
+                    # boundary, counted only here
+                    hi2 = np.searchsorted(ghosts, probe, side="right")
+                    probe["c"] = home["c"] - EPS
+                    lo = np.searchsorted(ghosts, probe, side="left")
+                    n_per_home += hi2 - lo
+            if not len(home):
                 return pa.table({
                     "event_type": pa.array([], type=pa.string()),
                     "n_pairs": pa.array([], type=pa.int64())})
+            uniq = np.unique(ty)
+            per_code = np.bincount(home["k"], weights=n_per_home,
+                                   minlength=len(uniq)) \
+                .astype(np.int64)
+            keep = per_code > 0
             return pa.table({
-                "event_type": pa.array([r[0] for r in out],
-                                       type=pa.string()),
-                "n_pairs": pa.array([r[1] for r in out],
-                                    type=pa.int64())})
+                "event_type": pa.array(uniq[keep], type=pa.string()),
+                "n_pairs": pa.array(per_code[keep])})
 
         per_bucket = bucketed_map_groups(
             ds.map_batches(prep, batch_format="pyarrow"),
@@ -2894,7 +2908,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         def final(t: pa.Table) -> pa.Table:
             h = np.asarray(t.column("hour"), dtype=np.int64)
-            if len(h) == 0:   # empty stream: zero rows, like the oracle
+            if len(h) == 0:
+                # empty stream: zero rows — the oracle's HAVING
+                # max(c) IS NOT NULL drops its aggregate row too
                 return pa.table({"max_concurrent": pa.array(
                     [], type=pa.int64())})
             s = np.asarray(t.column("sum_d"), dtype=np.int64)
@@ -7372,7 +7388,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT epoch_us(ts) + 1800000000, -1 FROM events), "
             "r AS (SELECT sum(d) OVER (ORDER BY t, d "
             "ROWS UNBOUNDED PRECEDING) AS c FROM edges) "
-            "SELECT max(c)::BIGINT AS max_concurrent FROM r",
+            "SELECT max(c)::BIGINT AS max_concurrent FROM r "
+            "HAVING max(c) IS NOT NULL",
         "users_churned_monthly":
             "WITH d AS (SELECT DISTINCT user_id, "
             "year(ts) * 12 + month(ts) AS midx FROM events) "
