@@ -2923,6 +2923,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lowcard_combine(hours, lambda t: t, final_fn=final)
 
+    def embedding_quantize_int8(sf_dir):
+        """Per-dimension min/max int8 quantization of the embedding
+        matrix — the model/index-compression shape (FAISS SQ8): pass 1
+        reduces every block to 64 (dim, min, max) rows through one
+        lowcard combine (the scale table is O(dim), pulled once and
+        closed over); pass 2 is a pure vectorized map emitting
+        exploded (vec_id, dim, q) rows so the oracle hash covers every
+        quantized cell.  Arithmetic is op-identical to the SQL twin
+        (float32 → float64 promotion, ×254 / range, half-away round)."""
+        import numpy as np
+
+        DIM = 64
+        ds = _tbl(sf_dir, "embeddings",
+                  columns=["vec_id", "embedding"], blocks=8)
+
+        def mat(t: pa.Table) -> "np.ndarray":
+            col = t.column("embedding").combine_chunks()
+            return np.asarray(col.values, dtype=np.float32) \
+                .reshape(-1, DIM)
+
+        def mm_partial(t: pa.Table) -> pa.Table:
+            m = mat(t)
+            return pa.table({
+                "dim": pa.array(np.arange(1, DIM + 1,
+                                          dtype=np.int64)),
+                "mn": pa.array(m.min(axis=0).astype(np.float64)),
+                "mx": pa.array(m.max(axis=0).astype(np.float64))})
+
+        def mm_combine(t: pa.Table) -> pa.Table:
+            g = t.group_by("dim").aggregate(
+                [("mn", "min"), ("mx", "max")])
+            return g.rename_columns(["dim", "mn", "mx"])
+
+        stats = lowcard_combine(ds, mm_partial, mm_combine).take_all()
+        mn = np.zeros(DIM)
+        mx = np.zeros(DIM)
+        for r in stats:
+            mn[r["dim"] - 1] = r["mn"]
+            mx[r["dim"] - 1] = r["mx"]
+        rng_ = mx - mn
+        const = rng_ == 0.0
+
+        def quantize(t: pa.Table) -> pa.Table:
+            m = mat(t).astype(np.float64)
+            x = (m - mn) * 254.0 / np.where(const, 1.0, rng_)
+            q = (np.floor(x + 0.5) - 127.0).astype(np.int64)
+            q[:, const] = -127
+            n = m.shape[0]
+            return pa.table({
+                "vec_id": pa.array(np.repeat(
+                    np.asarray(t.column("vec_id"), dtype=np.int64),
+                    DIM)),
+                "dim": pa.array(np.tile(
+                    np.arange(1, DIM + 1, dtype=np.int64), n)),
+                "q": pa.array(q.ravel())})
+
+        return ds.map_batches(quantize, batch_format="pyarrow")
+
     def users_churned_monthly(sf_dir):
         """Monthly churn — the temporal ANTI-join: users active in
         month m with no activity in m+1.  Distinct (user, month-index)
@@ -6784,6 +6842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_band_pairs": events_value_band_pairs,
         "users_churned_monthly": users_churned_monthly,
         "events_max_concurrency": events_max_concurrency,
+        "embedding_quantize_int8": embedding_quantize_int8,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -7382,6 +7441,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, %s AS zkey FROM (SELECT event_id, "
             "user_id, CAST(round(value * 100) AS BIGINT) AS cents "
             "FROM events)" % _morton_sql("user_id", "cents"),
+        "embedding_quantize_int8":
+            "WITH x AS (SELECT vec_id, g.i AS dim, "
+            "embedding[g.i]::DOUBLE AS v FROM embeddings, "
+            "generate_series(1, 64) g(i)), "
+            "mm AS (SELECT dim, min(v) AS mn, max(v) AS mx "
+            "FROM x GROUP BY dim) "
+            "SELECT x.vec_id, x.dim, "
+            "CASE WHEN mm.mx = mm.mn THEN -127 ELSE "
+            "CAST(round((x.v - mm.mn) * 254.0 / (mm.mx - mm.mn)) "
+            "- 127 AS BIGINT) END::BIGINT AS q "
+            "FROM x JOIN mm USING (dim)",
         "events_max_concurrency":
             "WITH edges AS (SELECT epoch_us(ts) AS t, 1 AS d "
             "FROM events UNION ALL "

@@ -187,7 +187,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "orders_backlog_timeseries",
                  "events_value_band_pairs",
                  "users_churned_monthly",
-                 "events_max_concurrency"):
+                 "events_max_concurrency",
+                 "embedding_quantize_int8"):
         consume(name)
 
     total = round(time.time() - t0, 3)
