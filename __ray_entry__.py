@@ -3485,6 +3485,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ie_ray.stages.cooccur import cooccur_edges, triangles
         return triangles(cooccur_edges(_docs(sf_dir), df_min=60))
 
+    def word_link_prediction_top20(sf_dir):
+        """Link prediction by common-neighbor count (the classic
+        graph-ML feature): for every NON-adjacent pair of the df≥60
+        co-occurrence graph, the number of shared neighbors; exact
+        top-20.  Wedge pairs generate inside complete-center buckets
+        (fan-out Σdeg(c)² is the documented cost — the vocab-bounded
+        graph keeps it tame; a degree cap is one filter upstream for
+        web-scale graphs), partial pair counts reduce through the
+        bucketed path, adjacency is excluded by one broadcast
+        composite-key probe, and the exact top-20 uses per-block
+        partial top-k with a total (count, w1, w2) order."""
+        import numpy as np
+        import polars as pl
+        from ie_ray.stages.cooccur import cooccur_edges
+        from ie_ray.stages.relational import (bucketed_aggregate,
+                                              bucketed_map_groups)
+
+        edges = cooccur_edges(_docs(sf_dir), df_min=60).materialize()
+
+        def undirect(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "c": pa.concat_arrays([
+                    t.column("w1").combine_chunks()
+                    .cast(pa.string()),
+                    t.column("w2").combine_chunks()
+                    .cast(pa.string())]),
+                "n": pa.concat_arrays([
+                    t.column("w2").combine_chunks()
+                    .cast(pa.string()),
+                    t.column("w1").combine_chunks()
+                    .cast(pa.string())])})
+
+        und = edges.map_batches(undirect, batch_format="pyarrow")
+
+        def wedge_pairs(g: pa.Table) -> pa.Table:
+            df = pl.from_arrow(g)
+            a = df.rename({"n": "w1"})
+            b = df.rename({"n": "w2"})
+            return (a.join(b, on="c")
+                    .filter(pl.col("w1") < pl.col("w2"))
+                    .group_by(["w1", "w2"])
+                    .agg(pl.len().cast(pl.Int64).alias("common"))
+                    ).to_arrow()
+
+        pairs = bucketed_map_groups(und, "c", wedge_pairs)
+        counts = bucketed_aggregate(pairs, ["w1", "w2"],
+                                    [("common", "sum")])
+
+        # broadcast adjacency as a sorted composite key set
+        # (vocab-bounded by construction)
+        import ray as _ray
+        et = pa.concat_tables(
+            [t for t in _ray.get(edges.to_arrow_refs())
+             if t.num_columns > 0])
+        adj = np.sort(np.asarray(
+            [a + "\x00" + b for a, b in
+             zip(et.column("w1").to_pylist(),
+                 et.column("w2").to_pylist())], dtype=object))
+        adj_ref = _ray.put(adj)
+
+        def top20(t: pa.Table) -> pa.Table:
+            t = pa.table({"w1": t.column("w1"),
+                          "w2": t.column("w2"),
+                          "common": t.column("common_sum")})
+            a = _ray.get(adj_ref)
+            key = np.asarray(
+                [x + "\x00" + y for x, y in
+                 zip(t.column("w1").to_pylist(),
+                     t.column("w2").to_pylist())], dtype=object)
+            if len(a):
+                idx = np.clip(np.searchsorted(a, key), 0, len(a) - 1)
+                t = t.filter(pa.array(a[idx] != key))
+            return pl.from_arrow(t).sort(
+                ["common", "w1", "w2"],
+                descending=[True, False, False]).head(20).to_arrow()
+
+        return (counts.map_batches(top20, batch_format="pyarrow")
+                .repartition(1)
+                .map_batches(
+                    lambda t: pl.from_arrow(t).sort(
+                        ["common", "w1", "w2"],
+                        descending=[True, False, False]).head(20)
+                    .to_arrow(),
+                    batch_format="pyarrow", batch_size=None))
+
     def q4_priority_late(sf_dir):
         """TPC-H Q4 shape (EXISTS semi-join): lineitem is pre-combined to
         max(l_shipdate) per order inside each block, so the hash exchange
@@ -6843,6 +6928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_churned_monthly": users_churned_monthly,
         "events_max_concurrency": events_max_concurrency,
         "embedding_quantize_int8": embedding_quantize_int8,
+        "word_link_prediction_top20": word_link_prediction_top20,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -7441,6 +7527,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, %s AS zkey FROM (SELECT event_id, "
             "user_id, CAST(round(value * 100) AS BIGINT) AS cents "
             "FROM events)" % _morton_sql("user_id", "cents"),
+        "word_link_prediction_top20":
+            "WITH words AS (SELECT doc_id, w, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY i) AS rn FROM (SELECT "
+            "doc_id, unnest(string_split(text, ' ')) AS w, "
+            "generate_subscripts(string_split(text, ' '), 1) AS i "
+            "FROM documents)), "
+            "bg AS (SELECT DISTINCT a.doc_id, least(a.w, b.w) AS w1, "
+            "greatest(a.w, b.w) AS w2 FROM words a JOIN words b ON "
+            "a.doc_id = b.doc_id AND b.rn = a.rn + 1 AND a.w <> b.w "
+            "AND a.w <> '' AND b.w <> ''), "
+            "edges AS (SELECT w1, w2 FROM bg GROUP BY w1, w2 "
+            "HAVING count(*) >= 60), "
+            "und AS (SELECT w1 AS c, w2 AS n FROM edges "
+            "UNION ALL SELECT w2, w1 FROM edges), "
+            "cn AS (SELECT a.n AS w1, b.n AS w2, count(*)::BIGINT AS "
+            "common FROM und a JOIN und b ON a.c = b.c AND a.n < b.n "
+            "GROUP BY 1, 2) "
+            "SELECT cn.w1, cn.w2, cn.common FROM cn LEFT JOIN edges e "
+            "ON e.w1 = cn.w1 AND e.w2 = cn.w2 WHERE e.w1 IS NULL "
+            "ORDER BY cn.common DESC, cn.w1, cn.w2 LIMIT 20",
         "embedding_quantize_int8":
             "WITH x AS (SELECT vec_id, g.i AS dim, "
             "embedding[g.i]::DOUBLE AS v FROM embeddings, "

@@ -188,7 +188,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_value_band_pairs",
                  "users_churned_monthly",
                  "events_max_concurrency",
-                 "embedding_quantize_int8"):
+                 "embedding_quantize_int8",
+                 "word_link_prediction_top20"):
         consume(name)
 
     total = round(time.time() - t0, 3)
