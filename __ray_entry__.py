@@ -2935,8 +2935,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import numpy as np
 
         DIM = 64
+        # materialized once: both the stats pass and the quantize pass
+        # scan it (re-executing the parquet read doubles table I/O)
         ds = _tbl(sf_dir, "embeddings",
-                  columns=["vec_id", "embedding"], blocks=8)
+                  columns=["vec_id", "embedding"], blocks=8) \
+            .materialize()
 
         def mat(t: pa.Table) -> "np.ndarray":
             col = t.column("embedding").combine_chunks()
@@ -3533,30 +3536,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
         counts = bucketed_aggregate(pairs, ["w1", "w2"],
                                     [("common", "sum")])
 
-        # broadcast adjacency as a sorted composite key set
-        # (vocab-bounded by construction)
+        # length-prefixed composite pair key — "L:w1:w2" parses
+        # unambiguously for ANY token content (a bare separator can
+        # collide when tokens contain it; review finding r5s4)
+        import pyarrow.compute as pc
+
+        def pair_key(w1, w2):
+            return pc.binary_join_element_wise(
+                pc.utf8_length(w1).cast(pa.string()),
+                w1, w2, ":")
+
+        # broadcast adjacency as an Arrow value set (vocab-bounded)
         import ray as _ray
-        et = pa.concat_tables(
-            [t for t in _ray.get(edges.to_arrow_refs())
-             if t.num_columns > 0])
-        adj = np.sort(np.asarray(
-            [a + "\x00" + b for a, b in
-             zip(et.column("w1").to_pylist(),
-                 et.column("w2").to_pylist())], dtype=object))
-        adj_ref = _ray.put(adj)
+        et_tbls = [t for t in _ray.get(edges.to_arrow_refs())
+                   if t.num_columns > 0]
+        if not et_tbls:
+            # graph below the df threshold: empty result, empty-graph
+            # crash guard (review finding r5s4)
+            import ray.data as _rd
+            return _rd.from_arrow(pa.table({
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "common": pa.array([], type=pa.int64())}))
+        et = pa.concat_tables(et_tbls)
+        adj_ref = _ray.put(pair_key(
+            et.column("w1").combine_chunks().cast(pa.string()),
+            et.column("w2").combine_chunks().cast(pa.string())))
 
         def top20(t: pa.Table) -> pa.Table:
             t = pa.table({"w1": t.column("w1"),
                           "w2": t.column("w2"),
                           "common": t.column("common_sum")})
-            a = _ray.get(adj_ref)
-            key = np.asarray(
-                [x + "\x00" + y for x, y in
-                 zip(t.column("w1").to_pylist(),
-                     t.column("w2").to_pylist())], dtype=object)
-            if len(a):
-                idx = np.clip(np.searchsorted(a, key), 0, len(a) - 1)
-                t = t.filter(pa.array(a[idx] != key))
+            a = _ray.get(adj_ref)   # zero-copy from the local store
+            key = pair_key(t.column("w1").combine_chunks()
+                           .cast(pa.string()),
+                           t.column("w2").combine_chunks()
+                           .cast(pa.string()))
+            t = t.filter(pc.invert(pc.is_in(key, value_set=a)))
             return pl.from_arrow(t).sort(
                 ["common", "w1", "w2"],
                 descending=[True, False, False]).head(20).to_arrow()

@@ -28,8 +28,13 @@ def test_band_pairs_matches_bruteforce(ray_session):
         "props": pa.array(["{}"] * n),
     }), os.path.join(d, "events.parquet"))
 
-    got = {r["event_type"]: r["n_pairs"] for r in
-           entry.queries()["events_value_band_pairs"](d).take_all()}
+    try:
+        got = {r["event_type"]: r["n_pairs"] for r in
+               entry.queries()["events_value_band_pairs"](d)
+               .take_all()}
+    finally:
+        import shutil
+        shutil.rmtree(d, ignore_errors=True)
     want = {}
     for ty in ("a", "b"):
         c = np.sort(cents[types == ty]).astype(np.int64)
