@@ -3041,6 +3041,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return lowcard_combine(per_bucket, combine)
 
+    def docs_length_gini(sf_dir):
+        """Gini coefficient of the document-length distribution — the
+        inequality statistic of corpus balance: computed EXACTLY from
+        the bounded length-grid histogram with the rank formula
+        Σ(2·rank − n − 1)·x / (n·Σx), whose numerator collapses to
+        integer cumulative sums over (len, count) — one lowcard
+        tree-combine, all-int64 numerator/denominator, a single float
+        division shared op-for-op with the window oracle (tie-order
+        invariant, so the rank formula needs no tie policy)."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = pa.table({
+                "len": pc.utf8_length(t.column("text"))
+                .cast(pa.int64())}) \
+                .group_by("len").aggregate([([], "count_all")])
+            return g.rename_columns(["len", "n"])
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by("len").aggregate([("n", "sum")]) \
+                .rename_columns(["len", "n"])
+
+        def final(t: pa.Table) -> pa.Table:
+            t = combine(t)
+            ln = np.asarray(t.column("len"), dtype=np.int64)
+            c = np.asarray(t.column("n"), dtype=np.int64)
+            o = np.argsort(ln)
+            ln, c = ln[o], c[o]
+            n = int(c.sum())
+            cum_prev = np.concatenate([[0], np.cumsum(c)[:-1]])
+            # Σ over the c_k items at ranks (cum_prev, cum_prev+c_k]
+            # of (2·rank − n − 1), times len_k — exact int64
+            rank_sum = c * cum_prev + c * (c + 1) // 2
+            coef = 2 * rank_sum - c * (n + 1)
+            num = int((coef * ln).sum())
+            den = int(n * (ln * c).sum())
+            gini = np.floor(num / den * 1e4 + 0.5) / 1e4 \
+                if den else None
+            return pa.table({
+                "n_docs": pa.array([n], type=pa.int64()),
+                "gini": pa.array([gini], type=pa.float64())})
+
+        return lowcard_combine(
+            _docs(sf_dir).map_batches(
+                lambda t: t.select(["text"]), batch_format="pyarrow"),
+            partial, final_fn=final, combine_fn=combine)
+
     def events_type_user_overlap(sf_dir):
         """Audience-overlap matrix between event types via KMV
         k-minimum-values sketches (stages/sketches.py::kmv_overlap) —
@@ -6945,6 +6993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_max_concurrency": events_max_concurrency,
         "embedding_quantize_int8": embedding_quantize_int8,
         "word_link_prediction_top20": word_link_prediction_top20,
+        "docs_length_gini": docs_length_gini,
         # -- round-5 session-3 additions --
         "doc_keyphrases": doc_keyphrases,
         "word_jw_pairs": word_jw_pairs,
@@ -7543,6 +7592,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, %s AS zkey FROM (SELECT event_id, "
             "user_id, CAST(round(value * 100) AS BIGINT) AS cents "
             "FROM events)" % _morton_sql("user_id", "cents"),
+        "docs_length_gini":
+            "WITH d AS (SELECT length(text)::BIGINT AS len "
+            "FROM documents), "
+            "r AS (SELECT len, row_number() OVER (ORDER BY len) AS "
+            "rn, count(*) OVER () AS n, sum(len) OVER () AS s "
+            "FROM d) "
+            "SELECT max(n)::BIGINT AS n_docs, "
+            "round(sum((2 * rn - n - 1) * len)::DOUBLE "
+            "/ (max(n) * max(s)), 4) AS gini FROM r",
         "word_link_prediction_top20":
             "WITH words AS (SELECT doc_id, w, row_number() OVER "
             "(PARTITION BY doc_id ORDER BY i) AS rn FROM (SELECT "
