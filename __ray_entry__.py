@@ -3102,6 +3102,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _tbl(sf_dir, "events", columns=["event_type", "user_id"])
         return kmv_overlap(ev, "user_id", "event_type", k=256)
 
+    def word_max_spanning_backbone(sf_dir):
+        """Maximum-spanning backbone of the df≥60 co-occurrence graph
+        — the strongest-links skeleton (max ≡ min on negated weights):
+        distributed Borůvka (stages/msf.py) where every round is
+        Dataset joins + bucketed argmins and merges run through the
+        existing hash-min connected components; no driver-side graph.
+        Iterative — no SQL oracle; exact Kruskal twin in
+        tests/test_msf.py."""
+        import pyarrow.compute as pc
+        from ie_ray.stages.cooccur import cooccur_edges
+        from ie_ray.stages.msf import minimum_spanning_forest
+
+        edges = cooccur_edges(_docs(sf_dir), df_min=60)
+
+        def negate(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "w1": t.column("w1").cast(pa.string()),
+                "w2": t.column("w2").cast(pa.string()),
+                "weight": pc.negate(
+                    t.column("df").cast(pa.int64()))})
+
+        forest, converged = minimum_spanning_forest(
+            edges.map_batches(negate, batch_format="pyarrow"))
+
+        def present(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "w1": t.column("w1"), "w2": t.column("w2"),
+                "n": pc.negate(t.column("weight")),
+                "converged": pa.array(
+                    [converged] * t.num_rows, type=pa.bool_())})
+
+        return forest.map_batches(present, batch_format="pyarrow")
+
     def kg_khop2(sf_dir):
         """2-hop neighborhood subgraph around the two highest-degree
         canonical entities (deterministic seeds: row-count degree,
@@ -7150,6 +7183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_edges": kg_edges,
         "kg_pagerank": kg_pagerank,
         "kg_khop2": kg_khop2,
+        "word_max_spanning_backbone": word_max_spanning_backbone,
         "kg_canonical_edges": kg_canonical_edges,
         "kg_incremental": kg_incremental,
         "extraction_identity": extraction_identity,

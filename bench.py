@@ -189,7 +189,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "users_churned_monthly",
                  "events_max_concurrency",
                  "embedding_quantize_int8",
-                 "word_link_prediction_top20", "docs_length_gini"):
+                 "word_link_prediction_top20", "docs_length_gini",
+                 "word_max_spanning_backbone"):
         consume(name)
 
     total = round(time.time() - t0, 3)
