@@ -3165,6 +3165,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         seeds = [r["node"] for r in top.take_all()]
         return khop_subgraph(edges, seeds, hops=2)
 
+    def kg_ppr_top20(sf_dir):
+        """Personalized PageRank around the two highest-degree
+        canonical entities (Haveliwala 2002 — the KG relevance
+        ranking): teleport restarts at the seeds, so mass concentrates
+        in their neighborhood; same one-join+one-groupby loop as
+        kg_pagerank with a broadcast seed-indicator teleport term.
+        Iterative — no SQL oracle; dense NumPy twin + locality gate in
+        tests/test_pagerank.py."""
+        import pyarrow.compute as pc
+        from ie_ray.stages.pagerank import pagerank_personalized
+
+        edges = kg_edges(sf_dir).materialize()
+
+        def deg(t: pa.Table) -> pa.Table:
+            both = pa.concat_arrays([
+                t.column("subj_id").combine_chunks().cast(pa.string()),
+                t.column("obj_id").combine_chunks().cast(pa.string())])
+            g = pa.table({"node": both}).group_by("node").aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["node", "d"])
+
+        def deg_combine(t: pa.Table) -> pa.Table:
+            return t.group_by("node").aggregate([("d", "sum")]) \
+                .rename_columns(["node", "d"])
+
+        top = lowcard_combine(edges, deg, final_fn=deg_combine,
+                              combine_fn=deg_combine) \
+            .sort(["d", "node"], descending=[True, False]).limit(2)
+        seeds = [r["node"] for r in top.take_all()]
+        pr = pagerank_personalized(edges, seeds, iters=5)
+
+        def rnd(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t.column("node"),
+                "rank": pc.round(t.column("rank"), ndigits=8)})
+
+        return (pr.map_batches(rnd, batch_format="pyarrow")
+                .sort(["rank", "node"], descending=[True, False])
+                .limit(20))
+
     def kg_pagerank(sf_dir):
         """PageRank over the canonical KG edge set: 5 rounds of
         hash-join + groupby with the rank table materialized in the
@@ -7184,6 +7224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": kg_pagerank,
         "kg_khop2": kg_khop2,
         "word_max_spanning_backbone": word_max_spanning_backbone,
+        "kg_ppr_top20": kg_ppr_top20,
         "kg_canonical_edges": kg_canonical_edges,
         "kg_incremental": kg_incremental,
         "extraction_identity": extraction_identity,

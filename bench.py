@@ -190,7 +190,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_max_concurrency",
                  "embedding_quantize_int8",
                  "word_link_prediction_top20", "docs_length_gini",
-                 "word_max_spanning_backbone"):
+                 "word_max_spanning_backbone", "kg_ppr_top20"):
         consume(name)
 
     total = round(time.time() - t0, 3)

@@ -223,3 +223,123 @@ def pagerank_reference(src, dst, iters: int = 10,
         inc = np.bincount(d, weights=r[s] / outdeg[s], minlength=n)
         r = (1.0 - damping) / n + damping * (inc + dangling / n)
     return {v: r[idx[v]] for v in nodes}
+
+
+def pagerank_personalized(edges, seeds, iters: int = 10,
+                          damping: float = 0.85, num_partitions=None):
+    """Personalized PageRank (teleport to a SEED set, Haveliwala
+    2002): random walks restart at the seeds instead of uniformly, so
+    mass concentrates in the seeds' neighborhood — the standard
+    relevance/recommendation ranking over a KG.  Identical loop shape
+    to :func:`pagerank` (one join + one groupby per round); the only
+    deltas are the seed-indicator init and the per-node teleport term
+    (non-zero only on seeds), evaluated with one broadcast ``is_in``
+    probe — no per-row Python.
+
+    ``seeds``: iterable of node id strings.  Returns (node, rank)."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    parts = _join_partitions(num_partitions)
+    seed_arr = pa.array(sorted(set(seeds)), type=pa.string())
+    k = len(seed_arr)
+    if k == 0:
+        raise ValueError("pagerank_personalized needs >= 1 seed")
+    sref = _ray.put(seed_arr)
+
+    def side(col):
+        return (edges.select_columns([col])
+                .map_batches(_rename(["node"]),
+                             batch_format="pyarrow"))
+
+    from ie_ray.stages.relational import bucketed_aggregate
+    nodes = (bucketed_aggregate(side("subj_id").union(side("obj_id")),
+                                "node", [("node", "count")])
+             .map_batches(lambda t: t.select(["node"]),
+                          batch_format="pyarrow")).materialize()
+
+    outdeg = (bucketed_aggregate(edges.select_columns(["subj_id"]),
+                                 "subj_id", [("subj_id", "count")])
+              .map_batches(_rename(["subj_id", "outdeg"]),
+                           batch_format="pyarrow"))
+    edges_w = (edges.select_columns(["subj_id", "obj_id"])
+               .join(outdeg, "inner", num_partitions=parts,
+                     on=("subj_id",))).materialize()
+
+    def seed_mask(t: pa.Table):
+        return pc.is_in(t.column("node"), value_set=_ray.get(sref))
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        r = pc.if_else(seed_mask(t), pa.scalar(1.0 / k),
+                       pa.scalar(0.0))
+        return t.append_column("rank", r.cast(pa.float64()))
+
+    ranks = nodes.map_batches(init_rank,
+                              batch_format="pyarrow").materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("obj_id"),
+            "c": pc.divide(t.column("rank"),
+                           pc.cast(t.column("outdeg"),
+                                   pa.float64()))})
+
+    def zero(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "c": pa.array([0.0] * t.num_rows, type=pa.float64())})
+
+    zeros = nodes.map_batches(zero, batch_format="pyarrow")
+
+    for _ in range(iters):
+        contribs = (edges_w
+                    .join(ranks.map_batches(
+                        _rename(["subj_id", "rank"]),
+                        batch_format="pyarrow"),
+                        "inner", num_partitions=parts,
+                        on=("subj_id",))
+                    .map_batches(contrib,
+                                 batch_format="pyarrow")).materialize()
+        total = ranks.sum("rank")
+        linked = contribs.sum("c") or 0.0
+        dangling = total - linked
+        seed_base = (1.0 - damping) / k + damping * dangling / k
+
+        def finish(t: pa.Table, seed_base=seed_base) -> pa.Table:
+            tele = pc.if_else(seed_mask(t), pa.scalar(seed_base),
+                              pa.scalar(0.0))
+            r = pc.add(pc.multiply(t.column("c_sum"), damping),
+                       tele.cast(pa.float64()))
+            return pa.table({"node": t.column("node"), "rank": r})
+
+        ranks = (bucketed_aggregate(contribs.union(zeros), "node",
+                                    [("c", "sum")])
+                 .map_batches(finish,
+                              batch_format="pyarrow")).materialize()
+
+    return ranks
+
+
+def pagerank_personalized_reference(src, dst, seeds, iters: int = 10,
+                                    damping: float = 0.85):
+    """Dense NumPy twin of :func:`pagerank_personalized`."""
+    nodes = sorted(set(src) | set(dst))
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for s in src:
+        out[idx[s]] += 1
+    seed_ids = sorted(set(seeds))
+    k = len(seed_ids)
+    s_vec = np.zeros(n)
+    for s in seed_ids:
+        s_vec[idx[s]] = 1.0 / k
+    r = s_vec.copy()
+    for _ in range(iters):
+        nxt = np.zeros(n)
+        for s, d in zip(src, dst):
+            nxt[idx[d]] += r[idx[s]] / out[idx[s]]
+        dangling = r[out == 0].sum()
+        r = damping * (nxt + 0.0) \
+            + ((1.0 - damping) + damping * dangling) * s_vec
+    return {v: r[idx[v]] for v in nodes}

@@ -50,3 +50,32 @@ def test_pagerank_on_kg_edges(ray_session):
     for _, row in got.iterrows():
         assert abs(row["rank"] - want[row["node"]]) < 1e-6
     assert abs(got["rank"].sum() - 1.0) < 1e-6
+
+
+def test_personalized_pagerank_matches_twin(ray_session):
+    import ray.data
+
+    from ie_ray.stages.pagerank import (pagerank_personalized,
+                                        pagerank_personalized_reference)
+
+    rng = np.random.RandomState(83)
+    nodes = ["v%02d" % i for i in range(25)]
+    pairs = sorted({(nodes[a], nodes[b]) for a, b in
+                    zip(rng.randint(0, 25, 120),
+                        rng.randint(0, 25, 120)) if a != b})
+    src = [p[0] for p in pairs]
+    dst = [p[1] for p in pairs]
+    edges = ray.data.from_arrow(pa.table({
+        "subj_id": pa.array(src), "obj_id": pa.array(dst)})) \
+        .repartition(4)
+    seeds = ["v00", "v01"]
+    got = {r["node"]: r["rank"] for r in
+           pagerank_personalized(edges, seeds, iters=8,
+                                 num_partitions=2).take_all()}
+    want = pagerank_personalized_reference(src, dst, seeds, iters=8)
+    for v, w in want.items():
+        assert abs(got.get(v, 0.0) - w) < 1e-9, v
+    # teleport locality: the seed set keeps far more than the
+    # uniform share of total mass
+    seed_mass = sum(got[s] for s in seeds if s in got)
+    assert seed_mass > 2 * len(seeds) / len(want)
