@@ -3074,10 +3074,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             cum_prev = np.concatenate([[0], np.cumsum(c)[:-1]])
             # Σ over the c_k items at ranks (cum_prev, cum_prev+c_k]
             # of (2·rank − n − 1), times len_k — exact int64
-            rank_sum = c * cum_prev + c * (c + 1) // 2
-            coef = 2 * rank_sum - c * (n + 1)
-            num = int((coef * ln).sum())
-            den = int(n * (ln * c).sum())
+            # Python ints over the BOUNDED grid: int64 would wrap
+            # once n·Σlen ≳ 9.2e18 (review finding r5s4) — the grid is
+            # ≤ distinct lengths, so the exact big-int loop is cheap
+            num = 0
+            den_s = 0
+            for li, ci, cp in zip(ln.tolist(), c.tolist(),
+                                  cum_prev.tolist()):
+                rank_sum = ci * cp + ci * (ci + 1) // 2
+                num += (2 * rank_sum - ci * (n + 1)) * li
+                den_s += li * ci
+            den = n * den_s
             gini = np.floor(num / den * 1e4 + 0.5) / 1e4 \
                 if den else None
             return pa.table({
@@ -3135,18 +3142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return forest.map_batches(present, batch_format="pyarrow")
 
-    def kg_khop2(sf_dir):
-        """2-hop neighborhood subgraph around the two highest-degree
-        canonical entities (deterministic seeds: row-count degree,
-        lexicographic tie-break) — the KG-serving expand primitive;
-        each hop is one broadcast-frontier streaming probe of the edge
-        set, no edge exchange (stages/graph.py::khop_subgraph).
-        Rows-only (iterative frontier — no SQL oracle); exact
-        brute-force twin in tests/test_khop.py."""
-        from ie_ray.stages.graph import khop_subgraph
-
-        edges = kg_edges(sf_dir).materialize()
-
+    def _top_degree_seeds(edges, n_seeds=2):
+        """Deterministic seed pick shared by kg_khop2 / kg_ppr_top20:
+        highest row-count degree, lexicographic tie-break."""
         def deg(t: pa.Table) -> pa.Table:
             both = pa.concat_arrays([
                 t.column("subj_id").combine_chunks().cast(pa.string()),
@@ -3161,9 +3159,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         top = lowcard_combine(edges, deg, final_fn=deg_combine,
                               combine_fn=deg_combine) \
-            .sort(["d", "node"], descending=[True, False]).limit(2)
-        seeds = [r["node"] for r in top.take_all()]
-        return khop_subgraph(edges, seeds, hops=2)
+            .sort(["d", "node"], descending=[True, False]) \
+            .limit(n_seeds)
+        return [r["node"] for r in top.take_all()]
+
+    def kg_khop2(sf_dir):
+        """2-hop neighborhood subgraph around the two highest-degree
+        canonical entities (deterministic seeds: row-count degree,
+        lexicographic tie-break) — the KG-serving expand primitive;
+        each hop is one broadcast-frontier streaming probe of the edge
+        set, no edge exchange (stages/graph.py::khop_subgraph).
+        Rows-only (iterative frontier — no SQL oracle); exact
+        brute-force twin in tests/test_khop.py."""
+        from ie_ray.stages.graph import khop_subgraph
+
+        edges = kg_edges(sf_dir).materialize()
+        return khop_subgraph(edges, _top_degree_seeds(edges), hops=2)
 
     def kg_ppr_top20(sf_dir):
         """Personalized PageRank around the two highest-degree
@@ -3177,24 +3188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ie_ray.stages.pagerank import pagerank_personalized
 
         edges = kg_edges(sf_dir).materialize()
-
-        def deg(t: pa.Table) -> pa.Table:
-            both = pa.concat_arrays([
-                t.column("subj_id").combine_chunks().cast(pa.string()),
-                t.column("obj_id").combine_chunks().cast(pa.string())])
-            g = pa.table({"node": both}).group_by("node").aggregate(
-                [([], "count_all")])
-            return g.rename_columns(["node", "d"])
-
-        def deg_combine(t: pa.Table) -> pa.Table:
-            return t.group_by("node").aggregate([("d", "sum")]) \
-                .rename_columns(["node", "d"])
-
-        top = lowcard_combine(edges, deg, final_fn=deg_combine,
-                              combine_fn=deg_combine) \
-            .sort(["d", "node"], descending=[True, False]).limit(2)
-        seeds = [r["node"] for r in top.take_all()]
-        pr = pagerank_personalized(edges, seeds, iters=5)
+        pr = pagerank_personalized(edges, _top_degree_seeds(edges),
+                                   iters=5)
 
         def rnd(t: pa.Table) -> pa.Table:
             return pa.table({

@@ -16,9 +16,14 @@ primitives this repo already has:
   label table with one hash join per round.
 
 Determinism: ties break on (weight, w1, w2) total order, so the forest
-is unique even with equal weights.  Rounds are capped (default 8 ≥
-log₂ of any practical component count); the convergence flag — no
-cross-component edge left — is returned alongside the forest.
+is unique even with equal weights.  Rounds are capped at 20 = log₂ of
+a 10⁶-node largest COMPONENT (each round at least halves the number
+of components inside every connected region — the bound is component
+SIZE, not count); the loop exits early on convergence, and when the
+cap is exhausted one final cross-edge check sets the truthful
+convergence flag.  Each round also REPLACES the working edge set with
+the surviving cross edges — intra-component edges can never become
+cross edges again, so join work shrinks with the merge progress.
 """
 
 from __future__ import annotations
@@ -46,7 +51,7 @@ def _labels_identity(edges):
         dedup)
 
 
-def minimum_spanning_forest(edges, rounds: int = 8):
+def minimum_spanning_forest(edges, rounds: int = 20):
     """Edges ``(w1: string, w2: string, weight: int64)`` →
     (forest Dataset with the same schema, converged: bool).
 
@@ -112,6 +117,10 @@ def minimum_spanning_forest(edges, rounds: int = 8):
         sel = bucketed_map_groups(sel, ["w1", "w2"], dedup_edges) \
             .materialize()
         chosen = sel if chosen is None else chosen.union(sel)
+        # intra-component edges never come back: iterate on the
+        # surviving cross set only (review finding r5s4)
+        edges = cross.select_columns(["w1", "w2", "weight"]) \
+            .materialize()
 
         # merge: CC over the selection graph ON COMPONENT IDS, then
         # compose onto the node labels with one hash join
@@ -152,6 +161,21 @@ def minimum_spanning_forest(edges, rounds: int = 8):
                 "node": t.column("node"),
                 "comp": t.column("new_comp").cast(pa.string())}),
             batch_format="pyarrow").materialize()
+
+    if not converged:
+        # cap exhausted: one final check so the flag is truthful even
+        # when the last round completed the forest (review finding)
+        lab1 = labels.map_batches(
+            lambda t: pa.table({"w1": t.column("node"),
+                                "c1": t.column("comp")}),
+            batch_format="pyarrow").materialize()
+        lab2 = labels.map_batches(
+            lambda t: pa.table({"w2": t.column("node"),
+                                "c2": t.column("comp")}),
+            batch_format="pyarrow").materialize()
+        converged = adaptive_join(
+            adaptive_join(edges, lab1, on="w1"), lab2,
+            on="w2").filter(expr="c1 != c2").count() == 0
 
     if chosen is None:
         chosen = edges.limit(0)

@@ -241,7 +241,8 @@ def pagerank_personalized(edges, seeds, iters: int = 10,
     import ray as _ray
 
     parts = _join_partitions(num_partitions)
-    seed_arr = pa.array(sorted(set(seeds)), type=pa.string())
+    seed_ids = sorted(set(seeds))
+    seed_arr = pa.array(seed_ids, type=pa.string())
     k = len(seed_arr)
     if k == 0:
         raise ValueError("pagerank_personalized needs >= 1 seed")
@@ -257,6 +258,18 @@ def pagerank_personalized(edges, seeds, iters: int = 10,
                                 "node", [("node", "count")])
              .map_batches(lambda t: t.select(["node"]),
                           batch_format="pyarrow")).materialize()
+
+    # out-of-graph seeds silently leak teleport mass (rank no longer
+    # sums to 1) — reject them up front, matching the NumPy twin
+    # (review finding r5s4)
+    n_present = nodes.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("node"),
+                                    value_set=seed_arr)),
+        batch_format="pyarrow").count()
+    if n_present != k:
+        raise ValueError(
+            "pagerank_personalized: %d of %d seeds absent from the "
+            "edge set" % (k - n_present, k))
 
     outdeg = (bucketed_aggregate(edges.select_columns(["subj_id"]),
                                  "subj_id", [("subj_id", "count")])
@@ -330,6 +343,11 @@ def pagerank_personalized_reference(src, dst, seeds, iters: int = 10,
     for s in src:
         out[idx[s]] += 1
     seed_ids = sorted(set(seeds))
+    missing = [s for s in seed_ids if s not in idx]
+    if missing:
+        raise ValueError(
+            "pagerank_personalized_reference: seeds absent from the "
+            "edge set: %r" % missing)
     k = len(seed_ids)
     s_vec = np.zeros(n)
     for s in seed_ids:

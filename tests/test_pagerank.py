@@ -79,3 +79,18 @@ def test_personalized_pagerank_matches_twin(ray_session):
     # uniform share of total mass
     seed_mass = sum(got[s] for s in seeds if s in got)
     assert seed_mass > 2 * len(seeds) / len(want)
+
+
+def test_personalized_pagerank_rejects_missing_seed(ray_session):
+    import pytest
+    import ray.data
+
+    from ie_ray.stages.pagerank import (pagerank_personalized,
+                                        pagerank_personalized_reference)
+
+    edges = ray.data.from_arrow(pa.table({
+        "subj_id": pa.array(["a"]), "obj_id": pa.array(["b"])}))
+    with pytest.raises(ValueError, match="absent"):
+        pagerank_personalized(edges, ["a", "ghost"], iters=2)
+    with pytest.raises(ValueError, match="absent"):
+        pagerank_personalized_reference(["a"], ["b"], ["ghost"])
