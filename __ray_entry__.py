@@ -6404,6 +6404,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lowcard_combine(ds, partial, final_fn=final,
                                combine_fn=combine)
 
+    def events_hourly_acf(sf_dir):
+        """Autocorrelation function of the hourly value series at lags
+        1–24 (seasonality diagnostic: a daily cycle shows as a lag-24
+        peak).  The hour domain is bounded, so the series reduces by
+        one lowcard tree-combine and the whole ACF is one vectorized
+        final-task pass; pair semantics match the SQL lag join (only
+        hours where BOTH h and h+k exist pair up — calendar gaps drop,
+        no zero-filling), with Pearson r computed by the same
+        two-pass formula and rounded 4 dp."""
+        import numpy as np
+
+        ds = _tbl(sf_dir, "events", columns=["ts", "value"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            h = pc.floor_temporal(
+                t.column("ts").cast(pa.timestamp("us")), unit="hour") \
+                .cast(pa.int64())
+            cents = np.round(np.asarray(t.column("value"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            g = pa.table({"h": h, "s": pa.array(cents)}) \
+                .group_by("h").aggregate([("s", "sum")])
+            return g.rename_columns(["h", "s"])
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by("h").aggregate([("s", "sum")]) \
+                .rename_columns(["h", "s"])
+
+        HOUR = 3_600_000_000
+
+        def final(t: pa.Table) -> pa.Table:
+            t = combine(t)
+            h = np.asarray(t.column("h"), dtype=np.int64)
+            s = np.asarray(t.column("s"), dtype=np.float64)
+            o = np.argsort(h)
+            h, s = h[o], s[o]
+            lags, rs, ns = [], [], []
+            for k in range(1, 25):
+                idx = np.searchsorted(h, h + k * HOUR)
+                idx_c = np.clip(idx, 0, len(h) - 1)
+                m = h[idx_c] == h + k * HOUR
+                a, b = s[m], s[idx_c[m]]
+                n = len(a)
+                if n < 2:
+                    continue
+                am, bm = a.mean(), b.mean()
+                cov = ((a - am) * (b - bm)).sum()
+                va = ((a - am) ** 2).sum()
+                vb = ((b - bm) ** 2).sum()
+                if va == 0.0 or vb == 0.0:
+                    continue
+                lags.append(k)
+                rs.append(round(cov / np.sqrt(va * vb), 4))
+                ns.append(n)
+            return pa.table({
+                "lag": pa.array(lags, type=pa.int64()),
+                "r": pa.array(rs, type=pa.float64()),
+                "n_pairs": pa.array(ns, type=pa.int64())})
+
+        return lowcard_combine(ds, partial, final_fn=final,
+                               combine_fn=combine)
+
     def events_itemsets3(sf_dir):
         """Frequent 3-itemset support over per-user event-type baskets
         (the Apriori support-count stage): distinct (user, type) pairs
@@ -7044,6 +7107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_semi_urgent": lineitem_semi_urgent,
         "events_cusum_changepoint": events_cusum_changepoint,
         "events_itemsets3": events_itemsets3,
+        "events_hourly_acf": events_hourly_acf,
         "docs_ari": docs_ari,
         "events_trend_by_type": events_trend_by_type,
         "events_throttled": events_throttled,
@@ -7899,6 +7963,17 @@ def oracle_sql() -> dict[str, str]:
             "cusum_num, t.n::BIGINT AS n_hours FROM c, t "
             "ORDER BY abs(c.cum * t.n - c.i * t.tot) DESC, c.h_us "
             "LIMIT 1",
+        "events_hourly_acf":
+            "WITH h AS (SELECT date_trunc('hour', ts) AS h, "
+            "sum(CAST(round(value * 100) AS BIGINT)) AS s FROM events "
+            "GROUP BY 1) "
+            "SELECT g.k AS lag, round(corr(a.s, b.s), 4) AS r, "
+            "count(*)::BIGINT AS n_pairs "
+            "FROM generate_series(1, 24) g(k) "
+            "JOIN h a ON true "
+            "JOIN h b ON b.h = a.h + to_hours(g.k) "
+            "GROUP BY g.k HAVING count(*) >= 2 "
+            "AND corr(a.s, b.s) IS NOT NULL",
         "events_itemsets3":
             "WITH d AS (SELECT DISTINCT user_id, event_type "
             "FROM events) "
