@@ -3096,6 +3096,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 lambda t: t.select(["text"]), batch_format="pyarrow"),
             partial, final_fn=final, combine_fn=combine)
 
+    def docs_length_theil(sf_dir):
+        """Theil-T inequality of document length, DECOMPOSED by source
+        — the additively decomposable inequality index (Theil 1967):
+        T = T_between + Σ share_g·T_g, so the report shows how much
+        corpus imbalance lives across sources vs inside them.  All
+        sums reduce over the bounded (source, len) histogram in one
+        lowcard tree-combine; the ln/division float tail is evaluated
+        with the same expression shape as the SQL twin and rounded
+        4 dp.  Output: one row per source (share, T_within) plus the
+        __between__ and __total__ rows — the decomposition identity
+        is part of the oracle check."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = pa.table({
+                "source": t.column("source"),
+                "len": pc.utf8_length(t.column("text"))
+                .cast(pa.int64())}) \
+                .group_by(["source", "len"]).aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["source", "len", "n"])
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by(["source", "len"]).aggregate(
+                [("n", "sum")]).rename_columns(["source", "len", "n"])
+
+        def final(t: pa.Table) -> pa.Table:
+            t = combine(t)
+            src = np.asarray(t.column("source").to_pylist(),
+                             dtype=object)
+            ln = np.asarray(t.column("len"), dtype=np.float64)
+            c = np.asarray(t.column("n"), dtype=np.float64)
+            n = c.sum()
+            mu = (ln * c).sum() / n
+            sources = sorted(set(src.tolist()))
+            rows = []
+            t_within_sum = 0.0
+            t_between = 0.0
+            for s in sources:
+                m = src == s
+                ns = c[m].sum()
+                mus = (ln[m] * c[m]).sum() / ns
+                r = ln[m] / mus
+                t_g = float((c[m] * r * np.log(r)).sum() / ns)
+                share = float((ns * mus) / (n * mu))   # length share
+                t_within_sum += share * t_g
+                t_between += share * np.log(mus / mu)
+                rows.append((s, share, t_g))
+            total = float((c * (ln / mu) * np.log(ln / mu)).sum() / n)
+            rows.append(("__between__", 1.0, t_between))
+            rows.append(("__total__", 1.0, total))
+            return pa.table({
+                "source": pa.array([r[0] for r in rows],
+                                   type=pa.string()),
+                "share": pa.array(
+                    [np.floor(r[1] * 1e4 + 0.5) / 1e4 for r in rows],
+                    type=pa.float64()),
+                "theil": pa.array(
+                    [np.floor(abs(r[2]) * 1e4 + 0.5) / 1e4
+                     * (1 if r[2] >= 0 else -1) for r in rows],
+                    type=pa.float64())})
+
+        return lowcard_combine(
+            _docs(sf_dir).map_batches(
+                lambda t: t.select(["source", "text"]),
+                batch_format="pyarrow"),
+            partial, final_fn=final, combine_fn=combine)
+
     def events_type_user_overlap(sf_dir):
         """Audience-overlap matrix between event types via KMV
         k-minimum-values sketches (stages/sketches.py::kmv_overlap) —
@@ -7108,6 +7177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cusum_changepoint": events_cusum_changepoint,
         "events_itemsets3": events_itemsets3,
         "events_hourly_acf": events_hourly_acf,
+        "docs_length_theil": docs_length_theil,
         "docs_ari": docs_ari,
         "events_trend_by_type": events_trend_by_type,
         "events_throttled": events_throttled,
@@ -7963,6 +8033,29 @@ def oracle_sql() -> dict[str, str]:
             "cusum_num, t.n::BIGINT AS n_hours FROM c, t "
             "ORDER BY abs(c.cum * t.n - c.i * t.tot) DESC, c.h_us "
             "LIMIT 1",
+        "docs_length_theil":
+            "WITH d AS (SELECT source, length(text)::BIGINT AS len "
+            "FROM documents), "
+            "tot AS (SELECT count(*)::DOUBLE AS n, avg(len) AS mu "
+            "FROM d), "
+            "per AS (SELECT source, count(*)::DOUBLE AS ns, "
+            "avg(len) AS mus FROM d GROUP BY source), "
+            "wg AS (SELECT p.source, (p.ns * p.mus) / (t.n * t.mu) "
+            "AS share, (SELECT sum((d2.len / p.mus) * "
+            "ln(d2.len / p.mus)) / p.ns FROM d d2 "
+            "WHERE d2.source = p.source) AS theil FROM per p, tot t), "
+            "btw AS (SELECT '__between__' AS source, 1.0 AS share, "
+            "sum((p.ns * p.mus) / (t.n * t.mu) * ln(p.mus / t.mu)) "
+            "AS theil FROM per p, tot t), "
+            "ttl AS (SELECT '__total__' AS source, 1.0 AS share, "
+            "(SELECT sum((d3.len / t.mu) * ln(d3.len / t.mu)) / t.n "
+            "FROM d d3) AS theil FROM tot t) "
+            "SELECT source, round(share, 4) AS share, "
+            "round(theil, 4) AS theil FROM wg "
+            "UNION ALL SELECT source, round(share, 4), "
+            "round(theil, 4) FROM btw "
+            "UNION ALL SELECT source, round(share, 4), "
+            "round(theil, 4) FROM ttl",
         "events_hourly_acf":
             "WITH h AS (SELECT date_trunc('hour', ts) AS h, "
             "sum(CAST(round(value * 100) AS BIGINT)) AS s FROM events "

@@ -186,7 +186,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "docs_ks_by_source", "q1_incremental_refresh",
                  "orders_backlog_timeseries",
                  "events_value_band_pairs",
-                 "events_hourly_acf",
+                 "events_hourly_acf", "docs_length_theil",
                  "users_churned_monthly",
                  "events_max_concurrency",
                  "embedding_quantize_int8",
