@@ -3165,6 +3165,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 batch_format="pyarrow"),
             partial, final_fn=final, combine_fn=combine)
 
+    def source_shingle_overlap(sf_dir):
+        """Source-pair CONTENT similarity matrix: KMV sketches over
+        the corpus's 5-word shingle hashes per source (the same
+        shingle function the MinHash dedup family uses) estimate
+        shingle-set Jaccard / overlap between every pair of sources —
+        the corpus-mixing diagnostic ("how much do my crawl sources
+        overlap?") at a constant k·|sources| sketch cost regardless of
+        corpus size.  Sketch-defined (rows-only); kmv accuracy and
+        merge invariance are gated in tests/test_kmv.py."""
+        from ie_ray.stages.dedup import _shingles
+        from ie_ray.stages.sketches import kmv_overlap
+
+        def shingle_rows(t: pa.Table) -> pa.Table:
+            srcs, hs = [], []
+            for s, txt in zip(t.column("source").to_pylist(),
+                              t.column("text").to_pylist()):
+                for h in _shingles(txt or ""):
+                    srcs.append(s)
+                    hs.append(h)
+            return pa.table({
+                "source": pa.array(srcs, type=pa.string()),
+                "h": pa.array(hs, type=pa.int64())})
+
+        rows = _docs(sf_dir).map_batches(
+            lambda t: t.select(["source", "text"]),
+            batch_format="pyarrow").map_batches(
+            shingle_rows, batch_format="pyarrow")
+        return kmv_overlap(rows, "h", "source", k=512)
+
     def events_type_user_overlap(sf_dir):
         """Audience-overlap matrix between event types via KMV
         k-minimum-values sketches (stages/sketches.py::kmv_overlap) —
@@ -7337,6 +7366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #    each names its pytest gate in the callable's docstring --
         "events_users_approx": events_users_approx,
         "events_type_user_overlap": events_type_user_overlap,
+        "source_shingle_overlap": source_shingle_overlap,
         "doc_compression_ratio": doc_compression_ratio,
         "events_quantile_digest": events_quantile_digest,
         "knn_top1_ivf": knn_top1_ivf,
