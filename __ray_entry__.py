@@ -3165,6 +3165,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 batch_format="pyarrow"),
             partial, final_fn=final, combine_fn=combine)
 
+    def docs_chi2_lang_source(sf_dir):
+        """Chi-squared independence test of the (source × lang)
+        contingency table — the data-quality hypothesis test "is
+        language mix independent of source?": cell counts reduce over
+        the bounded grid in one lowcard tree-combine; expected counts,
+        the χ² statistic and the degrees of freedom are one vectorized
+        final-task pass (cells with zero expected count are
+        structurally impossible — expected = row·col/n > 0 whenever
+        the cell's row and column both exist)."""
+        import numpy as np
+
+        ds = _docs(sf_dir).map_batches(
+            lambda t: t.select(["source", "lang"]),
+            batch_format="pyarrow")
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.group_by(["source", "lang"]).aggregate(
+                [([], "count_all")])
+            return g.rename_columns(["source", "lang", "n"])
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by(["source", "lang"]).aggregate(
+                [("n", "sum")]).rename_columns(
+                ["source", "lang", "n"])
+
+        def final(t: pa.Table) -> pa.Table:
+            t = combine(t)
+            src = np.asarray(t.column("source").to_pylist(),
+                             dtype=object)
+            lang = np.asarray(t.column("lang").to_pylist(),
+                              dtype=object)
+            n = np.asarray(t.column("n"), dtype=np.float64)
+            rows = sorted(set(src.tolist()))
+            cols = sorted(set(lang.tolist()))
+            ri = {r: i for i, r in enumerate(rows)}
+            ci = {c: i for i, c in enumerate(cols)}
+            obs = np.zeros((len(rows), len(cols)))
+            for s, l, k in zip(src, lang, n):
+                obs[ri[s], ci[l]] = k
+            tot = obs.sum()
+            exp = obs.sum(axis=1, keepdims=True) \
+                * obs.sum(axis=0, keepdims=True) / tot
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cells = np.where(exp > 0,
+                                 (obs - exp) ** 2 / exp, 0.0)
+            chi2 = float(cells.sum())
+            dof = (len(rows) - 1) * (len(cols) - 1)
+            return pa.table({
+                "chi2": pa.array(
+                    [np.floor(chi2 * 1e4 + 0.5) / 1e4],
+                    type=pa.float64()),
+                "dof": pa.array([dof], type=pa.int64()),
+                "n": pa.array([int(tot)], type=pa.int64())})
+
+        return lowcard_combine(ds, partial, final_fn=final,
+                               combine_fn=combine)
+
     def source_shingle_overlap(sf_dir):
         """Source-pair CONTENT similarity matrix: KMV sketches over
         the corpus's 5-word shingle hashes per source (the same
@@ -7207,6 +7264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_itemsets3": events_itemsets3,
         "events_hourly_acf": events_hourly_acf,
         "docs_length_theil": docs_length_theil,
+        "docs_chi2_lang_source": docs_chi2_lang_source,
         "docs_ari": docs_ari,
         "events_trend_by_type": events_trend_by_type,
         "events_throttled": events_throttled,
@@ -8063,6 +8121,21 @@ def oracle_sql() -> dict[str, str]:
             "cusum_num, t.n::BIGINT AS n_hours FROM c, t "
             "ORDER BY abs(c.cum * t.n - c.i * t.tot) DESC, c.h_us "
             "LIMIT 1",
+        "docs_chi2_lang_source":
+            "WITH c AS (SELECT source, lang, count(*)::DOUBLE AS o "
+            "FROM documents GROUP BY 1, 2), "
+            "rt AS (SELECT source, sum(o) AS r FROM c GROUP BY 1), "
+            "ct AS (SELECT lang, sum(o) AS cl FROM c GROUP BY 1), "
+            "tot AS (SELECT sum(o) AS n FROM c) "
+            "SELECT round(sum(power(coalesce(c.o, 0) "
+            "- rt.r * ct.cl / t.n, 2) / (rt.r * ct.cl / t.n)), 4) "
+            "AS chi2, "
+            "(((SELECT count(*) FROM rt) - 1) "
+            "* ((SELECT count(*) FROM ct) - 1))::BIGINT AS dof, "
+            "CAST(t.n AS BIGINT) AS n "
+            "FROM rt CROSS JOIN ct CROSS JOIN tot t "
+            "LEFT JOIN c ON c.source = rt.source AND c.lang = ct.lang "
+            "GROUP BY t.n",
         "docs_length_theil":
             "WITH d AS (SELECT source, length(text)::BIGINT AS len "
             "FROM documents), "
