@@ -3222,6 +3222,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lowcard_combine(ds, partial, final_fn=final,
                                combine_fn=combine)
 
+    def events_weekend_ttest(sf_dir):
+        """Welch's unequal-variance t-test: does event value differ
+        between weekdays and weekends?  Per-group n, Σx, Σx² ride as
+        EXACT int64 cents(²) through one lowcard combine (2 groups),
+        so mean and sample variance are the same rationals on both
+        engines; the t statistic and Welch–Satterthwaite df are one
+        shared float expression, rounded 4 dp."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ds = _tbl(sf_dir, "events", columns=["ts", "value"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            dow = np.asarray(pc.day_of_week(
+                t.column("ts"), count_from_zero=True,
+                week_start=7).cast(pa.int64()))
+            wknd = ((dow == 0) | (dow == 6)).astype(np.int64)
+            cents = np.round(np.asarray(t.column("value"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            g = pa.table({
+                "wknd": pa.array(wknd),
+                "n": pa.array(np.ones(len(cents), dtype=np.int64)),
+                "s": pa.array(cents),
+                "s2": pa.array(cents * cents)}) \
+                .group_by("wknd").aggregate(
+                [("n", "sum"), ("s", "sum"), ("s2", "sum")])
+            return g.rename_columns(["wknd", "n", "s", "s2"])
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by("wknd").aggregate(
+                [("n", "sum"), ("s", "sum"), ("s2", "sum")]) \
+                .rename_columns(["wknd", "n", "s", "s2"])
+
+        def final(t: pa.Table) -> pa.Table:
+            t = combine(t)
+            stats = {}
+            for w, n, s, s2 in zip(t.column("wknd").to_pylist(),
+                                   t.column("n").to_pylist(),
+                                   t.column("s").to_pylist(),
+                                   t.column("s2").to_pylist()):
+                m = s / n
+                v = (s2 - s * s / n) / (n - 1)
+                stats[w] = (n, m, v)
+            n1, m1, v1 = stats.get(1, (0, 0.0, 0.0))
+            n0, m0, v0 = stats.get(0, (0, 0.0, 0.0))
+            se2 = v1 / n1 + v0 / n0
+            tstat = (m1 - m0) / np.sqrt(se2)
+            df = se2 ** 2 / ((v1 / n1) ** 2 / (n1 - 1)
+                             + (v0 / n0) ** 2 / (n0 - 1))
+
+            def r4(x):
+                return np.floor(abs(x) * 1e4 + 0.5) / 1e4 \
+                    * (1 if x >= 0 else -1)
+
+            return pa.table({
+                "n_weekend": pa.array([n1], type=pa.int64()),
+                "n_weekday": pa.array([n0], type=pa.int64()),
+                "mean_diff": pa.array([r4((m1 - m0) / 100.0)],
+                                      type=pa.float64()),
+                "t_stat": pa.array([r4(tstat)], type=pa.float64()),
+                "welch_df": pa.array([r4(df)], type=pa.float64())})
+
+        return lowcard_combine(ds, partial, final_fn=final,
+                               combine_fn=combine)
+
     def source_shingle_overlap(sf_dir):
         """Source-pair CONTENT similarity matrix: KMV sketches over
         the corpus's 5-word shingle hashes per source (the same
@@ -7265,6 +7331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_acf": events_hourly_acf,
         "docs_length_theil": docs_length_theil,
         "docs_chi2_lang_source": docs_chi2_lang_source,
+        "events_weekend_ttest": events_weekend_ttest,
         "docs_ari": docs_ari,
         "events_trend_by_type": events_trend_by_type,
         "events_throttled": events_throttled,
@@ -8121,6 +8188,23 @@ def oracle_sql() -> dict[str, str]:
             "cusum_num, t.n::BIGINT AS n_hours FROM c, t "
             "ORDER BY abs(c.cum * t.n - c.i * t.tot) DESC, c.h_us "
             "LIMIT 1",
+        "events_weekend_ttest":
+            "WITH e AS (SELECT CASE WHEN dayofweek(ts) IN (0, 6) "
+            "THEN 1 ELSE 0 END AS wknd, "
+            "CAST(round(value * 100) AS BIGINT) AS c FROM events), "
+            "g AS (SELECT wknd, count(*)::BIGINT AS n, "
+            "sum(c)::BIGINT AS s, sum(c * c)::BIGINT AS s2 "
+            "FROM e GROUP BY 1), "
+            "st AS (SELECT wknd, n, s::DOUBLE / n AS m, "
+            "(s2 - s::DOUBLE * s / n) / (n - 1) AS v FROM g) "
+            "SELECT w1.n AS n_weekend, w0.n AS n_weekday, "
+            "round((w1.m - w0.m) / 100.0, 4) AS mean_diff, "
+            "round((w1.m - w0.m) / sqrt(w1.v / w1.n + w0.v / w0.n), "
+            "4) AS t_stat, "
+            "round(power(w1.v / w1.n + w0.v / w0.n, 2) "
+            "/ (power(w1.v / w1.n, 2) / (w1.n - 1) "
+            "+ power(w0.v / w0.n, 2) / (w0.n - 1)), 4) AS welch_df "
+            "FROM st w1, st w0 WHERE w1.wknd = 1 AND w0.wknd = 0",
         "docs_chi2_lang_source":
             "WITH c AS (SELECT source, lang, count(*)::DOUBLE AS o "
             "FROM documents GROUP BY 1, 2), "

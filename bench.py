@@ -187,7 +187,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "orders_backlog_timeseries",
                  "events_value_band_pairs",
                  "events_hourly_acf", "docs_length_theil",
-                 "docs_chi2_lang_source",
+                 "docs_chi2_lang_source", "events_weekend_ttest",
                  "source_shingle_overlap",
                  "users_churned_monthly",
                  "events_max_concurrency",
