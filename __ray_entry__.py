@@ -3288,6 +3288,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return lowcard_combine(ds, partial, final_fn=final,
                                combine_fn=combine)
 
+    def events_mannwhitney_purchase_view(sf_dir):
+        """Mann–Whitney U (rank-sum) test: do purchase and view
+        values come from the same distribution?  The nonparametric
+        sibling of the Welch t-test — EXACT U from the bounded
+        cent-grid histograms (ties counted half, so 2·U is an
+        integer), tie-corrected normal approximation; mean/variance/z
+        share one float expression with the avg-rank window oracle."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        ds = _tbl(sf_dir, "events", columns=["event_type", "value"])
+
+        def partial(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t.column("event_type"),
+                         value_set=pa.array(["purchase", "view"]))
+            t = t.filter(m)
+            cents = np.round(np.asarray(t.column("value"),
+                                        dtype=np.float64) * 100.0) \
+                .astype(np.int64)
+            g = pa.table({
+                "grp": t.column("event_type"),
+                "c": pa.array(cents),
+                "n": pa.array(np.ones(len(cents), dtype=np.int64))}) \
+                .group_by(["grp", "c"]).aggregate([("n", "sum")])
+            return g.rename_columns(["grp", "c", "n"])
+
+        def combine(t: pa.Table) -> pa.Table:
+            return t.group_by(["grp", "c"]).aggregate([("n", "sum")]) \
+                .rename_columns(["grp", "c", "n"])
+
+        def final(t: pa.Table) -> pa.Table:
+            t = combine(t)
+            grp = np.asarray(t.column("grp").to_pylist(), dtype=object)
+            c = np.asarray(t.column("c"), dtype=np.int64)
+            n = np.asarray(t.column("n"), dtype=np.int64)
+            vals = np.unique(c)
+            h1 = np.zeros(len(vals), dtype=np.int64)   # purchase
+            h2 = np.zeros(len(vals), dtype=np.int64)   # view
+            iv = np.searchsorted(vals, c)
+            np.add.at(h1, iv[grp == "purchase"], n[grp == "purchase"])
+            np.add.at(h2, iv[grp == "view"], n[grp == "view"])
+            n1, n2 = int(h1.sum()), int(h2.sum())
+            ntot = n1 + n2
+            below2 = np.concatenate([[0], np.cumsum(h2)[:-1]])
+            # ties count half: carry 2U as an exact integer
+            u2x = int((h1 * (2 * below2 + h2)).sum())
+            u = u2x / 2.0
+            tt = h1 + h2
+            tie_term = float(((tt ** 3 - tt).astype(np.float64)).sum())
+            mean = n1 * n2 / 2.0
+            var = n1 * n2 / 12.0 * (
+                (ntot + 1) - tie_term / (ntot * (ntot - 1.0)))
+            z = (u - mean) / np.sqrt(var)
+
+            def r4(x):
+                return np.floor(abs(x) * 1e4 + 0.5) / 1e4 \
+                    * (1 if x >= 0 else -1)
+
+            return pa.table({
+                "n_purchase": pa.array([n1], type=pa.int64()),
+                "n_view": pa.array([n2], type=pa.int64()),
+                "u": pa.array([u], type=pa.float64()),
+                "z": pa.array([r4(z)], type=pa.float64())})
+
+        return lowcard_combine(ds, partial, final_fn=final,
+                               combine_fn=combine)
+
     def source_shingle_overlap(sf_dir):
         """Source-pair CONTENT similarity matrix: KMV sketches over
         the corpus's 5-word shingle hashes per source (the same
@@ -7332,6 +7399,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_length_theil": docs_length_theil,
         "docs_chi2_lang_source": docs_chi2_lang_source,
         "events_weekend_ttest": events_weekend_ttest,
+        "events_mannwhitney_purchase_view":
+            events_mannwhitney_purchase_view,
         "docs_ari": docs_ari,
         "events_trend_by_type": events_trend_by_type,
         "events_throttled": events_throttled,
@@ -8188,6 +8257,26 @@ def oracle_sql() -> dict[str, str]:
             "cusum_num, t.n::BIGINT AS n_hours FROM c, t "
             "ORDER BY abs(c.cum * t.n - c.i * t.tot) DESC, c.h_us "
             "LIMIT 1",
+        "events_mannwhitney_purchase_view":
+            "WITH v AS (SELECT event_type AS g, "
+            "CAST(round(value * 100) AS BIGINT) AS c FROM events "
+            "WHERE event_type IN ('purchase', 'view')), "
+            "r AS (SELECT g, c, rank() OVER (ORDER BY c) "
+            "+ (count(*) OVER (PARTITION BY c) - 1) / 2.0 AS ar "
+            "FROM v), "
+            "agg AS (SELECT "
+            "(SELECT count(*) FROM v WHERE g = 'purchase')::BIGINT "
+            "AS n1, "
+            "(SELECT count(*) FROM v WHERE g = 'view')::BIGINT AS n2, "
+            "(SELECT sum(ar) FROM r WHERE g = 'purchase') AS r1, "
+            "(SELECT sum(t * t * t - t) FROM (SELECT count(*)::DOUBLE "
+            "AS t FROM v GROUP BY c)) AS tie) "
+            "SELECT n1 AS n_purchase, n2 AS n_view, "
+            "r1 - n1 * (n1 + 1) / 2.0 AS u, "
+            "round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) "
+            "/ sqrt(n1 * n2 / 12.0 * ((n1 + n2 + 1) "
+            "- tie / ((n1 + n2) * (n1 + n2 - 1.0)))), 4) AS z "
+            "FROM agg",
         "events_weekend_ttest":
             "WITH e AS (SELECT CASE WHEN dayofweek(ts) IN (0, 6) "
             "THEN 1 ELSE 0 END AS wknd, "

@@ -188,6 +188,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
                  "events_value_band_pairs",
                  "events_hourly_acf", "docs_length_theil",
                  "docs_chi2_lang_source", "events_weekend_ttest",
+                 "events_mannwhitney_purchase_view",
                  "source_shingle_overlap",
                  "users_churned_monthly",
                  "events_max_concurrency",
