@@ -92,6 +92,17 @@ def _tbl(sf_dir, name, columns=None, blocks=None):
         _strip_meta, batch_format="pyarrow")
 
 
+def _r4(x: float) -> float:
+    """Half-away-from-zero 4-dp rounding — the DuckDB round(x, 4)
+    convention (scale, round half-away, unscale).  Python round() is
+    ties-to-even over the exact decimal and diverges at midpoints;
+    np.round is half-even too.  Every float-emitting kernel that an
+    oracle checks must use THIS (review findings r5s4, twice)."""
+    import numpy as np
+    return float(np.floor(abs(x) * 1e4 + 0.5) / 1e4
+                 * (1 if x >= 0 else -1))
+
+
 # Oracle-side twin of _rev_scaled (exact int64 money — see below).
 _REV_SQL = ("CAST(round(l_extendedprice * 100) AS BIGINT) * "
             "(100 - CAST(round(l_discount * 100) AS BIGINT))")
@@ -3177,7 +3188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import numpy as np
 
         ds = _docs(sf_dir).map_batches(
-            lambda t: t.select(["source", "lang"]),
+            lambda t: t.select(["source", "lang"]).drop_null(),
             batch_format="pyarrow")
 
         def partial(t: pa.Table) -> pa.Table:
@@ -3263,19 +3274,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    t.column("n").to_pylist(),
                                    t.column("s").to_pylist(),
                                    t.column("s2").to_pylist()):
+                if n < 2:
+                    continue
                 m = s / n
-                v = (s2 - s * s / n) / (n - 1)
+                # float(s)*s, NOT the exact bigint s*s: the oracle's
+                # s::DOUBLE * s rounds s once — match it so the last
+                # ulps of v agree at any scale (review finding)
+                v = (s2 - float(s) * s / n) / (n - 1)
                 stats[w] = (n, m, v)
-            n1, m1, v1 = stats.get(1, (0, 0.0, 0.0))
-            n0, m0, v0 = stats.get(0, (0, 0.0, 0.0))
+            if 1 not in stats or 0 not in stats:
+                # degenerate split: zero rows, like the oracle's
+                # n>1-filtered cross join
+                return pa.table({
+                    "n_weekend": pa.array([], type=pa.int64()),
+                    "n_weekday": pa.array([], type=pa.int64()),
+                    "mean_diff": pa.array([], type=pa.float64()),
+                    "t_stat": pa.array([], type=pa.float64()),
+                    "welch_df": pa.array([], type=pa.float64())})
+            n1, m1, v1 = stats[1]
+            n0, m0, v0 = stats[0]
             se2 = v1 / n1 + v0 / n0
             tstat = (m1 - m0) / np.sqrt(se2)
             df = se2 ** 2 / ((v1 / n1) ** 2 / (n1 - 1)
                              + (v0 / n0) ** 2 / (n0 - 1))
 
-            def r4(x):
-                return np.floor(abs(x) * 1e4 + 0.5) / 1e4 \
-                    * (1 if x >= 0 else -1)
+            r4 = _r4
 
             return pa.table({
                 "n_weekend": pa.array([n1], type=pa.int64()),
@@ -3335,16 +3358,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             # ties count half: carry 2U as an exact integer
             u2x = int((h1 * (2 * below2 + h2)).sum())
             u = u2x / 2.0
-            tt = h1 + h2
-            tie_term = float(((tt ** 3 - tt).astype(np.float64)).sum())
+            ttf = (h1 + h2).astype(np.float64)
+            # cube in FLOAT like the oracle's t::DOUBLE — int64 tt**3
+            # wraps once a cent value has ≳2.1M tied rows (review)
+            tie_term = float((ttf ** 3 - ttf).sum())
             mean = n1 * n2 / 2.0
             var = n1 * n2 / 12.0 * (
                 (ntot + 1) - tie_term / (ntot * (ntot - 1.0)))
             z = (u - mean) / np.sqrt(var)
 
-            def r4(x):
-                return np.floor(abs(x) * 1e4 + 0.5) / 1e4 \
-                    * (1 if x >= 0 else -1)
+            r4 = _r4
 
             return pa.table({
                 "n_purchase": pa.array([n1], type=pa.int64()),
@@ -6745,7 +6768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 if va == 0.0 or vb == 0.0:
                     continue
                 lags.append(k)
-                rs.append(round(cov / np.sqrt(va * vb), 4))
+                rs.append(_r4(cov / np.sqrt(va * vb)))
                 ns.append(n)
             return pa.table({
                 "lag": pa.array(lags, type=pa.int64()),
@@ -8293,10 +8316,12 @@ def oracle_sql() -> dict[str, str]:
             "round(power(w1.v / w1.n + w0.v / w0.n, 2) "
             "/ (power(w1.v / w1.n, 2) / (w1.n - 1) "
             "+ power(w0.v / w0.n, 2) / (w0.n - 1)), 4) AS welch_df "
-            "FROM st w1, st w0 WHERE w1.wknd = 1 AND w0.wknd = 0",
+            "FROM st w1, st w0 WHERE w1.wknd = 1 AND w0.wknd = 0 "
+            "AND w1.n > 1 AND w0.n > 1",
         "docs_chi2_lang_source":
             "WITH c AS (SELECT source, lang, count(*)::DOUBLE AS o "
-            "FROM documents GROUP BY 1, 2), "
+            "FROM documents WHERE source IS NOT NULL "
+            "AND lang IS NOT NULL GROUP BY 1, 2), "
             "rt AS (SELECT source, sum(o) AS r FROM c GROUP BY 1), "
             "ct AS (SELECT lang, sum(o) AS cl FROM c GROUP BY 1), "
             "tot AS (SELECT sum(o) AS n FROM c) "
